@@ -31,7 +31,7 @@ object PostingCodec {
   /** Encode a sorted run of (docId, sorted positions). Returns
     * (df, tf, blocks, blob).
     */
-  def encode(docs: IndexedSeq[(Long, Array[Long])]): (Long, Long, Array[PostingBlock], Array[Byte]) = {
+  def encode(docs: scala.collection.IndexedSeq[(Long, Array[Long])]): (Long, Long, Array[PostingBlock], Array[Byte]) = {
     val out = new ArrayBuffer[Byte](docs.length * 4)
     val blocks = new ArrayBuffer[PostingBlock]
     var tf = 0L

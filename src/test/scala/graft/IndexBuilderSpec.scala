@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.PostingCodec
+import graft.corpus.Corpus
+import graft.index._
+import graft.tokenizer.Tokenizer
+
+class IndexBuilderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import IndexBuilder.BuildConfig
+
+  def tinyCorpus: org.apache.spark.sql.Dataset[IdDoc] = {
+    import spark.implicits._
+    spark.createDataset(Seq(
+      IdDoc(0, "o/p", "a/doc.txt", "c0ffee00", "txt", "quick brown fox jumps the fence"),
+      IdDoc(1, "o/p", "b/doc.txt", "c0ffee01", "txt", "quick quick slow fox"),
+      IdDoc(2, "o/p", "c/doc.txt", "c0ffee02", "txt", "brown bear sleeps"),
+      IdDoc(3, "o/p", "d/doc.txt", "c0ffee03", "txt", "fox fox fox quick")))
+  }
+
+  test("tokens: title-first positions, chunk assignment") {
+    import spark.implicits._
+    val toks = IndexBuilder.tokens(tinyCorpus, BuildConfig(chunkDocs = 2))
+      .collect().toSeq
+    // doc 0 chunk 0, doc 2/3 chunk 1
+    assert(toks.filter(_.docId == 0).forall(_.chunk == 0))
+    assert(toks.filter(_.docId == 3).forall(_.chunk == 1))
+    val d0 = toks.filter(_.docId == 0).sortBy(_.pos)
+    assert(d0.map(_.term) === Seq("#a", "#doc", "#txt", "quick", "brown", "fox", "jumps", "the", "fence"))
+    assert(d0.map(_.pos) === (1L to 9L))
+  }
+
+  test("postings aggregation: df/tf exact, positions sorted, round-trips") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 100)
+    val postings = IndexBuilder
+      .buildPostings(IndexBuilder.tokens(tinyCorpus, cfg), cfg)
+      .collect().map(p => (p.term, p)).toMap
+    val quick = postings("quick")
+    assert(quick.df === 3 && quick.tf === 4)
+    val decoded = PostingCodec.decode(quick.df, quick.postingsBlob)
+    assert(decoded.map(_._1).toSeq === Seq(0L, 1L, 3L))
+    // doc1: "quick quick slow fox" -> title #b #doc #txt at 1..3, quick at 4,5
+    assert(decoded(1)._2.toSeq === Seq(4L, 5L))
+    val fox = postings("fox")
+    assert(fox.df === 3 && fox.tf === 5)
+    assert(postings("#doc").df === 4)
+  }
+
+  test("salted build produces identical postings") {
+    import spark.implicits._
+    val docs = Corpus.synthetic(spark, 2, 30, seed = 7)
+    val ids = Corpus.assignDocIds(spark, docs)
+    val cfg1 = BuildConfig(chunkDocs = 25, salts = 1)
+    val cfg4 = BuildConfig(chunkDocs = 25, salts = 4)
+    def canon(cfg: BuildConfig) =
+      IndexBuilder.buildPostings(IndexBuilder.tokens(ids, cfg), cfg)
+        .collect()
+        .map(p => ((p.chunk, p.term),
+          (p.df, p.tf, PostingCodec.decode(p.df, p.postingsBlob)
+            .map { case (d, ps) => (d, ps.toSeq) }.toSeq)))
+        .toMap
+    assert(canon(cfg1) === canon(cfg4))
+  }
+
+  test("docs table: url, title, abstract, docLength, sha") {
+    import spark.implicits._
+    val rows = IndexBuilder.buildDocs(tinyCorpus, BuildConfig(chunkDocs = 2))
+      .collect().sortBy(_.docId)
+    assert(rows(0).url === "o/p/a/doc.txt@c0ffee00")
+    assert(rows(0).title === "a doc txt")
+    assert(rows(0).numTitleWords === 3)
+    assert(rows(0).docLength === 9)
+    assert(rows(0).summary === "fence") // body idx >= 5 -> 6th body word
+    assert(rows(0).contentSha === Sha.hex256("quick brown fox jumps the fence"))
+    assert(rows(3).chunk === 1)
+  }
+
+  test("stats: totalPosts includes one EndDoc posting per doc; avgdl uses chunk capacity") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 100)
+    val docRows = IndexBuilder.buildDocs(tinyCorpus, cfg)
+    val postings = IndexBuilder.buildPostings(IndexBuilder.tokens(tinyCorpus, cfg), cfg)
+    val stats = IndexBuilder.buildStats(docRows, postings, cfg).collect()
+    assert(stats.length === 1)
+    val s = stats(0)
+    val totalTokens = docRows.collect().map(_.docLength).sum
+    assert(s.numDocs === 4)
+    assert(s.totalTokens === totalTokens)
+    assert(s.totalPosts === totalTokens + 4)
+    assert(s.avgdl === (totalTokens + 4).toDouble / 100.0)
+  }
+
+  test("full build + resume: completed chunks are not re-tokenized") {
+    import spark.implicits._
+    val out = SparkTestBase.tempDir("graft-index")
+    val docs = Corpus.synthetic(spark, 2, 20, seed = 11)
+    val ids = Corpus.assignDocIds(spark, docs).cache()
+    val cfg = BuildConfig(chunkDocs = 10)
+    // first build: only chunks 0 and 1 (docIds < 20)
+    val firstHalf = ids.filter(_.docId < 20)
+    val built1 = IndexBuilder.build(spark, firstHalf, out, cfg)
+    assert(built1 === Set(0L, 1L))
+    assert(IndexBuilder.completedChunks(spark, out, "postings") === Set(0L, 1L))
+    // resume with the full corpus: only chunks 2,3 get built
+    val built2 = IndexBuilder.build(spark, ids, out, cfg)
+    assert(built2 === Set(2L, 3L))
+    // a second resume is a no-op
+    assert(IndexBuilder.build(spark, ids, out, cfg) === Set.empty)
+    // the persisted index equals a from-scratch build
+    val out2 = SparkTestBase.tempDir("graft-index2")
+    IndexBuilder.build(spark, ids, out2, cfg)
+    def canonP(dir: String) = IndexStore.readPostings(spark, dir).collect()
+      .map(p => ((p.chunk, p.term), (p.df, p.tf, p.postingsBlob.toSeq))).toMap
+    def canonD(dir: String) = IndexStore.readDocs(spark, dir).collect()
+      .map(d => (d.docId, d)).toMap
+    assert(canonP(out) === canonP(out2))
+    assert(canonD(out) === canonD(out2))
+    // sha invariant vs source
+    val srcSha = ids.collect().map(d => d.docId -> Sha.hex256(d.content)).toMap
+    IndexStore.readDocs(spark, out).collect().foreach { d =>
+      assert(d.contentSha === srcSha(d.docId))
+    }
+  }
+}
