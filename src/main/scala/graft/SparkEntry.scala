@@ -44,18 +44,18 @@ object SparkEntry {
         (col("pos") + 1).cast("long").as("pos"))
   }
 
-  /** Flagship: full index build over the input-hint-shaped corpus, then
-    * the per-chunk term stats of the built index (exercises tokenize ->
-    * typed aggregation -> compressed chunks -> persisted store).
+  /** Flagship: full index build over the input-hint-shaped corpus, then a
+    * reference-scored search through the whole query stack (tokenize ->
+    * typed aggregation -> compressed chunks -> persisted store -> parse ->
+    * chunk-pruned cogroup ranking -> merged top-k).
     */
   def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_entry_idx").toString
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
-    IndexStore.readPostings(spark, out)
-      .groupBy(col("chunk"))
-      .agg(count(lit(1)).as("terms"), sum(col("tf")).as("posts"))
-      .orderBy(col("chunk"))
+    val engine = new graft.engine.SearchEngine(spark, out, chunkCapacity = 200)
+    engine.search("spark merge sort").toDF()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,136 @@
+package graft.engine
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.codec.PostingCodec
+import graft.config.GraftConfig
+import graft.index.{DocRow, IndexStore, PostingRow}
+import graft.query.{QueryParser, QOr}
+import graft.rank.{ChunkContext, DocScore, RankDoc, RefRanker}
+
+/** Builds the in-memory per-chunk ranking context from posting rows +
+  * doc rows: reconstructs the reference's flat location space
+  * (index/index.h:231-236; title+body tokens then the ##EndDoc slot per
+  * doc) so the ISR/ranker port sees exactly the reference's geometry.
+  */
+object ChunkContextBuilder {
+  def build(chunk: Long, posts: Seq[PostingRow], docRows: Seq[DocRow],
+            chunkCapacity: Long): ChunkContext = {
+    val docs = docRows.sortBy(_.docId).toArray
+    val nDocs = docs.length
+    val docBase = new Array[Long](nDocs)
+    val endLocs = new Array[Long](nDocs)
+    var base = 0L
+    var i = 0
+    while (i < nDocs) {
+      docBase(i) = base
+      endLocs(i) = base + docs(i).docLength + 1
+      base = endLocs(i)
+      i += 1
+    }
+    val localIdx = new java.util.HashMap[Long, Int](nDocs * 2)
+    i = 0
+    while (i < nDocs) { localIdx.put(docs(i).docId, i); i += 1 }
+
+    val termLocs = Map.newBuilder[String, Array[Long]]
+    val termTf = Map.newBuilder[String, Long]
+    val termDf = Map.newBuilder[String, Long]
+    posts.foreach { p =>
+      val flat = new Array[Long](p.tf.toInt)
+      var k = 0
+      PostingCodec.decode(p.df, p.postingsBlob).foreach { case (docId, positions) =>
+        val b = docBase(localIdx.get(docId))
+        var j = 0
+        while (j < positions.length) { flat(k) = b + positions(j); k += 1; j += 1 }
+      }
+      termLocs += p.term -> flat
+      termTf += p.term -> p.tf
+      termDf += p.term -> p.df
+    }
+    val totalTokens = docs.foldLeft(0L)(_ + _.docLength)
+    new ChunkContext(chunk, termLocs.result(), termTf.result(), termDf.result(),
+      endLocs,
+      docs.map(d => RankDoc(d.docId, d.url, d.title, d.summary, d.numTitleWords, d.docLength)),
+      totalPosts = totalTokens + nDocs,
+      chunkCapacity = chunkCapacity)
+  }
+}
+
+/** One ranked slot coming back from a chunk kernel. */
+case class ChunkHit(chunk: Long, slot: Int, title: String, summary: String,
+                    url: String, score: Long, docId: Long)
+
+/** Driver-side query API over a persisted index — the Spark re-expression
+  * of indexServer.cpp + the front end fan-in (SURVEY.md §3.2): chunks are
+  * ranked in parallel as one Dataset job (chunk ≙ index machine), the
+  * tiny per-chunk top-K lists are collected, and the driver merges them in
+  * ascending chunk order (≙ the reference's directory order).
+  */
+class SearchEngine(spark: SparkSession, indexDir: String,
+                   chunkCapacity: Long = GraftConfig.ChunkDocs) extends Serializable {
+  import spark.implicits._
+
+  private val postings = IndexStore.readPostings(spark, indexDir)
+  private val docs = IndexStore.readDocs(spark, indexDir)
+
+  /** Rank-identical reference scoring (SURVEY.md §2.9). Returns the
+    * combined top-K (empty slots dropped), ordered as the reference's
+    * final result vector.
+    */
+  def search(query: String, topK: Int = GraftConfig.TopK): Seq[DocScore] = {
+    val (astOpt, flat) = QueryParser.parseQuery(query)
+    astOpt match {
+      case None => Seq.empty
+      case Some(ast) =>
+        val hits = searchChunks(ast, flat, topK)
+        val merged = RefRanker.mergeChunkResults(
+          hits.groupBy(_.chunk).view.mapValues { hs =>
+            hs.sortBy(_.slot)
+              .map(h => DocScore(h.title, h.summary, h.url, h.score, h.docId)).toArray
+          }.toSeq, topK)
+        merged.filter(_.url.nonEmpty).toSeq
+    }
+  }
+
+  /** The distributed part: filter postings to the query's terms (parquet
+    * predicate pushdown), keep only chunks containing every flattened
+    * word (the term-absent abort, ranker.h:718-720 — also a major scale
+    * win: rare terms prune almost all chunks), then cogroup the pruned
+    * postings with the pruned docs metadata per chunk and run the ranker
+    * kernel. Result is <= topK rows per qualifying chunk.
+    */
+  private[graft] def searchChunks(ast: QOr, flat: Vector[String], topK: Int): Seq[ChunkHit] = {
+    if (flat.isEmpty) return Seq.empty
+    val distinctFlat = flat.distinct
+    val needed = (distinctFlat ++ distinctFlat.map("#" + _)).distinct
+
+    val posts = postings.filter($"term".isin(needed: _*))
+    val qualifying = posts
+      .filter($"term".isin(distinctFlat: _*))
+      .groupBy($"chunk")
+      .agg(countDistinct($"term").as("nt"))
+      .filter($"nt" === distinctFlat.size)
+      .select($"chunk").as[Long].collect().sorted
+    if (qualifying.isEmpty) return Seq.empty
+
+    val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+    val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+
+    val cap = chunkCapacity
+    val k = topK
+    postsQ.groupByKey(_.chunk)
+      .cogroup(docsQ.groupByKey(_.chunk)) { (chunk, ps, ds) =>
+        val postsSeq = ps.toVector
+        val docsSeq = ds.toVector
+        if (docsSeq.isEmpty) Iterator.empty
+        else {
+          val ctx = ChunkContextBuilder.build(chunk, postsSeq, docsSeq, cap)
+          val slots = RefRanker.rankChunk(ast, flat, ctx, k)
+          slots.iterator.zipWithIndex.map { case (s, i) =>
+            ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
+          }
+        }
+      }
+      .collect().toSeq
+  }
+}

@@ -1,0 +1,403 @@
+package graft.rank
+
+import graft.config.GraftConfig._
+import graft.isr._
+import graft.query._
+
+/** One scored result slot (DocumentScore, ranker/ranker.h:94-100, plus
+  * docId for deterministic cross-checks; the reference identifies results
+  * by URL only).
+  */
+case class DocScore(title: String, summary: String, url: String,
+                    score: Long, docId: Long)
+
+object DocScore {
+  val empty: DocScore = DocScore("", "", "", 0L, -1L)
+}
+
+/** Per-document metadata the ranker needs (DocumentData analog). */
+case class RankDoc(docId: Long, url: String, title: String, summary: String,
+                   numTitleWords: Long, docLength: Long)
+
+/** Everything the ranker needs about one chunk, in memory: the decoded
+  * flat-location posting lists of the query (body + '#'title) terms, the
+  * EndDoc walk data, per-doc metadata, and the chunk's NumberOfPosts.
+  * `docBase(i)` = sum of (docLength_j + 1) for j < i; token t of local doc
+  * i sits at docBase(i) + t, EndDoc_i at docBase(i) + docLength_i + 1 —
+  * identical to the reference's single location counter
+  * (index/index.h:231-236 starts at 1; ##EndDoc consumes a location).
+  */
+final class ChunkContext(
+    val chunk: Long,
+    val termLocs: Map[String, Array[Long]],      // flat locations per term
+    val termTf: Map[String, Long],               // numberOfPosts per term
+    val termDf: Map[String, Long],               // numberOfDocuments per term
+    val endLocs: Array[Long],                    // EndDoc flat locations
+    val docs: Array[RankDoc],                    // sorted by docId (urlIndex order)
+    val totalPosts: Long,                        // chunk NumberOfPosts (incl EndDoc)
+    val chunkCapacity: Long)                     // NUM_DOCS_IN_DICT
+
+/** Faithful port of ranker/ranker.h — the exact integer scoring the
+  * golden tests assert rank-identity against (SURVEY.md §2.9).
+  */
+object RefRanker {
+
+  // ---- URL helpers (ranker.h:285-356) ----
+
+  /** ranker.h:285-294 — blind 8-char strip (assumes "https://"), then
+    * leading "www.".
+    */
+  def simplifyUrl(longUrl: String): String = {
+    val r = if (longUrl.length >= 8) longUrl.substring(8) else ""
+    if (r.startsWith("www.")) r.substring(4) else r
+  }
+
+  /** ranker.h:317-338 — substring between the first and second dots, or
+    * before the first dot if there is no second. A dotless url (would
+    * throw std::out_of_range in the C++) returns the whole string.
+    */
+  def getDomainName(url: String): String = {
+    val firstDot = url.indexOf('.')
+    if (firstDot < 0) return url
+    val secondDot = url.indexOf('.', firstDot + 1)
+    if (secondDot >= 0) url.substring(firstDot + 1, secondDot)
+    else url.substring(0, firstDot)
+  }
+
+  /** ranker.h:297-311 (defined by the reference but unused by StaticRank;
+    * kept for parity/testing).
+    */
+  def getDomainSuffix(url: String): String = {
+    val slash = url.indexOf('/')
+    if (slash >= 0) { if (slash >= 4) url.substring(slash - 4, slash) else "" }
+    else if (url.length >= 4) url.substring(url.length - 4)
+    else ""
+  }
+
+  /** ranker.h:344-356 */
+  def isHomePage(url: String): Boolean = {
+    var dots = 0
+    var i = 0
+    while (i < url.length && url.charAt(i) != '/') {
+      if (url.charAt(i) == '.') dots += 1
+      i += 1
+    }
+    dots <= 1 && i == url.length
+  }
+
+  // ---- static rank (ranker.h:396-430) ----
+  // Note: compares getDomainName(full URL) against ".edu"/".gov"/".com" —
+  // getDomainName can never return a dot-prefixed string, so the domain
+  // bonus is dead code in the reference; ported literally.
+  def staticRank(doc: RankDoc): Long = {
+    var score = 0L
+    val domainName = getDomainName(doc.url)
+    if (domainName == ".edu") score += EduWeight
+    else if (domainName == ".gov") score += GovWeight
+    else if (domainName == ".com") score += ComWeight
+    if (doc.url.length < ShortUrlLimit) score += ShortUrlWeight
+    if (doc.numTitleWords < ShortTitleLimit) score += ShortTitleWeight
+    score
+  }
+
+  // ---- dynamic URL rank (ranker.h:685-703) ----
+  def dynamicUrlRank(url: String, searchWords: IndexedSeq[String], rarestIdx: Int): Long = {
+    var i = 0
+    while (i < searchWords.length) {
+      if (getDomainName(url) == searchWords(i)) {
+        var score =
+          if (isHomePage(url)) UrlContainQueryWordHomePageWeight
+          else UrlContainQueryWordWeight
+        if (i == rarestIdx) score *= 2
+        return score // first match only (early return, ranker.h:699)
+      }
+      i += 1
+    }
+    0L
+  }
+
+  // ---- span heuristics (ranker.h:555-649) ----
+  private def countSpanHit(span: Array[Long], docStart: Long,
+                           counts: Array[Long]): Unit = {
+    val n = span.length
+    var minLoc = span(0); var maxLoc = span(0)
+    var i = 0
+    while (i < n) {
+      if (span(i) < minLoc) minLoc = span(i)
+      if (span(i) > maxLoc) maxLoc = span(i)
+      i += 1
+    }
+    if (maxLoc - minLoc < n * ShortSpanMultiplier) counts(0) += 1 // shortSpan
+    if (maxLoc < docStart + NearTopBoundary) counts(2) += 1       // nearTop
+    if (n > 1) {
+      var isOrder = true
+      i = 0
+      while (i < n - 1) { if (span(i + 1) < span(i)) isOrder = false; i += 1 }
+      if (isOrder) counts(1) += 1                                  // orderSpan
+
+      var isPhrase = true
+      i = 0
+      while (i < n - 1) { if (span(i + 1) != span(i) + 1) isPhrase = false; i += 1 }
+      if (isPhrase) counts(3) += 1                                 // exactPhrase
+
+      // near(i, j): |span(i) - span(j)| <= 3 with the C++ size_t-underflow
+      // semantics: when span(i) < 3, `span(j) >= span(i) - 3` wraps to a
+      // huge unsigned value and is never true (ranker.h:611-612, 635-636)
+      def nearC(i: Int, j: Int): Boolean = {
+        val upper = span(j) <= span(i) + MaxSkippedLocation
+        val lower =
+          if (span(i) >= MaxSkippedLocation) span(j) >= span(i) - MaxSkippedLocation
+          else false // size_t wrap -> condition effectively false
+        upper && lower
+      }
+
+      var isNearTriple = false
+      if (!isPhrase) {
+        i = 0
+        while (i < n && !isNearTriple) {
+          var cnt = 0
+          var j = 0
+          while (j < n) {
+            if (i != j && nearC(i, j)) cnt += 1
+            j += 1
+          }
+          if (cnt >= 2) isNearTriple = true
+          i += 1
+        }
+        if (isNearTriple) counts(4) += 1                           // nearTriple
+      }
+      if (!isNearTriple) {
+        var isNearDouble = false
+        i = 0
+        while (i < n && !isNearDouble) {
+          var j = i + 1
+          while (j < n && !isNearDouble) {
+            if (nearC(i, j)) isNearDouble = true
+            j += 1
+          }
+          i += 1
+        }
+        if (isNearDouble) counts(5) += 1                           // nearDouble
+      }
+    }
+  }
+
+  // ---- dynamic body rank (ranker.h:434-551) ----
+  private def dynamicBodyRank(terms: Array[IsrWord], expectedFreq: Array[Long],
+                              rarestIdx: Int, docStart: Long, docEnd: Long,
+                              currentSpan: Array[Long]): Long = {
+    val n = terms.length
+    val counts = new Array[Long](6) // shortSpan, orderSpan, nearTop, phrase, nearTriple, nearDouble
+    val numOcc = new Array[Long](n)
+    var i = 0
+    while (i < n) { terms(i).seek(docStart); i += 1 }
+    i = 0
+    while (i < n) { currentSpan(i) = terms(i).startLocation; i += 1 }
+    var rarestLocation = terms(rarestIdx).startLocation
+
+    while (rarestLocation < docEnd) {
+      i = 0
+      while (i < n) {
+        if (i != rarestIdx) {
+          var currentLoc = terms(i).startLocation
+          if (!(currentLoc > docEnd || !terms(i).hasPost)) {
+            numOcc(i) += 1
+            terms(i).next()
+            var nextLoc = terms(i).startLocation
+            if (!(nextLoc > docEnd || !terms(i).hasPost)) {
+              numOcc(i) += 1
+              var isReachingEnd = false
+              while (nextLoc < rarestLocation && !isReachingEnd) {
+                terms(i).next()
+                currentLoc = nextLoc
+                nextLoc = terms(i).startLocation
+                if (nextLoc > docEnd || !terms(i).hasPost) isReachingEnd = true
+                else numOcc(i) += 1
+              }
+              if (!isReachingEnd) {
+                currentSpan(i) =
+                  if (rarestLocation - currentLoc < nextLoc - rarestLocation) currentLoc
+                  else nextLoc
+              }
+            }
+          }
+        }
+        i += 1
+      }
+      countSpanHit(currentSpan, docStart, counts)
+      terms(rarestIdx).next()
+      rarestLocation = terms(rarestIdx).startLocation
+      currentSpan(rarestIdx) = rarestLocation
+    }
+
+    val shortSpan = math.min(counts(0), SpanHitCap)
+    val orderSpan = math.min(counts(1), SpanHitCap)
+    val nearDouble = math.min(counts(5), SpanHitCap)
+
+    var score = 0L
+    var numFrequent = 0
+    i = 0
+    while (i < n) {
+      if (numOcc(i) > expectedFreq(i) * TimesExpectedToBeFrequent) numFrequent += 1
+      i += 1
+    }
+    val freqPct = numFrequent.toDouble / n.toDouble
+    if (numFrequent == n) score += AllWordsFrequentWeight
+    else if (freqPct > MinPercentToBeMost) score += MostWordsFrequentWeight
+    else if (freqPct > MinPercentToBeSome) score += SomeWordsFrequentWeight
+
+    score += shortSpan * ShortSpanWeight + orderSpan * OrderSpanWeight +
+      counts(2) * NearTopWeight + counts(3) * ExactPhraseWeight +
+      counts(4) * NearTripleWeight + nearDouble * NearDoubleWeight
+
+    if (n == 1) score /= 3 // ranker.h:540
+    score
+  }
+
+  // ---- dynamic title rank (ranker.h:653-681) ----
+  private def dynamicTitleRank(titleTerms: Array[IsrWord], docStart: Long,
+                               docEnd: Long, numTitleWords: Long): Long = {
+    var count = 0.0
+    var i = 0
+    while (i < titleTerms.length) {
+      if (titleTerms(i).hasPost) {
+        titleTerms(i).seek(docStart)
+        if (titleTerms(i).startLocation < docEnd) count += 1
+      }
+      i += 1
+    }
+    val frequency = count / numTitleWords.toDouble // 0/0 -> NaN -> score 0
+    if (frequency >= MinPercentTitleAll) TitleAllWeight
+    else if (frequency >= MinPercentTitleMost) TitleMostWeight
+    else if (frequency >= MinPercentTitleMany) TitleManyWeight
+    else if (frequency >= MinPercentTitleSome) TitleSomeWeight
+    else if (frequency >= MinPercentTitleFew) TitleFewWeight
+    else 0L
+  }
+
+  // ---- AST -> ISR compile (expression.cpp:85-143) ----
+  private def compile(node: QNode, ctx: ChunkContext): IsrNode = node match {
+    case QWord(w) => new IsrWord(ctx.termLocs.getOrElse(w, null))
+    case QPhrase(ws) =>
+      new IsrPhrase(ws.map(w => compile(QWord(w), ctx)).toArray, newEndDoc(ctx))
+    case QAnd(cs) => new IsrAnd(cs.map(compile(_, ctx)).toArray, newEndDoc(ctx))
+    case QOr(cs) => new IsrOr(cs.map(compile(_, ctx)).toArray, newEndDoc(ctx))
+  }
+
+  private def newEndDoc(ctx: ChunkContext): IsrEndDoc =
+    new IsrEndDoc(ctx.endLocs, Array.range(0, ctx.endLocs.length))
+
+  /** InsertionSort (ranker.h:103-158) including the dup-URL and
+    * (title, score) "similar website" drops and zero-slot overwrite
+    * quirks. Mutates topN in place.
+    */
+  def insertionSort(data: DocScore, topN: Array[DocScore]): Unit = {
+    if (topN(topN.length - 1).score > data.score) return
+    var i = 0
+    while (i < topN.length) {
+      if (topN(i).url == data.url) return
+      if (topN(i).title == data.title && topN(i).score == data.score) return
+      i += 1
+    }
+    i = 0
+    while (i < topN.length) {
+      if (topN(i).score == 0) { topN(i) = data; return }
+      if (data.score > topN(i).score) {
+        var j = topN.length - 1
+        while (j > i) {
+          if (topN(j - 1).score != 0) topN(j) = topN(j - 1)
+          j -= 1
+        }
+        topN(i) = data
+        return
+      }
+      i += 1
+    }
+  }
+
+  /** RankDocuments (ranker.h:716-834) over one chunk. Returns the raw
+    * top-K slot array (possibly containing empty slots), in the
+    * reference's slot order — the cross-chunk merge re-inserts them
+    * (indexServer.cpp:94-112). The 3-second wall-clock cap (T4) is
+    * intentionally dropped; the candidate cap is applied in docId order
+    * exactly as the loop does (999 scored docs, SURVEY.md §2.5).
+    */
+  def rankChunk(ast: QOr, searchWords: IndexedSeq[String],
+                ctx: ChunkContext, topK: Int = TopK): Array[DocScore] = {
+    val topN = Array.fill(topK)(DocScore.empty)
+
+    // SetDynamicRankWeight (ranker.h:362-392): abort chunk if any
+    // flattened word is absent; rare-word share picks the weight.
+    var numRare = 0.0
+    var i = 0
+    while (i < searchWords.length) {
+      val w = searchWords(i)
+      ctx.termTf.get(w) match {
+        case None => return topN
+        case Some(tf) => if (ctx.totalPosts / tf > RareMultiplier) numRare += 1
+      }
+      i += 1
+    }
+    val rarePct = numRare / searchWords.length.toDouble
+    val dynamicWeight =
+      if (rarePct > MinPercentToBeMost) DynamicWeightMostRare
+      else if (rarePct > MinPercentToBeSome) DynamicWeightSomeRare
+      else DynamicWeight
+
+    val n = searchWords.length
+    val terms = new Array[IsrWord](n)
+    val titleTerms = new Array[IsrWord](n)
+    val expectedFreq = new Array[Long](n)
+    var rarestIdx = 0
+    var rarestOcc = Isr.Max // 0xFFFFFFFF (isr.h:15, ranker.h:726)
+    i = 0
+    while (i < n) {
+      val w = searchWords(i)
+      terms(i) = new IsrWord(ctx.termLocs(w))
+      expectedFreq(i) = ctx.termTf(w) / ctx.termDf(w)
+      if (ctx.termTf(w) < rarestOcc) { rarestOcc = ctx.termTf(w); rarestIdx = i }
+      titleTerms(i) = new IsrWord(ctx.termLocs.getOrElse("#" + w, null))
+      i += 1
+    }
+
+    val parsedQuery = compile(ast, ctx).asInstanceOf[IsrOr]
+    val currentSpan = new Array[Long](n)
+    var numDocsFound = 0L
+    while (parsedQuery.nextDocument() &&
+           { numDocsFound += 1; numDocsFound - 1 <= MaxCandidatesPerChunk }) {
+      if (numDocsFound >= MaxCandidatesPerChunk) return topN // ranker.h:760-765
+      val docEnd = parsedQuery.docEnd.startLocation
+      val docStart = docEnd - parsedQuery.docEnd.docLength
+      val docData = ctx.docs(parsedQuery.docEnd.urlIndex)
+      if (docData.url.length >= 10) { // malformed-URL filter (ranker.h:781-785)
+        val url = simplifyUrl(docData.url)
+        val sStatic = staticRank(docData)
+        val sUrl = dynamicUrlRank(url, searchWords, rarestIdx)
+        val sTitle = dynamicTitleRank(titleTerms, docStart, docEnd, docData.numTitleWords)
+        var sBody = dynamicBodyRank(terms, expectedFreq, rarestIdx, docStart, docEnd, currentSpan)
+        // length normalization (ranker.h:799-812): avgdl over the
+        // CONFIGURED chunk capacity; truncating double division
+        val averageDocLength = ctx.totalPosts.toDouble / ctx.chunkCapacity.toDouble
+        val normFactor = parsedQuery.docEnd.docLength / averageDocLength / 10.0
+        if (normFactor > 1) sBody = (sBody.toDouble / normFactor).toLong
+        val total = StaticWeight * sStatic + dynamicWeight * (sBody + sTitle + sUrl)
+        insertionSort(
+          DocScore(docData.title, docData.summary, docData.url, total, docData.docId),
+          topN)
+      }
+    }
+    topN
+  }
+
+  /** Cross-chunk merge (indexServer.cpp:94-112 + the front end's fan-in):
+    * insert every chunk's slots, in chunk order, into one combined top-K.
+    */
+  def mergeChunkResults(chunkResults: Seq[(Long, Array[DocScore])],
+                        topK: Int = TopK): Array[DocScore] = {
+    val combined = Array.fill(topK)(DocScore.empty)
+    chunkResults.sortBy(_._1).foreach { case (_, slots) =>
+      slots.foreach(insertionSort(_, combined))
+    }
+    combined
+  }
+}

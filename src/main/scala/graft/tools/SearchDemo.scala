@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.corpus.Corpus
+import graft.engine.SearchEngine
+import graft.index.IndexBuilder
+
+/** CLI surface for manual driving:
+  * runMain graft.tools.SearchDemo <sfDir> <indexDir> <query...>
+  * Builds the index if absent, runs the query, prints the top-k like the
+  * reference's testQuery.cpp printout.
+  */
+object SearchDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val indexDir = args(1)
+    val query = args.drop(2).mkString(" ")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val chunkDocs = sys.env.getOrElse("SPARK_GRAFT_CHUNK_DOCS", "200").toLong
+    if (!new java.io.File(s"$indexDir/postings").exists()) {
+      val src = Corpus.fromDocumentsParquet(spark, sfDir)
+      val t0 = System.nanoTime()
+      IndexBuilder.build(spark, src, indexDir,
+        IndexBuilder.BuildConfig(chunkDocs = chunkDocs))
+      println(f"[build] ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val engine = new SearchEngine(spark, indexDir, chunkDocs)
+    val t0 = System.nanoTime()
+    val hits = engine.search(query)
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(s"""Query: "$query" -> ${hits.size} results in ${f"$dt%.3f"} s""")
+    hits.zipWithIndex.foreach { case (h, i) =>
+      println(f"${i + 1}%2d. score=${h.score}%-6d docId=${h.docId}%-5d ${h.url} | ${h.title}")
+    }
+    spark.stop()
+  }
+}

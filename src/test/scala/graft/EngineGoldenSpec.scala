@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.engine.SearchEngine
+import graft.index.{IdDoc, IndexBuilder}
+import graft.oracle.RefOracle
+
+/** End-to-end rank-identity: the distributed engine (tokenize -> typed
+  * aggregation -> delta+varint chunks -> persisted store -> chunk-pruned
+  * cogroup ranking -> driver merge) must reproduce the single-threaded
+  * oracle exactly — top-k (url, score) lists in order — on the frozen
+  * reference query set (FIXTURES.md §7) remapped onto each corpus's
+  * vocabulary.
+  */
+class EngineGoldenSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** queries remapped onto the documents.parquet vocabulary (31 terms,
+    * 'dup' rare).
+    */
+  val docQueries: Seq[String] = Seq(
+    "spark merge sort",                 // hidden AND (university of michigan)
+    "\"sort merge\"",                   // phrase
+    "spark join \"group by\"",          // returns empty: 'by' not in vocab
+    "spark join \"sort merge\"",        // hidden AND + phrase mix
+    "spark OR dup", "spark | dup", "spark || dup",
+    "spark AND dup", "spark & dup", "spark && dup",
+    "(spark OR dup) join",              // nesting + hidden AND
+    "dup",                              // single rare term
+    "spark",                            // single common term
+    "spark zzzmissing",                 // absent term -> empty everywhere
+    "the a",                            // stopword-ish pair
+    "scan column window order")         // 4-term AND
+
+  def assertIdentical(docs: Seq[IdDoc], indexDir: String, chunkDocs: Long,
+                      queries: Seq[String]): Unit = {
+    val engine = new SearchEngine(spark, indexDir, chunkDocs)
+    queries.foreach { q =>
+      val got = engine.search(q).map(h => (h.url, h.score))
+      val want = RefOracle.search(docs, q, chunkDocs).map(h => (h.url, h.score))
+      assert(got === want, s"query [$q]")
+    }
+  }
+
+  test("rank-identity on documents.parquet corpus (sf0.001, 3 chunks)") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val docs = src.collect().toSeq
+    val out = SparkTestBase.tempDir("graft-golden-docs")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    assertIdentical(docs, out, 200, docQueries)
+  }
+
+  test("rank-identity on synthetic corpus (multi-chunk, salted build)") {
+    val src = Corpus.synthetic(spark, 4, 100, seed = 5)
+    val ids = Corpus.assignDocIds(spark, src).cache()
+    val docs = ids.collect().toSeq
+    val out = SparkTestBase.tempDir("graft-golden-syn")
+    IndexBuilder.build(spark, ids, out,
+      IndexBuilder.BuildConfig(chunkDocs = 150, salts = 4))
+    // pick corpus-specific query terms: the 2 most common + 2 mid + a rare
+    val freq = docs.flatMap(d => graft.tokenizer.Tokenizer.bodyTokens(d.content))
+      .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
+    val common = freq.take(2).map(_._1)
+    val mid = freq.drop(20).take(2).map(_._1)
+    val rare = freq.takeRight(1).map(_._1)
+    val queries = Seq(
+      common.mkString(" "),
+      s"${common.head} OR ${rare.head}",
+      s"(${mid.head} OR ${mid(1)}) ${common.head}",
+      "\"" + common.mkString(" ") + "\"",
+      rare.head,
+      s"${common.head} && ${mid.head}")
+    assertIdentical(docs, out, 150, queries)
+  }
+
+  test("chunk pruning returns nothing when a term is missing everywhere") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-prune")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val engine = new SearchEngine(spark, out, 200)
+    assert(engine.search("zzznotaword").isEmpty)
+    assert(engine.search("spark zzznotaword").isEmpty)
+    assert(engine.search("").isEmpty)
+  }
+}
