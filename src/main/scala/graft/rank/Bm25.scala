@@ -1,0 +1,212 @@
+package graft.rank
+
+import graft.codec.{PostingBlock, PostingCodec}
+
+/** BM25 scoring + per-chunk top-k kernels (the north star's benchmark
+  * path; SURVEY.md §2.9 maps the reference stats onto BM25: tf ≙
+  * numOccurance, df ≙ numberOfDocuments, dl ≙ docLength, avgdl ≙
+  * NumberOfPosts/numDocs). Statistics are GLOBAL (summed over chunks and
+  * broadcast) so scores are comparable across chunks and the cross-chunk
+  * merge is a plain top-k — unlike the RefScore path, which reproduces the
+  * reference's per-chunk isolation.
+  *
+  * Three evaluation strategies over the same compressed chunks:
+  *  - [[scoreExhaustive]]: accumulate over every posting — the
+  *    correctness baseline the WAND path is asserted against.
+  *  - [[scoreWand]]: document-at-a-time block-max WAND: term upper bounds
+  *    select a pivot, per-block maxTf (the syncTable-analog skip metadata)
+  *    refines the bound and skips whole blocks that cannot beat the
+  *    running threshold (Ding & Suel, "Faster top-k document retrieval
+  *    using block-max indexes", SIGIR'11).
+  *  - [[scoreConjunctive]]: adaptive leapfrog intersection anchored on
+  *    the rarest list (the ISRAnd strategy, isr.h:266-328, on docId
+  *    space) with full scoring of matches.
+  */
+object Bm25 {
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Lucene-style non-negative idf over global stats. */
+  def idf(n: Long, df: Long): Double =
+    math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+  def tfPart(tf: Double, dl: Double, avgdl: Double): Double =
+    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+  /** Max possible tfPart for a given tf (dl -> 0); monotone in tf. */
+  def tfPartUpperBound(tf: Double): Double =
+    tf * (K1 + 1.0) / (tf + K1 * (1.0 - B))
+
+  /** One query term's posting list within a chunk; idf precomputed from
+    * global df, maxTf = max over the list's blocks.
+    */
+  case class TermList(term: String, idf: Double, maxTf: Int,
+                      df: Long, blocks: Array[PostingBlock], blob: Array[Byte])
+
+  case class Hit(docId: Long, score: Double)
+
+  /** total order: better = higher score, then smaller docId. */
+  val better: Ordering[Hit] = (a: Hit, b: Hit) => {
+    val c = java.lang.Double.compare(a.score, b.score)
+    if (c != 0) c else java.lang.Long.compare(b.docId, a.docId)
+  }
+
+  /** Fixed-size top-k: min-heap whose head is the worst kept hit. */
+  final class TopK(k: Int) {
+    private val heap = scala.collection.mutable.PriorityQueue.empty[Hit](better.reverse)
+    def size: Int = heap.size
+    def full: Boolean = heap.size >= k
+    /** current k-th best score (only meaningful when full). */
+    def threshold: Double = if (full) heap.head.score else Double.NegativeInfinity
+    def offer(h: Hit): Unit =
+      if (heap.size < k) heap.enqueue(h)
+      else if (better.compare(h, heap.head) > 0) { heap.dequeue(); heap.enqueue(h) }
+    /** drains; best first. */
+    def result(): Array[Hit] = heap.dequeueAll.reverse.toArray
+  }
+
+  type DocLen = Long => Double
+
+  def scoreExhaustive(terms: Seq[TermList], docLen: DocLen, avgdl: Double,
+                      k: Int, conjunctive: Boolean = false): Array[Hit] = {
+    val acc = new java.util.HashMap[Long, Array[Double]]() // docId -> [score, nTerms]
+    terms.foreach { t =>
+      PostingCodec.decode(t.df, t.blob).foreach { case (docId, positions) =>
+        val cell = acc.computeIfAbsent(docId, _ => new Array[Double](2))
+        cell(0) += t.idf * tfPart(positions.length.toDouble, docLen(docId), avgdl)
+        cell(1) += 1
+      }
+    }
+    val top = new TopK(k)
+    val need = terms.size.toDouble
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!conjunctive || e.getValue()(1) == need)
+        top.offer(Hit(e.getKey, e.getValue()(0)))
+    }
+    top.result()
+  }
+
+  /** Block-max WAND top-k (disjunctive). */
+  def scoreWand(terms: Seq[TermList], docLen: DocLen, avgdl: Double, k: Int): Array[Hit] = {
+    class Cur(val t: TermList) {
+      val c = new PostingCodec.Cursor(t.df, t.blocks, t.blob)
+      c.next()
+      val ub: Double = t.idf * tfPartUpperBound(t.maxTf.toDouble)
+      def docId: Long = c.docId
+      def blockUb: Double = t.idf * tfPartUpperBound(c.currentBlockMaxTf.toDouble)
+    }
+    var live: Array[Cur] = terms.map(new Cur(_)).filter(_.docId != Long.MaxValue).toArray
+    val top = new TopK(k)
+
+    while (live.nonEmpty) {
+      val sorted = live.sortBy(_.docId)
+      // pivot: smallest prefix whose summed UBs could beat the threshold
+      val theta = top.threshold
+      var pivotIdx = -1
+      if (!top.full) pivotIdx = 0
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < sorted.length && pivotIdx < 0) {
+          acc += sorted(i).ub
+          if (acc >= theta) pivotIdx = i
+          i += 1
+        }
+      }
+      if (pivotIdx < 0) return top.result() // nothing can beat theta
+      val pivotDoc = sorted(pivotIdx).docId
+
+      if (sorted(0).docId == pivotDoc) {
+        // extend the prefix over every cursor parked on pivotDoc so the
+        // block-max bound and skip target see all of them
+        var lastAt = pivotIdx
+        while (lastAt + 1 < sorted.length && sorted(lastAt + 1).docId == pivotDoc)
+          lastAt += 1
+        var blockUb = 0.0
+        var i = 0
+        while (i <= lastAt) { blockUb += sorted(i).blockUb; i += 1 }
+        if (top.full && blockUb < theta) {
+          // no doc in these blocks can beat theta: jump past the nearest
+          // block end among the prefix, but never past the first cursor
+          // outside it (docs there gain additional term mass)
+          var nextD = Long.MaxValue
+          i = 0
+          while (i <= lastAt) {
+            val last = sorted(i).c.currentBlockLastDocId
+            if (last < nextD) nextD = last
+            i += 1
+          }
+          var target = math.max(nextD, pivotDoc) + 1
+          if (lastAt + 1 < sorted.length)
+            target = math.min(target, sorted(lastAt + 1).docId)
+          i = 0
+          while (i <= lastAt) { sorted(i).c.seek(target); i += 1 }
+        } else {
+          // full evaluation of pivotDoc (any cursor may sit on it)
+          var score = 0.0
+          i = 0
+          while (i < sorted.length && sorted(i).docId == pivotDoc) {
+            score += sorted(i).t.idf *
+              tfPart(sorted(i).c.tf.toDouble, docLen(pivotDoc), avgdl)
+            i += 1
+          }
+          top.offer(Hit(pivotDoc, score))
+          i = 0
+          while (i < sorted.length && sorted(i).docId == pivotDoc) {
+            sorted(i).c.seek(pivotDoc + 1); i += 1
+          }
+        }
+      } else {
+        // advance the highest-impact cursor that is strictly before the
+        // pivot doc (picking one already AT pivotDoc would not progress)
+        var pick = 0
+        var i = 1
+        while (i < pivotIdx && sorted(i).docId < pivotDoc) {
+          if (sorted(i).ub > sorted(pick).ub) pick = i
+          i += 1
+        }
+        sorted(pick).c.seek(pivotDoc)
+      }
+      live = live.filter(_.docId != Long.MaxValue)
+    }
+    top.result()
+  }
+
+  /** Conjunctive leapfrog with full scoring of intersecting docs. */
+  def scoreConjunctive(terms: Seq[TermList], docLen: DocLen, avgdl: Double, k: Int): Array[Hit] = {
+    if (terms.isEmpty) return Array.empty
+    val curs = terms.sortBy(_.df).map { t =>
+      (t, new PostingCodec.Cursor(t.df, t.blocks, t.blob))
+    }.toArray
+    if (curs.exists(!_._2.next())) return Array.empty
+    val top = new TopK(k)
+    var target = curs(0)._2.docId
+    var done = false
+    while (!done) {
+      var m = target
+      var allMatch = true
+      var i = 0
+      while (i < curs.length && !done) {
+        if (!curs(i)._2.seek(m)) done = true
+        else if (curs(i)._2.docId > m) { m = curs(i)._2.docId; allMatch = false }
+        i += 1
+      }
+      if (!done) {
+        if (allMatch) {
+          var score = 0.0
+          i = 0
+          while (i < curs.length) {
+            score += curs(i)._1.idf * tfPart(curs(i)._2.tf.toDouble, docLen(m), avgdl)
+            i += 1
+          }
+          top.offer(Hit(m, score))
+          if (!curs(0)._2.seek(m + 1)) done = true
+          else target = curs(0)._2.docId
+        } else target = m
+      }
+    }
+    top.result()
+  }
+}

@@ -30,13 +30,28 @@ object SearchDemo {
         IndexBuilder.BuildConfig(chunkDocs = chunkDocs))
       println(f"[build] ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val engine = new SearchEngine(spark, indexDir, chunkDocs)
-    val t0 = System.nanoTime()
-    val hits = engine.search(query)
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(s"""Query: "$query" -> ${hits.size} results in ${f"$dt%.3f"} s""")
-    hits.zipWithIndex.foreach { case (h, i) =>
-      println(f"${i + 1}%2d. score=${h.score}%-6d docId=${h.docId}%-5d ${h.url} | ${h.title}")
+    // "bm25:" prefix routes to the BM25/WAND engine; "bm25and:" to the
+    // conjunctive leapfrog path
+    if (query.startsWith("bm25:") || query.startsWith("bm25and:")) {
+      val engine = new graft.engine.Bm25Engine(spark, indexDir)
+      val mode = if (query.startsWith("bm25and:")) engine.And else engine.Or
+      val q = query.substring(query.indexOf(':') + 1)
+      val t0 = System.nanoTime()
+      val hits = engine.search(q, mode = mode)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(s"""BM25 Query: "$q" -> ${hits.size} results in ${f"$dt%.3f"} s""")
+      hits.zipWithIndex.foreach { case (h, i) =>
+        println(f"${i + 1}%2d. score=${h.score}%.4f docId=${h.docId}%-5d ${h.url}")
+      }
+    } else {
+      val engine = new SearchEngine(spark, indexDir, chunkDocs)
+      val t0 = System.nanoTime()
+      val hits = engine.search(query)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(s"""Query: "$query" -> ${hits.size} results in ${f"$dt%.3f"} s""")
+      hits.zipWithIndex.foreach { case (h, i) =>
+        println(f"${i + 1}%2d. score=${h.score}%-6d docId=${h.docId}%-5d ${h.url} | ${h.title}")
+      }
     }
     spark.stop()
   }

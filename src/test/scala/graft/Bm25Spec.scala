@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.PostingCodec
+import graft.corpus.Corpus
+import graft.engine.Bm25Engine
+import graft.index.IndexBuilder
+import graft.rank.Bm25
+
+class Bm25Spec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  /** deterministic synthetic posting lists with varied tf/df. */
+  def synthLists(seed: Int, nTerms: Int, nDocs: Int): (Seq[Bm25.TermList], Bm25.DocLen, Double) = {
+    val rnd = new scala.util.Random(seed)
+    val docLens = Array.fill(nDocs)(20.0 + rnd.nextInt(200))
+    val avgdl = docLens.sum / nDocs
+    val lists = (0 until nTerms).map { t =>
+      val df = 1 + rnd.nextInt(nDocs)
+      val docIds = rnd.shuffle((0 until nDocs).toList).take(df).sorted
+      val docs = docIds.map { d =>
+        val tf = 1 + rnd.nextInt(9)
+        (d.toLong, (1L to tf).toArray)
+      }.toIndexedSeq
+      val (dfL, _, blocks, blob) = PostingCodec.encode(docs)
+      Bm25.TermList(s"t$t", Bm25.idf(nDocs, dfL), blocks.map(_.maxTf).max, dfL, blocks, blob)
+    }
+    (lists, id => docLens(id.toInt), avgdl)
+  }
+
+  def norm(hits: Array[Bm25.Hit]): Seq[(Long, Double)] =
+    hits.map(h => (h.docId, math.rint(h.score * 1e9) / 1e9)).toSeq
+
+  test("WAND == exhaustive on synthetic lists (many shapes)") {
+    for (seed <- 1 to 15; k <- Seq(1, 5, 10, 50)) {
+      val (lists, dl, avgdl) = synthLists(seed, 2 + seed % 5, 300 + seed * 37)
+      val ex = Bm25.scoreExhaustive(lists, dl, avgdl, k)
+      val wd = Bm25.scoreWand(lists, dl, avgdl, k)
+      assert(norm(wd) === norm(ex), s"seed=$seed k=$k")
+    }
+  }
+
+  test("WAND == exhaustive with block-skipping lists (> BlockDocs docs)") {
+    for (seed <- 1 to 5) {
+      val (lists, dl, avgdl) = synthLists(seed, 4, 1000)
+      assert(norm(Bm25.scoreWand(lists, dl, avgdl, 10)) ===
+        norm(Bm25.scoreExhaustive(lists, dl, avgdl, 10)), s"seed=$seed")
+    }
+  }
+
+  test("conjunctive == exhaustive-conjunctive") {
+    for (seed <- 1 to 10) {
+      val (lists, dl, avgdl) = synthLists(seed, 3, 400)
+      val ex = Bm25.scoreExhaustive(lists, dl, avgdl, 10, conjunctive = true)
+      val lf = Bm25.scoreConjunctive(lists, dl, avgdl, 10)
+      assert(norm(lf) === norm(ex), s"seed=$seed")
+    }
+  }
+
+  test("idf/tfPart sanity") {
+    assert(Bm25.idf(1000, 1) > Bm25.idf(1000, 500))
+    assert(Bm25.idf(1000, 1000) >= 0.0)
+    assert(Bm25.tfPart(5, 100, 100) > Bm25.tfPart(1, 100, 100))
+    assert(Bm25.tfPart(5, 200, 100) < Bm25.tfPart(5, 50, 100))
+    assert(Bm25.tfPartUpperBound(7) >= Bm25.tfPart(7, 1, 100))
+  }
+
+  test("distributed BM25: WAND == exhaustive on a real index; AND ⊆ OR semantics") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-bm25")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val engine = new Bm25Engine(spark, out)
+    for (terms <- Seq(Seq("spark", "merge"), Seq("dup"), Seq("spark", "dup", "join"))) {
+      val wand = engine.searchTerms(terms, 20, engine.Or, useWand = true)
+      val ex = engine.searchTerms(terms, 20, engine.Or, useWand = false)
+      assert(wand.map(h => (h.docId, math.rint(h.score * 1e9))) ===
+        ex.map(h => (h.docId, math.rint(h.score * 1e9))), terms.toString)
+      assert(wand.size === 20)
+      // scores strictly ordered desc, docId asc on ties
+      assert(wand.sliding(2).forall { case Seq(a, b) =>
+        a.score > b.score || (a.score == b.score && a.docId < b.docId) })
+    }
+    val and = engine.searchTerms(Seq("spark", "dup"), 50, engine.And)
+    val andDocs = and.map(_.docId).toSet
+    // every AND hit must contain both terms: cross-check via the raw corpus
+    val texts = src.collect().map(d => d.docId -> d.content).toMap
+    andDocs.foreach { id =>
+      val toks = graft.tokenizer.Tokenizer.bodyTokens(texts(id)).toSet
+      assert(toks.contains("spark") && toks.contains("dup"), s"doc $id")
+    }
+    // absent term -> empty under And
+    assert(engine.searchTerms(Seq("spark", "zzzz"), 5, engine.And).isEmpty)
+  }
+}
