@@ -1,23 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.analysis.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.corpus.Corpus
-import graft.index.{IndexBuilder, IndexStore}
+import graft.engine.{Bm25Engine, SearchEngine}
+import graft.index.IndexBuilder
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Each `queries` entry takes (spark, sfDir) and returns a DataFrame whose
-  * rows the driver compares against `oracleSql` run by DuckDB over the
-  * same parquet tables (views named after the files: documents, lineitem,
-  * ...). Column names are aligned on both sides; floating-point columns
-  * are rounded to fixed decimals so cross-engine hashes match.
+  * Every `queries` entry maps (spark, sfDir) to a DataFrame; the driver
+  * re-runs the matching `oracleSql` in DuckDB over the same parquet files
+  * (views named documents, embeddings, events, ...) and compares rows
+  * after sorting columns by name. Floating-point columns are rounded to
+  * fixed decimals ON BOTH SIDES, and both sides order ties identically,
+  * so cross-engine hashes match. Queries exercising the index/search
+  * engines build a real compressed index from sfDir (cached per scale)
+  * and run the actual engine — the SQL re-derives the expected result
+  * from first principles.
   */
 object SparkEntry {
 
-  /** Shared tokenization SQL used by the DuckDB oracles: must reproduce
-    * graft.tokenizer.Tokenizer.bodyTokens exactly (split on whitespace,
-    * all-alpha, lowercase, length < 20; positions = 1-based over kept
-    * tokens in order).
+  /** Shared tokenization CTE for the DuckDB oracles; must reproduce
+    * graft.tokenizer.Tokenizer.bodyTokens + 1-based kept positions.
     */
   private val duckToks =
     """WITH toks AS (
@@ -32,47 +37,358 @@ object SparkEntry {
       |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20
       |)""".stripMargin
 
-  /** Spark-side body-token table matching duckToks: (doc_id, term, pos). */
-  private def sparkToks(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    // filter + posexplode keeps the plan in whole-stage codegen; positions
-    // are 1-based over kept tokens, matching the index tokenizer.
-    docs.select(col("doc_id"),
-        posexplode(filter(split(col("text"), "\\s+"),
-          t => t.rlike("^[A-Za-z]+$") && length(t) < 20)))
-      .select(col("doc_id"), lower(col("col")).as("term"),
-        (col("pos") + 1).cast("long").as("pos"))
+  /** 3-shingle + minhash-signature CTEs (on top of duckToks). */
+  private val duckShingles =
+    """, sh0 AS (
+      |  SELECT doc_id, pos,
+      |         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), sh AS (SELECT doc_id, pos, shingle FROM sh0 WHERE shingle IS NOT NULL)""".stripMargin
+
+  private def duckMinhashSig: String = {
+    val hs = (0 until 8).map(i => s"min(md5('$i' || '|' || shingle)) AS h$i").mkString(", ")
+    s", sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id)"
   }
 
-  /** Flagship: full index build over the input-hint-shaped corpus, then a
-    * reference-scored search through the whole query stack (tokenize ->
-    * typed aggregation -> compressed chunks -> persisted store -> parse ->
-    * chunk-pruned cogroup ranking -> merged top-k).
-    */
+  private val duckEmbParts =
+    """WITH parts AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings
+      |)""".stripMargin
+
+  private def docsDf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embDf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** One compressed index per scale dir, built on first use. */
+  private val indexCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def indexDir(s: SparkSession, sfDir: String): String = synchronized {
+    indexCache.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_idx").toString
+      IndexBuilder.build(s, Corpus.fromDocumentsParquet(s, sfDir), out,
+        IndexBuilder.BuildConfig(chunkDocs = 200))
+      out
+    })
+  }
+
+  /** Flagship: index build + reference-scored search, end to end. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft_entry_idx").toString
-    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
-    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
-    val engine = new graft.engine.SearchEngine(spark, out, chunkCapacity = 200)
+    val engine = new SearchEngine(spark, indexDir(spark, "/root/testdata/sf0.001"),
+      chunkCapacity = 200)
     engine.search("spark merge sort").toDF()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/A3 analog: per-term df/tf over the frozen tokenization
-    "q_term_stats" -> ((s, dir) => {
-      sparkToks(s, dir)
-        .groupBy(col("term"))
-        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-        .orderBy(desc("tf"), asc("term"))
-    })
+    // ---- tokenizer / stats (A1, A3) ----
+    "q_term_stats" -> ((s, dir) =>
+      TextAnalysis.termStats(docsDf(s, dir)).orderBy(desc("tf"), asc("term"))),
+    "q_corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(docsDf(s, dir))),
+    "q_doc_stats" -> ((s, dir) => {
+      val docs = docsDf(s, dir)
+      val counts = TextAnalysis.tokens(docs).groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("doc_tokens"))
+      docs.select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("content_sha"),
+          coalesce(col("doc_tokens"), lit(0L)).as("doc_tokens"))
+    }),
+
+    // ---- boolean retrieval semantics (J2/J3/J4 equivalents) ----
+    "q_conjunctive" -> ((s, dir) =>
+      TextAnalysis.tokens(docsDf(s, dir))
+        .filter(col("term").isin("spark", "merge", "sort"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("term")).as("nt"))
+        .filter(col("nt") === 3).select(col("doc_id"))),
+    "q_disjunctive" -> ((s, dir) =>
+      TextAnalysis.tokens(docsDf(s, dir))
+        .filter(col("term").isin("spark", "dup"))
+        .select(col("doc_id")).distinct()),
+    "q_phrase" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(docsDf(s, dir))
+      t.as("t1").join(t.as("t2"),
+          col("t1.doc_id") === col("t2.doc_id") &&
+            col("t2.pos") === col("t1.pos") + 1)
+        .filter(col("t1.term") === "sort" && col("t2.term") === "merge")
+        .groupBy(col("t1.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_matches"))
+    }),
+
+    // ---- BM25 through the real engine vs SQL-from-first-principles ----
+    "q_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      engine.searchTerms(Seq("spark", "dup", "merge"), 30, engine.Or)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
+
+    // ---- RefScore search (not SQL-expressible; rows-only check) ----
+    "q_ref_topk" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new SearchEngine(s, indexDir(s, dir), chunkCapacity = 200)
+      engine.search("spark merge sort")
+        .map(h => (h.docId, h.score, h.url)).toDF("doc_id", "score", "url")
+    }),
+
+    // ---- dedup family ----
+    "q_dedup_exact" -> ((s, dir) => Dedup.exactGroups(docsDf(s, dir))),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashSignatures(docsDf(s, dir))),
+    "q_dedup_lsh" -> ((s, dir) =>
+      Dedup.jaccard(docsDf(s, dir), Dedup.lshCandidatePairs(docsDf(s, dir)))),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhash16(docsDf(s, dir))),
+    // threshold 0.35: the synthetic embeddings top out at cosine ~0.51,
+    // so a production-style 0.95 would make the check vacuous
+    "q_embed_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(embDf(s, dir), threshold = 0.35)),
+
+    // ---- similarity search ----
+    "q_ann_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(embDf(s, dir), queryId = 0L, k = 10)),
+    "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir))),
+    "q_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10)),
+
+    // ---- text analysis ----
+    "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docsDf(s, dir))),
+    "q_quality" -> ((s, dir) => TextAnalysis.quality(docsDf(s, dir))),
+    "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docsDf(s, dir))),
+    "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docsDf(s, dir))),
+
+    // ---- multimodal plumbing (decode stubbed; metadata is real) ----
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.metaSql(docsDf(s, dir))),
+
+    // ---- events: windowed aggregation (streaming-shaped batch) ----
+    "q_events_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"),
+          window(col("ts"), "1 hour").getField("start").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+        .select(col("event_type"),
+          unix_timestamp(col("w")).as("window_start"), col("n"), col("total")))
   )
 
-  def oracleSql: Map[String, String] = Map(
-    "q_term_stats" ->
-      (duckToks +
-        """
-          |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
-          |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin)
-  )
+  def oracleSql: Map[String, String] = {
+    val enL = TextAnalysis.stopwords("en").map("'" + _ + "'").mkString(", ")
+    val frL = TextAnalysis.stopwords("fr").map("'" + _ + "'").mkString(", ")
+    val esL = TextAnalysis.stopwords("es").map("'" + _ + "'").mkString(", ")
+    val deL = TextAnalysis.stopwords("de").map("'" + _ + "'").mkString(", ")
+    val allStops = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+      .map("'" + _ + "'").mkString(", ")
+    Map(
+      "q_term_stats" -> (duckToks + """
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
+
+      "q_corpus_stats" -> (duckToks + """
+        |SELECT count(DISTINCT doc_id) AS n_docs, count(*) AS total_tokens,
+        |       count(DISTINCT term) AS distinct_terms,
+        |       round(count(*) * 1.0 / count(DISTINCT doc_id), 6) AS avgdl
+        |FROM toks""".stripMargin),
+
+      "q_doc_stats" -> (duckToks + """
+        |SELECT d.doc_id, sha256(d.text) AS content_sha,
+        |       coalesce(t.n, 0) AS doc_tokens
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)""".stripMargin),
+
+      "q_conjunctive" -> (duckToks + """
+        |SELECT doc_id FROM toks WHERE term IN ('spark', 'merge', 'sort')
+        |GROUP BY doc_id HAVING count(DISTINCT term) = 3""".stripMargin),
+
+      "q_disjunctive" -> (duckToks + """
+        |SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'dup')""".stripMargin),
+
+      "q_phrase" -> (duckToks + """
+        |SELECT t1.doc_id AS doc_id, count(*) AS n_matches
+        |FROM toks t1 JOIN toks t2
+        |  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        |WHERE t1.term = 'sort' AND t2.term = 'merge'
+        |GROUP BY 1""".stripMargin),
+
+      // dl includes the 3 title tokens every synthesized path contributes
+      // (source/docN.txt -> src|doc|txt); N and avgdl over ALL docs
+      "q_bm25_topk" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, round(raw, 4) AS score FROM scores
+        |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      "q_dedup_exact" -> """
+        |SELECT sha256(text) AS content_sha, count(*) AS n_docs,
+        |       min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+      "q_dedup_minhash" -> (duckToks + duckShingles + duckMinhashSig + """
+        |SELECT * FROM sig""".stripMargin),
+
+      "q_dedup_lsh" -> (duckToks + duckShingles + duckMinhashSig + """
+        |, bands AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_sig FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |), sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM pairs p
+        |  JOIN sets sa ON sa.doc_id = p.doc_a
+        |  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b,
+        |       round(coalesce(i.i, 0) * 1.0 /
+        |             (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |JOIN szs sa ON sa.doc_id = p.doc_a
+        |JOIN szs sb ON sb.doc_id = p.doc_b""".stripMargin),
+
+      "q_dedup_simhash" -> (duckToks + """
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM (
+        |  SELECT doc_id, bit,
+        |         sum(CASE WHEN ascii(substr(md5(term), CAST(bit AS INT) + 1, 1)) % 2 = 1
+        |             THEN 1 ELSE -1 END) AS s
+        |  FROM toks CROSS JOIN range(16) t(bit)
+        |  GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin),
+
+      "q_embed_neardup" -> (duckEmbParts + """
+        |, j AS (
+        |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |         sum(x.v * y.v) AS dot,
+        |         sqrt(sum(x.v * x.v)) AS na, sqrt(sum(y.v * y.v)) AS nb
+        |  FROM parts x JOIN parts y ON x.dim = y.dim AND x.vec_id < y.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
+        |FROM j WHERE round(dot / (na * nb), 6) >= 0.35""".stripMargin),
+
+      "q_ann_brute" -> (duckEmbParts + """
+        |, q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+        |  FROM parts p JOIN q USING (dim) GROUP BY 1),
+        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+        |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
+        |FROM cos CROSS JOIN nq WHERE vec_id <> 0
+        |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
+      "q_ann_lsh_buckets" -> (duckEmbParts + """
+        |, signed AS (
+        |  SELECT vec_id, plane,
+        |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
+        |                 THEN 1.0 ELSE -1.0 END) AS proj
+        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(8) t(i))
+        |  GROUP BY 1, 2)
+        |SELECT vec_id,
+        |       CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |FROM signed GROUP BY 1""".stripMargin),
+
+      "q_ann_lsh_topk" -> (duckEmbParts + """
+        |, signed AS (
+        |  SELECT vec_id, plane,
+        |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
+        |                 THEN 1.0 ELSE -1.0 END) AS proj
+        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(8) t(i))
+        |  GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM signed GROUP BY 1),
+        |cand AS (
+        |  SELECT b.vec_id FROM buckets b
+        |  JOIN (SELECT bucket FROM buckets WHERE vec_id = 0) qb USING (bucket)),
+        |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+        |  FROM parts p JOIN cand USING (vec_id) JOIN q USING (dim) GROUP BY 1),
+        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+        |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
+        |FROM cos CROSS JOIN nq WHERE vec_id <> 0
+        |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
+      "q_lang_id" -> (duckToks + s"""
+        |, hits AS (
+        |  SELECT doc_id,
+        |         sum(CASE WHEN term IN ($enL) THEN 1 ELSE 0 END) AS hits_en,
+        |         sum(CASE WHEN term IN ($frL) THEN 1 ELSE 0 END) AS hits_fr,
+        |         sum(CASE WHEN term IN ($esL) THEN 1 ELSE 0 END) AS hits_es,
+        |         sum(CASE WHEN term IN ($deL) THEN 1 ELSE 0 END) AS hits_de
+        |  FROM toks GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CASE WHEN m IS NULL OR m = 0 THEN 'und'
+        |            WHEN hits_en = m THEN 'en'
+        |            WHEN hits_fr = m THEN 'fr'
+        |            WHEN hits_es = m THEN 'es'
+        |            ELSE 'de' END AS lang_id
+        |FROM documents d
+        |LEFT JOIN (SELECT *, GREATEST(hits_en, hits_fr, hits_es, hits_de) AS m
+        |           FROM hits) h USING (doc_id)""".stripMargin),
+
+      "q_quality" -> (s"""
+        |WITH base AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         list_filter(string_split_regex(text, '\\s+'),
+        |                     x -> length(x) > 0) AS raw,
+        |         list_filter(string_split_regex(text, '\\s+'),
+        |                     x -> regexp_matches(x, '^[A-Za-z]+$$') AND length(x) < 20) AS kept
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |       CAST(len(raw) AS BIGINT) AS n_raw_tokens,
+        |       CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+        |       round(len(kept) * 1.0 / len(raw), 6) AS kept_ratio,
+        |       round(len(list_filter(kept, x -> lower(x) IN ($allStops))) * 1.0 /
+        |             GREATEST(len(kept), 1), 6) AS stopword_ratio,
+        |       round(list_sum(list_transform(kept, x -> length(x))) * 1.0 /
+        |             GREATEST(len(kept), 1), 6) AS mean_token_len
+        |FROM base""".stripMargin),
+
+      "q_token_count" -> """
+        |SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                            x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text,
+        |            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+      "q_fingerprint" -> (duckToks + duckShingles + """
+        |SELECT d.doc_id, coalesce(f.fp, md5('')) AS fingerprint
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, min(md5(shingle)) AS fp FROM sh GROUP BY 1) f
+        |  USING (doc_id)""".stripMargin),
+
+      "q_multimodal_meta" -> """
+        |SELECT doc_id,
+        |       CAST(octet_length(from_hex(md5(text))) AS BIGINT) AS n_bytes,
+        |       upper(substr(md5(text), 1, 4)) AS header_hex
+        |FROM documents""".stripMargin,
+
+      "q_events_window" -> """
+        |SELECT event_type,
+        |       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+        |       count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,132 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines over a
+  * `documents(doc_id, text, ...)` table. Every operator is a declarative
+  * DataFrame transform (whole-stage codegen; no UDFs) whose semantics are
+  * reproducible in ANSI SQL — each has a DuckDB oracle in
+  * graft.SparkEntry.
+  */
+object TextAnalysis {
+
+  /** The frozen body-token rules as Column expressions: split on
+    * whitespace, keep all-alpha tokens shorter than 20 chars, lowercase;
+    * pos is 1-based over kept tokens (graft.tokenizer.Tokenizer rules).
+    */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(filter(split(col("text"), "\\s+"),
+          t => t.rlike("^[A-Za-z]+$") && length(t) < 20)))
+      .select(col("doc_id"), lower(col("col")).as("term"),
+        (col("pos") + 1).cast("long").as("pos"))
+
+  /** Per-term df/tf (A1/A3 analog on the raw corpus). */
+  def termStats(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+
+  /** Corpus-level stats: N, total tokens, distinct terms, avgdl. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    tokens(docs).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("total_tokens"),
+      countDistinct(col("term")).as("distinct_terms"),
+      round(count(lit(1)) / countDistinct(col("doc_id")), 6).as("avgdl"))
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "de", "y", "un", "una", "es", "en", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "von", "mit", "zu"))
+
+  private val langOrder = Seq("en", "fr", "es", "de") // deterministic tie-break
+
+  /** Language ID: per-doc stopword-hit counts per language; the language
+    * with the most hits wins (ties broken in langOrder; zero hits ->
+    * "und"). A real pipeline would use character n-gram profiles; the
+    * heuristic is deliberately simple, deterministic, and SQL-mirrorable.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs)
+    val hitCols = langOrder.map { l =>
+      sum(when(col("term").isInCollection(stopwords(l)), 1L).otherwise(0L))
+        .as(s"hits_$l")
+    }
+    val hits = toks.groupBy(col("doc_id")).agg(hitCols.head, hitCols.tail: _*)
+    val best = langOrder.foldLeft((lit(0L), lit("und")): (Column, Column)) {
+      case ((bestHits, bestLang), l) =>
+        val h = col(s"hits_$l")
+        (when(h > bestHits, h).otherwise(bestHits),
+         when(h > bestHits, lit(l)).otherwise(bestLang))
+    }
+    // right-join back so token-less docs get "und"
+    docs.select(col("doc_id"))
+      .join(hits.select(col("doc_id"), best._2.as("lang_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lang_id"), lit("und")).as("lang_id"))
+  }
+
+  /** Quality metrics per doc: raw whitespace token count, kept-token
+    * count/ratio, stopword ratio, mean kept-token length — the standard
+    * cheap quality signals for corpus filtering.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val allStops = stopwords.values.flatten.toSeq.distinct
+    val raw = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val kept = filter(split(col("text"), "\\s+"),
+      t => t.rlike("^[A-Za-z]+$") && length(t) < 20)
+    val keptLower = transform(kept, lower(_))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(raw).cast("long").as("n_raw_tokens"),
+      size(kept).cast("long").as("n_kept_tokens"),
+      round(size(kept).cast("double") / size(raw), 6).as("kept_ratio"),
+      round(
+        size(filter(keptLower, t => t.isInCollection(allStops))).cast("double") /
+          greatest(size(kept), lit(1)), 6).as("stopword_ratio"),
+      round(
+        aggregate(kept, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          greatest(size(kept), lit(1)), 6).as("mean_token_len"))
+  }
+
+  /** Token counting: whitespace tokens and BPE-ish subword-boundary
+    * tokens (`[A-Za-z]+|[0-9]+|single other non-space`), the cheap
+    * token-budget estimators.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        .cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_tokens"))
+
+  /** 3-token shingles via a lead window (order by kept-token position). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val t = tokens(docs)
+    val withLeads = (1 until n).foldLeft(t) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("term"), i).over(w))
+    }
+    val parts = col("term") +: (1 until n).map(i => col(s"t$i"))
+    withLeads
+      .filter((1 until n).map(i => col(s"t$i").isNotNull).reduce(_ && _))
+      .select(col("doc_id"), col("pos"), concat_ws(" ", parts: _*).as("shingle"))
+  }
+
+  /** Document fingerprint: the minimum md5 over the doc's 3-shingles —
+    * a deterministic rolling-hash-style content fingerprint (minhash with
+    * k = 1); docs with no shingle fall back to md5 of the empty string.
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(shingles(docs).groupBy(col("doc_id"))
+          .agg(min(md5(col("shingle"))).as("fp")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("fp"), md5(lit(""))).as("fingerprint"))
+}

@@ -195,9 +195,10 @@ object IndexBuilder {
 
 /** sha256 hex via the JDK (no extra deps). */
 object Sha {
-  def hex256(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s.getBytes("UTF-8"))
+  def hex256(s: String): String = hex256Bytes(s.getBytes("UTF-8"))
+
+  def hex256Bytes(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
     val sb = new StringBuilder(64)
     d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
     sb.toString

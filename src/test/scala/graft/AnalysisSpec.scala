@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analysis._
+
+class AnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("multimodal: typed batch extraction with stubbed decoder") {
+    val meta = Multimodal.extractMeta(Multimodal.syntheticBinary(docs)).collect()
+    assert(meta.length === 500)
+    meta.foreach { m =>
+      assert(m.n_bytes === 16) // md5 payload
+      assert(m.kind === "image")
+      assert(m.header_hex.length === 4)
+      assert(m.width >= 1 && m.width <= 64 && m.height >= 1 && m.height <= 64)
+      assert(m.payload_sha.length === 64)
+    }
+    // deterministic: same input -> same features
+    val again = Multimodal.extractMeta(Multimodal.syntheticBinary(docs)).collect()
+    assert(meta.map(m => (m.doc_id, m.width, m.height, m.payload_sha)).sortBy(_._1).toSeq ===
+      again.map(m => (m.doc_id, m.width, m.height, m.payload_sha)).sortBy(_._1).toSeq)
+  }
+
+  test("dedup: lsh candidates contain all truly-identical shingle sets") {
+    // docs sharing identical text must always be LSH candidates
+    val twins = docs.limit(3).withColumn("doc_id", col("doc_id") + 10000)
+    val corpus = docs.unionByName(twins)
+    val pairs = Dedup.lshCandidatePairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 3).foreach { i =>
+      assert(pairs.contains((i.toLong, i + 10000L)), s"twin pair $i")
+    }
+    val j = Dedup.jaccard(corpus, Dedup.lshCandidatePairs(corpus))
+      .filter(col("doc_a") < 3 && col("doc_b") >= 10000 && col("doc_b") === col("doc_a") + 10000)
+      .collect()
+    j.foreach(r => assert(r.getDouble(2) === 1.0))
+  }
+
+  test("dedup: nearDuplicates finds the planted twins and nothing below threshold") {
+    val twins = docs.limit(2).withColumn("doc_id", col("doc_id") + 10000)
+    val nd = Dedup.nearDuplicates(docs.unionByName(twins), threshold = 0.99).collect()
+    val pairSet = nd.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.contains((0L, 10000L)) && pairSet.contains((1L, 10001L)))
+  }
+
+  test("similarity: lshTopK results are a subset of brute-force cosine ordering") {
+    val brute = Similarity.bruteForceTopK(emb, 0L, 50).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(emb, 0L, 10).collect()
+    lsh.foreach { r =>
+      val id = r.getLong(0)
+      // every lsh hit's cosine must equal the brute-force cosine when present
+      brute.get(id).foreach(c => assert(c === r.getDouble(1)))
+    }
+  }
+
+  test("langId picks en for stopword-rich english text") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat and the dog in a house"),
+                (2L, "le chat et le chien dans la maison"),
+                (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "fr")
+    assert(out(3L) === "und")
+  }
+}
