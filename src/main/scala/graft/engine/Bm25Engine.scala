@@ -16,11 +16,17 @@ case class Bm25Hit(docId: Long, score: Double, url: String, title: String)
   * into the per-chunk kernels (SURVEY.md §2.9); per-chunk top-k lists are
   * merged on the driver by (score desc, docId asc).
   */
-class Bm25Engine(spark: SparkSession, indexDir: String) {
+class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true) {
   import spark.implicits._
 
-  private val postings = IndexStore.readPostings(spark, indexDir)
-  private val docs = IndexStore.readDocs(spark, indexDir)
+  private val postings = {
+    val p = IndexStore.readPostings(spark, indexDir)
+    if (cache) p.cache() else p
+  }
+  private val docs = {
+    val d = IndexStore.readDocs(spark, indexDir)
+    if (cache) d.cache() else d
+  }
 
   /** (N, avgdl) over pure token lengths (title + body, no EndDoc). */
   lazy val corpusStats: (Long, Double) = {

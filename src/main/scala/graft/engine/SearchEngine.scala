@@ -67,11 +67,21 @@ case class ChunkHit(chunk: Long, slot: Int, title: String, summary: String,
   * ascending chunk order (≙ the reference's directory order).
   */
 class SearchEngine(spark: SparkSession, indexDir: String,
-                   chunkCapacity: Long = GraftConfig.ChunkDocs) extends Serializable {
+                   chunkCapacity: Long = GraftConfig.ChunkDocs,
+                   cache: Boolean = true) extends Serializable {
   import spark.implicits._
 
-  private val postings = IndexStore.readPostings(spark, indexDir)
-  private val docs = IndexStore.readDocs(spark, indexDir)
+  // cache() keeps hot chunks in executor memory across queries (the
+  // mmap-resident HashFile analog, HashBlob.h:379-391); storage is
+  // LRU-evicted so it degrades gracefully when the index outgrows memory.
+  private val postings = {
+    val p = IndexStore.readPostings(spark, indexDir)
+    if (cache) p.cache() else p
+  }
+  private val docs = {
+    val d = IndexStore.readDocs(spark, indexDir)
+    if (cache) d.cache() else d
+  }
 
   /** Rank-identical reference scoring (SURVEY.md §2.9). Returns the
     * combined top-K (empty slots dropped), ordered as the reference's

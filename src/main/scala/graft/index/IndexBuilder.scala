@@ -133,6 +133,7 @@ object IndexBuilder {
   /** Chunks already marked complete for `stage` in the lineage table. */
   def completedChunks(spark: SparkSession, outDir: String, stage: String): Set[Long] = {
     import spark.implicits._
+    if (!new java.io.File(lineageDir(outDir)).exists()) return Set.empty
     try {
       spark.read.parquet(lineageDir(outDir))
         .filter($"stage" === stage && $"status" === "complete")

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import graft.index.{IdDoc, Token}
+import graft.tokenizer.Tokenizer
+
+/** Structured Streaming surfaces. The reference engine is batch-only
+  * (SURVEY.md §2.10) — its crawler checkpoints + restart scripts map to
+  * the lineage/resume path, not to streaming — but a training-data
+  * pipeline needs streaming ingestion, so two canonical shapes are
+  * provided:
+  *
+  *  1. [[incrementalTokens]]: file-source ingestion of newly landed
+  *     source docs -> frozen tokenizer -> append sink, with
+  *     Trigger.AvailableNow for catch-up batches and checkpointed
+  *     progress (the ##EndDoc-style incremental chunking stretch goal).
+  *  2. [[sessionize]]: stateful event sessionization with
+  *     flatMapGroupsWithState + event-time watermark — the
+  *     KeyValueGroupedDataset custom-state pattern.
+  */
+object StreamingIngest {
+
+  val sourceSchema: StructType = StructType(Seq(
+    StructField("docId", LongType), StructField("repo", StringType),
+    StructField("path", StringType), StructField("commit", StringType),
+    StructField("lang", StringType), StructField("content", StringType)))
+
+  /** Streaming tokenize: docs landing in `srcDir` (parquet) become Token
+    * rows appended to `outDir`, exactly-once via `checkpointDir`. Returns
+    * the started query; callers trigger AvailableNow and await.
+    */
+  def incrementalTokens(spark: SparkSession, srcDir: String, outDir: String,
+                        checkpointDir: String, chunkDocs: Long = 30000L) = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(sourceSchema).parquet(srcDir).as[IdDoc]
+    val toks = stream.flatMap { d =>
+      val chunk = d.docId / chunkDocs
+      Tokenizer.postings(d.path, d.content).iterator.map {
+        case (term, pos) => Token(chunk, term, d.docId, pos)
+      }
+    }
+    toks.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  case class Session(user_id: Long, start_ts: Long, end_ts: Long,
+                     n_events: Long, total_value: Double)
+
+  /** Sessionize events per user: a session closes after `gapSeconds` of
+    * inactivity (processing-time timeout keeps the example runnable on a
+    * bounded memory-sink test; swap to EventTimeTimeout + watermark for
+    * production).
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800) = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            cur match {
+              case Some(s) if t - s.last <= gapSeconds =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed += Session(userId, s.start, s.last, s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None => state.remove()
+          }
+          closed.result().iterator
+      }
+  }
+
+  /** Batch-mode wrapper for tests: sessionize a static events table with
+    * identical semantics (same fold, no state timeout), so streaming
+    * session splits can be golden-checked against a plain computation.
+    */
+  def sessionizeBatch(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroups { (userId, evs) =>
+      val sorted = evs.toSeq.sortBy(e => e.ts.getTime)
+      val out = Seq.newBuilder[Session]
+      var cur: Option[SessionState] = None
+      sorted.foreach { e =>
+        val t = e.ts.getTime / 1000
+        cur match {
+          case Some(s) if t - s.last <= gapSeconds =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+          case Some(s) =>
+            out += Session(userId, s.start, s.last, s.n, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None => cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach(s => out += Session(userId, s.start, s.last, s.n, s.total))
+      out.result().iterator
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.index.{IdDoc, Token}
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("incremental tokens: AvailableNow catches up, checkpoint resumes without dup") {
+    import spark.implicits._
+    val srcDir = SparkTestBase.tempDir("stream-src")
+    val outDir = SparkTestBase.tempDir("stream-out")
+    val ckDir = SparkTestBase.tempDir("stream-ck")
+
+    val batch1 = Seq(
+      IdDoc(0, "o/p", "a/f.txt", "c0", "txt", "alpha beta gamma"),
+      IdDoc(1, "o/p", "b/f.txt", "c1", "txt", "beta delta"))
+    spark.createDataset(batch1).write.mode("append").parquet(srcDir)
+
+    val q1 = StreamingIngest.incrementalTokens(spark, srcDir, outDir, ckDir)
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(outDir).as[Token].collect()
+    // doc0: 3 title (#a #f #txt) + 3 body; doc1: 3 title + 2 body
+    assert(after1.length === 11)
+
+    // new files land; restart with same checkpoint -> only new docs tokenized
+    spark.createDataset(Seq(
+      IdDoc(2, "o/p", "c/f.txt", "c2", "txt", "epsilon"))).write.mode("append").parquet(srcDir)
+    val q2 = StreamingIngest.incrementalTokens(spark, srcDir, outDir, ckDir)
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(outDir).as[Token].collect()
+    assert(after2.length === 11 + 4) // 3 title + 1 body
+    assert(after2.count(_.docId == 0) === 6) // no duplication of old docs
+  }
+
+  test("stateful sessionization (batch-mode semantics check)") {
+    import spark.implicits._
+    def ev(u: Long, t: Long, v: Double) =
+      StreamingIngest.Event(u, new java.sql.Timestamp(t * 1000), "click", v)
+    val events = spark.createDataset(Seq(
+      ev(1, 1000, 1.0), ev(1, 1100, 2.0), ev(1, 5000, 3.0), // gap 3900 > 1800 -> 2 sessions
+      ev(2, 1000, 1.0)))
+    val sessions = StreamingIngest.sessionizeBatch(events, gapSeconds = 1800)
+      .collect().sortBy(s => (s.user_id, s.start_ts))
+    assert(sessions.map(s => (s.user_id, s.start_ts, s.end_ts, s.n_events, s.total_value)).toSeq ===
+      Seq((1L, 1000L, 1100L, 2L, 3.0), (1L, 5000L, 5000L, 1L, 3.0), (2L, 1000L, 1000L, 1L, 1.0)))
+  }
+
+  test("streaming windowed aggregation over events parquet (memory sink)") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val srcDir = SparkTestBase.tempDir("stream-ev")
+    events.write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(events.schema).parquet(srcDir)
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("evagg")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT window.start AS w, event_type, n FROM evagg")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = events.withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+}
