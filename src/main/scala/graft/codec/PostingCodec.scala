@@ -32,7 +32,7 @@ object PostingCodec {
     * (df, tf, blocks, blob).
     */
   def encode(docs: scala.collection.IndexedSeq[(Long, Array[Long])]): (Long, Long, Array[PostingBlock], Array[Byte]) = {
-    val out = new ArrayBuffer[Byte](docs.length * 4)
+    val out = new Varint.ByteBuilder(docs.length * 4)
     val blocks = new ArrayBuffer[PostingBlock]
     var tf = 0L
     var prevDocId = -1L
@@ -47,16 +47,16 @@ object PostingCodec {
         if (i > 0)
           blocks += PostingBlock(blockFirst, prevDocId, blockOffset, blockMaxTf)
         blockFirst = docId; blockMaxTf = 0; blockOffset = out.length
-        Varint.encodeToBuffer(out, docId + 1) // absolute at block start
+        out.append(docId + 1) // absolute at block start
       } else {
-        Varint.encodeToBuffer(out, docId - prevDocId)
+        out.append(docId - prevDocId)
       }
-      Varint.encodeToBuffer(out, positions.length.toLong)
+      out.append(positions.length.toLong)
       var prevPos = 0L
       var j = 0
       while (j < positions.length) {
         require(positions(j) > prevPos, s"unsorted positions for doc $docId")
-        Varint.encodeToBuffer(out, positions(j) - prevPos)
+        out.append(positions(j) - prevPos)
         prevPos = positions(j)
         j += 1
       }
@@ -67,7 +67,7 @@ object PostingCodec {
     }
     if (docs.nonEmpty)
       blocks += PostingBlock(blockFirst, prevDocId, blockOffset, blockMaxTf)
-    (docs.length.toLong, tf, blocks.toArray, out.toArray)
+    (docs.length.toLong, tf, blocks.toArray, out.result())
   }
 
   /** Full decode back to (docId, positions) pairs. */

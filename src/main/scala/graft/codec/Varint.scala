@@ -42,11 +42,24 @@ object Varint {
     off + len
   }
 
-  def encodeToBuffer(out: scala.collection.mutable.ArrayBuffer[Byte], value: Long): Unit = {
-    val tmp = new Array[Byte](9)
-    val n = encode(tmp, 0, value)
-    var i = 0
-    while (i < n) { out += tmp(i); i += 1 }
+  /** Growable primitive byte sink (ArrayBuffer[Byte] boxes every byte —
+    * measurably hot in the encode path).
+    */
+  final class ByteBuilder(initial: Int = 64) {
+    private var buf = new Array[Byte](math.max(initial, 16))
+    private var len = 0
+    def length: Int = len
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        var cap = buf.length * 2
+        while (cap < len + n) cap *= 2
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+    def append(value: Long): Unit = {
+      ensure(9)
+      len = Varint.encode(buf, len, value)
+    }
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
   }
 
   /** Decode the value at `off`. Returns (value, newOffset). A 0x00 first

@@ -16,7 +16,8 @@ case class Bm25Hit(docId: Long, score: Double, url: String, title: String)
   * into the per-chunk kernels (SURVEY.md §2.9); per-chunk top-k lists are
   * merged on the driver by (score desc, docId asc).
   */
-class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true) {
+class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
+                 broadcastDocsLimit: Long = 2000000L) {
   import spark.implicits._
 
   private val postings = {
@@ -26,6 +27,23 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true) {
   private val docs = {
     val d = IndexStore.readDocs(spark, indexDir)
     if (cache) d.cache() else d
+  }
+
+  /** (chunk -> docId -> docLength), broadcast once when it fits; larger
+    * indexes fall back to the per-query cogroup (see SearchEngine's
+    * resident-sidecar rationale).
+    */
+  private lazy val lensBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, java.util.HashMap[java.lang.Long, java.lang.Double]]]] = {
+    if (docs.count() <= broadcastDocsLimit) {
+      val grouped = docs.select($"chunk", $"docId", $"docLength")
+        .as[(Long, Long, Long)].collect().groupBy(_._1)
+        .map { case (c, arr) =>
+          val m = new java.util.HashMap[java.lang.Long, java.lang.Double](arr.length * 2)
+          arr.foreach { case (_, id, len) => m.put(id, len.toDouble) }
+          c -> m
+        }
+      Some(spark.sparkContext.broadcast(grouped))
+    } else None
   }
 
   /** (N, avgdl) over pure token lengths (title + body, no EndDoc). */
@@ -39,6 +57,8 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true) {
   sealed trait Mode
   case object Or extends Mode       // WAND path
   case object And extends Mode      // leapfrog intersection
+
+  private val dfCache = scala.collection.mutable.HashMap.empty[String, Long]
 
   /** Tokenize the query with the frozen body-token rules, score top-k. */
   def search(query: String, k: Int = GraftConfig.TopK, mode: Mode = Or,
@@ -64,52 +84,68 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true) {
     val (n, avgdl) = corpusStats
     val posts = postings.filter($"term".isin(terms: _*))
 
-    // global df per term (Catalyst aggregate, tiny result, broadcast)
-    val dfMap = posts.groupBy($"term").agg(sum($"df").as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // global df per term (Catalyst aggregate, tiny result), memoized per
+    // engine so repeat queries pay no stats job
+    val missing = terms.filterNot(dfCache.contains)
+    if (missing.nonEmpty) {
+      postings.filter($"term".isin(missing: _*))
+        .groupBy($"term").agg(sum($"df").as("df"))
+        .collect().foreach(r => dfCache(r.getString(0)) = r.getLong(1))
+      missing.foreach(t => if (!dfCache.contains(t)) dfCache(t) = 0L)
+    }
+    val dfMap = terms.flatMap(t => dfCache.get(t).filter(_ > 0).map(t -> _)).toMap
     if (mode == And && terms.exists(t => !dfMap.contains(t))) return Seq.empty
     if (dfMap.isEmpty) return Seq.empty
     val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
 
-    // chunk pruning: AND needs every term present, OR any
-    val qualifying = (mode match {
-      case And =>
-        posts.groupBy($"chunk").agg(countDistinct($"term").as("nt"))
-          .filter($"nt" === terms.distinct.size)
-      case Or => posts.select($"chunk").distinct()
-    }).select($"chunk").as[Long].collect()
-    if (qualifying.isEmpty) return Seq.empty
-
-    val postsQ = posts.filter($"chunk".isin(qualifying: _*))
-    val docsQ = docs.filter($"chunk".isin(qualifying: _*))
-      .select($"chunk", $"docId", $"docLength")
-      .as[(Long, Long, Long)]
-
     val idfB = spark.sparkContext.broadcast(idfMap)
     val conj = mode == And
     val wand = useWand
-    val perChunk = postsQ.groupByKey(_.chunk)
-      .cogroup(docsQ.groupByKey(_._1)) { (chunk, ps, ds) =>
-        val lens = new java.util.HashMap[Long, Double]()
-        ds.foreach { case (_, docId, len) => lens.put(docId, len.toDouble) }
-        if (lens.isEmpty) Iterator.empty
-        else {
-          val termLists = ps.map { p =>
-            Bm25.TermList(p.term, idfB.value(p.term),
-              p.blocks.map(_.maxTf).max, p.df, p.blocks, p.postingsBlob)
-          }.toSeq
-          if (termLists.isEmpty) Iterator.empty
-          else {
-            val docLen: Bm25.DocLen = id => lens.get(id)
-            val hits =
-              if (conj) Bm25.scoreConjunctive(termLists, docLen, avgdl, k)
-              else if (wand) Bm25.scoreWand(termLists, docLen, avgdl, k)
-              else Bm25.scoreExhaustive(termLists, docLen, avgdl, k)
-            hits.iterator
+    val needTerms = terms.distinct.size
+
+    def score(termLists: Seq[Bm25.TermList], docLen: Bm25.DocLen): Iterator[Bm25.Hit] =
+      if (termLists.isEmpty || (conj && termLists.size != needTerms)) Iterator.empty
+      else (if (conj) Bm25.scoreConjunctive(termLists, docLen, avgdl, k)
+            else if (wand) Bm25.scoreWand(termLists, docLen, avgdl, k)
+            else Bm25.scoreExhaustive(termLists, docLen, avgdl, k)).iterator
+
+    def toLists(ps: Iterator[graft.index.PostingRow]): Seq[Bm25.TermList] =
+      ps.map { p =>
+        Bm25.TermList(p.term, idfB.value(p.term),
+          p.blocks.map(_.maxTf).max, p.df, p.blocks, p.postingsBlob)
+      }.toSeq
+
+    val perChunk = lensBroadcast match {
+      case Some(bc) =>
+        // ONE job: conjunctive chunk-disqualification happens in score()
+        posts.groupByKey(_.chunk).flatMapGroups { (chunk, ps) =>
+          bc.value.get(chunk) match {
+            case None => Iterator.empty
+            case Some(lens) => score(toLists(ps), id => lens.get(id))
           }
-        }
-      }
-      .collect()
+        }.collect()
+      case None =>
+        // big-index path: prune chunks, cogroup only their doc lengths
+        val qualifying = (mode match {
+          case And =>
+            posts.groupBy($"chunk").agg(countDistinct($"term").as("nt"))
+              .filter($"nt" === needTerms)
+          case Or => posts.select($"chunk").distinct()
+        }).select($"chunk").as[Long].collect()
+        if (qualifying.isEmpty) return Seq.empty
+        val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+          .select($"chunk", $"docId", $"docLength")
+          .as[(Long, Long, Long)]
+        postsQ.groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_._1)) { (chunk, ps, ds) =>
+            val lens = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+            ds.foreach { case (_, docId, len) => lens.put(docId, len.toDouble) }
+            if (lens.isEmpty) Iterator.empty
+            else score(toLists(ps), id => lens.get(id))
+          }
+          .collect()
+    }
 
     perChunk.sorted(Bm25.better.reverse).take(k).toSeq
   }

@@ -68,7 +68,8 @@ case class ChunkHit(chunk: Long, slot: Int, title: String, summary: String,
   */
 class SearchEngine(spark: SparkSession, indexDir: String,
                    chunkCapacity: Long = GraftConfig.ChunkDocs,
-                   cache: Boolean = true) extends Serializable {
+                   cache: Boolean = true,
+                   broadcastDocsLimit: Long = 2000000L) extends Serializable {
   import spark.implicits._
 
   // cache() keeps hot chunks in executor memory across queries (the
@@ -81,6 +82,21 @@ class SearchEngine(spark: SparkSession, indexDir: String,
   private val docs = {
     val d = IndexStore.readDocs(spark, indexDir)
     if (cache) d.cache() else d
+  }
+
+  /** Doc-metadata sidecar, broadcast once per engine lifetime when it
+    * fits (the reference keeps every chunk's DocumentData region
+    * mmap-resident on its index server, HashBlob.h:364-377) — per-query
+    * ranking then shuffles ONLY the query's posting rows. Indexes larger
+    * than the limit fall back to a per-query cogroup against the docs
+    * table.
+    */
+  private lazy val docsBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Array[DocRow]]]] = {
+    if (docs.count() <= broadcastDocsLimit) {
+      val grouped = docs.collect().groupBy(_.chunk)
+        .map { case (c, arr) => c -> arr.sortBy(_.docId) }
+      Some(spark.sparkContext.broadcast(grouped))
+    } else None
   }
 
   /** Rank-identical reference scoring (SURVEY.md §2.9). Returns the
@@ -115,32 +131,53 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     val needed = (distinctFlat ++ distinctFlat.map("#" + _)).distinct
 
     val posts = postings.filter($"term".isin(needed: _*))
-    val qualifying = posts
-      .filter($"term".isin(distinctFlat: _*))
-      .groupBy($"chunk")
-      .agg(countDistinct($"term").as("nt"))
-      .filter($"nt" === distinctFlat.size)
-      .select($"chunk").as[Long].collect().sorted
-    if (qualifying.isEmpty) return Seq.empty
-
-    val postsQ = posts.filter($"chunk".isin(qualifying: _*))
-    val docsQ = docs.filter($"chunk".isin(qualifying: _*))
-
     val cap = chunkCapacity
     val k = topK
-    postsQ.groupByKey(_.chunk)
-      .cogroup(docsQ.groupByKey(_.chunk)) { (chunk, ps, ds) =>
-        val postsSeq = ps.toVector
-        val docsSeq = ds.toVector
-        if (docsSeq.isEmpty) Iterator.empty
-        else {
-          val ctx = ChunkContextBuilder.build(chunk, postsSeq, docsSeq, cap)
-          val slots = RefRanker.rankChunk(ast, flat, ctx, k)
-          slots.iterator.zipWithIndex.map { case (s, i) =>
-            ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
+
+    docsBroadcast match {
+      case Some(bc) =>
+        // resident-sidecar path: ONE job — shuffle only the query's
+        // posting rows; the kernel's term-absent abort (ranker.h:718-720)
+        // disqualifies chunks without a separate pruning pass
+        posts.groupByKey(_.chunk)
+          .flatMapGroups { (chunk, ps) =>
+            bc.value.get(chunk) match {
+              case None => Iterator.empty
+              case Some(ds) =>
+                val ctx = ChunkContextBuilder.build(chunk, ps.toVector, ds, cap)
+                RefRanker.rankChunk(ast, flat, ctx, k).iterator.zipWithIndex.map {
+                  case (s, i) => ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
+                }
+            }
           }
-        }
-      }
-      .collect().toSeq
+          .collect().toSeq
+      case None =>
+        // big-index path: prune chunks first (the term-absent rule is
+        // also a major scan saver: rare terms disqualify most chunks),
+        // then cogroup only the qualifying docs metadata
+        val qualifying = posts
+          .filter($"term".isin(distinctFlat: _*))
+          .groupBy($"chunk")
+          .agg(countDistinct($"term").as("nt"))
+          .filter($"nt" === distinctFlat.size)
+          .select($"chunk").as[Long].collect().sorted
+        if (qualifying.isEmpty) return Seq.empty
+        val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+        postsQ.groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_.chunk)) { (chunk, ps, ds) =>
+            val postsSeq = ps.toVector
+            val docsSeq = ds.toVector
+            if (docsSeq.isEmpty) Iterator.empty
+            else {
+              val ctx = ChunkContextBuilder.build(chunk, postsSeq, docsSeq, cap)
+              val slots = RefRanker.rankChunk(ast, flat, ctx, k)
+              slots.iterator.zipWithIndex.map { case (s, i) =>
+                ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
+              }
+            }
+          }
+          .collect().toSeq
+    }
   }
 }

@@ -20,15 +20,58 @@ object IndexBuilder {
     * @param salts      >1 enables the two-level salted aggregation for
     *                   high-df terms: stage 1 aggregates contiguous docId
     *                   range slices, stage 2 concatenates the sorted runs
+    * @param strategy   "sorted" (default): repartition by (chunk, term) +
+    *                   sortWithinPartitions + streaming encode — one
+    *                   Tungsten shuffle of compact rows, bounded memory
+    *                   (one term's postings at a time), no object
+    *                   serialization; "aggregator": the typed Aggregator
+    *                   path (partial/final map-side combine — fewer but
+    *                   fatter shuffle records; measurably slower at high
+    *                   token volume because buffers are object-serialized)
     */
-  case class BuildConfig(chunkDocs: Long = GraftConfig.ChunkDocs, salts: Int = 1)
+  case class BuildConfig(chunkDocs: Long = GraftConfig.ChunkDocs, salts: Int = 1,
+                         strategy: String = "sorted")
 
   def chunkOf(docId: Long, chunkDocs: Long): Long = docId / chunkDocs
 
   /** Tokenize into the posting stream (title terms '#'-decorated, title
     * first, 1-based positions; index/index.h:122-176).
+    *
+    * Implemented with Catalyst column expressions, not a typed flatMap:
+    * the whole stage stays in whole-stage codegen over UnsafeRows with
+    * zero per-token object allocation — at 10^7+ tokens the JVM
+    * allocation rate of one Token object per posting is what stops a
+    * single-node build from scaling past a few cores. Must stay
+    * row-identical to graft.tokenizer.Tokenizer.postings (asserted in
+    * IndexBuilderSpec).
     */
   def tokens(docs: Dataset[IdDoc], cfg: BuildConfig): Dataset[Token] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val chunkDocs = cfg.chunkDocs
+    val titleArr = filter(
+      transform(
+        filter(split(col("path"), "[^A-Za-z]+"), t => length(t) > 0),
+        x => concat(lit("#"), lower(x))),
+      t => length(t) < GraftConfig.TokenMaxSize)
+    val bodyArr = transform(
+      filter(split(col("content"), "\\s+"),
+        t => t.rlike("^[A-Za-z]+$") && length(t) < GraftConfig.TokenMaxSize),
+      x => lower(x))
+    docs.toDF()
+      .select(col("docId"),
+        floor(col("docId") / chunkDocs).cast("long").as("chunk"),
+        posexplode(concat(titleArr, bodyArr)))
+      .select(col("chunk"), col("col").as("term"), col("docId"),
+        (col("pos") + 1).cast("long").as("pos"))
+      .as[Token]
+  }
+
+  /** The typed-flatMap tokenizer (kept as the cross-check reference for
+    * the Catalyst version; shares the frozen Tokenizer object with the
+    * oracle).
+    */
+  def tokensTyped(docs: Dataset[IdDoc], cfg: BuildConfig): Dataset[Token] = {
     import docs.sparkSession.implicits._
     val chunkDocs = cfg.chunkDocs
     docs.flatMap { d =>
@@ -49,7 +92,9 @@ object IndexBuilder {
   def buildPostings(toks: Dataset[Token], cfg: BuildConfig): Dataset[PostingRow] = {
     import toks.sparkSession.implicits._
     val agg = new PostingAggregator().toColumn
-    if (cfg.salts <= 1) {
+    if (cfg.salts <= 1 && cfg.strategy == "sorted") {
+      buildPostingsSorted(toks)
+    } else if (cfg.salts <= 1) {
       toks.groupByKey(t => (t.chunk, t.term))
         .mapValues(t => (t.docId, t.pos))
         .agg(agg)
@@ -80,6 +125,69 @@ object IndexBuilder {
     }
   }
 
+  /** Sort-based posting build: one shuffle of compact (chunk, term,
+    * docId, pos) rows hash-partitioned on (chunk, term), Tungsten-sorted
+    * within partitions, then a single streaming pass that delta+varint
+    * encodes each (chunk, term) run. Memory is bounded by ONE term's
+    * postings within one chunk regardless of input size; everything
+    * before the encode stays in whole-stage codegen.
+    */
+  def buildPostingsSorted(toks: Dataset[Token]): Dataset[PostingRow] = {
+    import toks.sparkSession.implicits._
+    toks.toDF()
+      .repartition(col("chunk"), col("term"))
+      .sortWithinPartitions(col("chunk"), col("term"), col("docId"), col("pos"))
+      .as[Token]
+      .mapPartitions { it =>
+        new Iterator[PostingRow] {
+          private val docs = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]
+          private val poss = new scala.collection.mutable.ArrayBuffer[Long]
+          private var curDoc = -1L
+          private var pending: Token = _
+          private var nextRow: PostingRow = _
+
+          private def flushDoc(): Unit =
+            if (curDoc >= 0) { docs += ((curDoc, poss.toArray)); poss.clear(); curDoc = -1 }
+
+          private def encodeRun(chunk: Long, term: String): PostingRow = {
+            flushDoc()
+            val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(docs)
+            docs.clear()
+            PostingRow(chunk, term, df, tf, blocks, blob)
+          }
+
+          private def advance(): Unit = {
+            nextRow = null
+            if (pending == null && !it.hasNext) return
+            var cur = if (pending != null) pending else it.next()
+            pending = null
+            val chunk = cur.chunk
+            val term = cur.term
+            while (cur != null) {
+              if (cur.chunk != chunk || cur.term != term) {
+                pending = cur
+                nextRow = encodeRun(chunk, term)
+                return
+              }
+              if (cur.docId != curDoc) { flushDoc(); curDoc = cur.docId }
+              poss += cur.pos
+              cur = if (it.hasNext) it.next() else null
+            }
+            nextRow = encodeRun(chunk, term)
+          }
+
+          def hasNext: Boolean = {
+            if (nextRow == null) advance()
+            nextRow != null
+          }
+          def next(): PostingRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = nextRow; nextRow = null; r
+          }
+        }
+      }
+  }
+
   /** Document store (DocumentData analog, index/PostingList.h:25-31) with
     * the per-row sha256(content) invariant (input_hint).
     */
@@ -87,16 +195,15 @@ object IndexBuilder {
     import docs.sparkSession.implicits._
     val chunkDocs = cfg.chunkDocs
     docs.map { d =>
-      val numTitle = Tokenizer.titleWordsRaw(d.path).length.toLong
-      val docLength = Tokenizer.postings(d.path, d.content).length.toLong
+      val m = Tokenizer.docMeta(d.path, d.content)
       DocRow(
         chunk = chunkOf(d.docId, chunkDocs),
         docId = d.docId,
         url = Corpus.url(d.repo, d.path, d.commit),
-        title = Tokenizer.titleString(d.path),
-        summary = Tokenizer.abstractString(d.content),
-        numTitleWords = numTitle,
-        docLength = docLength,
+        title = m.title,
+        summary = m.summary,
+        numTitleWords = m.numTitleWords,
+        docLength = m.docLength,
         contentSha = Sha.hex256(if (d.content == null) "" else d.content))
     }
   }
@@ -154,25 +261,37 @@ object IndexBuilder {
     val done = completedChunks(spark, outDir, "postings")
       .intersect(completedChunks(spark, outDir, "docs"))
     val chunkDocs = cfg.chunkDocs
-    val pending = if (done.isEmpty) src else {
+    val fresh = done.isEmpty
+    val pending = if (fresh) src else {
       val doneB = spark.sparkContext.broadcast(done)
       src.filter(d => !doneB.value.contains(chunkOf(d.docId, chunkDocs)))
     }
-    if (pending.isEmpty) return Set.empty
+    // the emptiness probe is itself a job; only pay it on resumed builds
+    if (!fresh && pending.isEmpty) return Set.empty
 
     val toks = tokens(pending, cfg)
+    // persisted: each feeds two actions (table write + lineage aggregate)
+    // and would otherwise re-run the tokenize/encode pipeline per action
     val postings = buildPostings(toks, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docRows = buildDocs(pending, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    docRows.write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))
-    postings.write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
+    // repartition by the partition column before writing: without it every
+    // shuffle task writes a file into every chunk directory (tasks x
+    // chunks small files) and the commit protocol's rename storm becomes
+    // a serial fixed cost
+    docRows.repartition(col("chunk"))
+      .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))
+    postings.repartition(col("chunk"))
+      .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
 
-    // stats + lineage are derived from what was just written (small reads)
+    // stats covers the full index; the re-read is cheap because parquet
+    // column pruning touches only (chunk, docLength) / (chunk), never the
+    // posting blobs
     buildStats(IndexStore.readDocs(spark, outDir),
                IndexStore.readPostings(spark, outDir), cfg)
       .write.mode(SaveMode.Overwrite).parquet(statsDir(outDir))
-
-    val builtChunks = docRows.select($"chunk").distinct().as[Long].collect().toSet
 
     val postingLineage = postings.groupBy($"chunk").agg(
       min($"term").as("termMin"), max($"term").as("termMax"),
@@ -187,22 +306,42 @@ object IndexBuilder {
       .select(lit("docs").as("stage"), $"chunk", lit("").as("termMin"),
         lit("").as("termMax"), $"docMin", $"docMax", $"rows", $"bytes",
         lit("complete").as("status"))
-    postingLineage.unionByName(docLineage).as[LineageRow]
+    // one job: collect the (tiny) lineage rows, derive builtChunks from
+    // them, then persist
+    val lineageRows = postingLineage.unionByName(docLineage).as[LineageRow].collect()
+    spark.createDataset(lineageRows.toIndexedSeq)
       .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
-
-    builtChunks
+    postings.unpersist(blocking = false)
+    docRows.unpersist(blocking = false)
+    lineageRows.filter(_.stage == "docs").map(_.chunk).toSet
   }
 }
 
-/** sha256 hex via the JDK (no extra deps). */
+/** sha256 hex via the JDK (no extra deps). MessageDigest instances are
+  * thread-local: getInstance synchronizes on the provider list and
+  * serializes 32 executor threads when called per row.
+  */
 object Sha {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def hex256(s: String): String = hex256Bytes(s.getBytes("UTF-8"))
 
   def hex256Bytes(bytes: Array[Byte]): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
-    val sb = new StringBuilder(64)
-    d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
-    sb.toString
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = hexChars((d(i) & 0xF0) >> 4)
+      out(2 * i + 1) = hexChars(d(i) & 0x0F)
+      i += 1
+    }
+    new String(out)
   }
 }
 

@@ -54,6 +54,14 @@ sealed trait IsrNode {
 
 /** ISRWord (isr.h:49-114). `locs` == null models a term absent from the
   * chunk (ISRWord(nullptr): currentPost null from construction).
+  *
+  * Seek is implemented as a binary search that lands on exactly the
+  * posting the reference's jump-then-linear-scan would: with a sync
+  * stripe entry, the scan starts at the stripe's first posting and stops
+  * at the first location >= target (= lower bound from the jump index);
+  * without one, it scans forward from the current posting (= lower bound
+  * from the current index, staying put when already past target). Same
+  * observable state, O(log n) instead of O(n) per seek.
   */
 final class IsrWord(locs: Array[Long]) extends IsrNode {
   private val stripes = if (locs == null) null else Isr.stripeFirsts(locs)
@@ -70,12 +78,27 @@ final class IsrWord(locs: Array[Long]) extends IsrNode {
     else { alive = false; false }
   }
 
+  /** first index in [from, n) with locs(i) >= target, or n. */
+  private def lowerBound(target: Long, from: Int): Int = {
+    var lo = from
+    var hi = locs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (locs(mid) < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   def seek(target: Long): Boolean = {
     if (!alive) return false
     val jump = stripes.get(target >> GraftConfig.StripeShift)
-    if (jump != null) idx = jump.intValue() // sync jump (possibly backward)
-    while (startLocation < target) if (!next()) return false
-    true
+    val from =
+      if (jump != null) jump.intValue() // sync jump (possibly backward)
+      else math.max(idx, 0)
+    if (jump == null && idx >= 0 && locs(idx) >= target) return true // stays put
+    val j = lowerBound(target, from)
+    if (j >= locs.length) { idx = locs.length - 1; alive = false; false }
+    else { idx = j; true }
   }
 }
 
@@ -104,17 +127,46 @@ final class IsrEndDoc(endLocs: Array[Long], urlIdxs: Array[Int]) extends IsrNode
     } else { alive = false; false }
   }
 
+  /** first index in [from, n) with endLocs(i) >= target, or n. */
+  private def lowerBound(target: Long, from: Int): Int = {
+    var lo = from
+    var hi = endLocs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (endLocs(mid) < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   def seek(target: Long): Boolean = {
     if (!alive) return false
     val jump = stripes.get(target >> GraftConfig.StripeShift)
     if (jump != null) {
-      idx = jump.intValue()
-      val prev = if (idx == 0) 0L else endLocs(idx - 1)
-      docLength = endLocs(idx) - prev // raw delta, NO -1 (isr.h:131 quirk)
-      urlIndex = urlIdxs(idx)
+      val ji = jump.intValue()
+      if (endLocs(ji) >= target) {
+        // jump lands at-or-past target directly: docLength keeps the RAW
+        // delta of the sync posting, NO -1 (the isr.h:131 quirk)
+        idx = ji
+        docLength = endLocs(ji) - (if (ji == 0) 0L else endLocs(ji - 1))
+        urlIndex = urlIdxs(ji)
+        return true
+      }
+      // jump lands before target; subsequent Next()s recompute normally
+      val j = lowerBound(target, ji)
+      if (j >= endLocs.length) { idx = endLocs.length - 1; alive = false; return false }
+      idx = j
+      docLength = endLocs(j) - (if (j == 0) 0L else endLocs(j - 1)) - 1
+      urlIndex = urlIdxs(j)
+      true
+    } else {
+      if (idx >= 0 && endLocs(idx) >= target) return true // stays put, state kept
+      val j = lowerBound(target, math.max(idx, 0))
+      if (j >= endLocs.length) { idx = endLocs.length - 1; alive = false; return false }
+      idx = j
+      docLength = endLocs(j) - (if (j == 0) 0L else endLocs(j - 1)) - 1
+      urlIndex = urlIdxs(j)
+      true
     }
-    while (startLocation < target) if (!next()) return false
-    true
   }
 }
 

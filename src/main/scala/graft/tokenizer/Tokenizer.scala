@@ -88,6 +88,40 @@ object Tokenizer {
     out
   }
 
+  /** All per-doc metadata in one tokenization pass (buildDocs hot path —
+    * title string, abstract, raw title count, docLength).
+    */
+  case class DocMeta(title: String, summary: String, numTitleWords: Long,
+                     docLength: Long)
+
+  def docMeta(path: String, content: String): DocMeta = {
+    val titleRaw = titleWordsRaw(path)
+    val titleKept = titleRaw.iterator.map("#" + _)
+      .filter(_.length < GraftConfig.TokenMaxSize).size
+    val body = bodyWordsRaw(content)
+    var bodyKept = 0
+    // abstract + kept count in one sweep (index/index.h:150-167 rules)
+    val sb = new StringBuilder
+    var canAdd = true
+    var curLen = 0
+    var i = 0
+    while (i < body.length) {
+      val tok = body(i)
+      if (tok.length < GraftConfig.TokenMaxSize) {
+        bodyKept += 1
+        if (canAdd) {
+          if (curLen + tok.length < GraftConfig.MaxAbstractSize) {
+            if (i >= 5) { sb.append(tok).append(' '); curLen += tok.length + 1 }
+          } else canAdd = false
+        }
+      }
+      i += 1
+    }
+    if (sb.nonEmpty) sb.setLength(sb.length - 1)
+    DocMeta(titleString(path), sb.toString, titleRaw.length.toLong,
+      (titleKept + bodyKept).toLong)
+  }
+
   /** Title display string: kept title words joined by ' ', truncated at 50
     * chars with the reference's exact overflow rule
     * (index/index.h:128-139: stop permanently once a word would overflow;

@@ -31,6 +31,17 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(d0.map(_.pos) === (1L to 9L))
   }
 
+  test("Catalyst tokenizer == typed flatMap tokenizer (frozen rules)") {
+    import spark.implicits._
+    val docs = Corpus.synthetic(spark, 2, 40, seed = 3) // includes tokenizer noise
+    val ids = Corpus.assignDocIds(spark, docs)
+    val cfg = BuildConfig(chunkDocs = 30)
+    def canon(ds: org.apache.spark.sql.Dataset[graft.index.Token]) =
+      ds.collect().map(t => (t.chunk, t.docId, t.pos, t.term)).sorted.toSeq
+    assert(canon(IndexBuilder.tokens(ids, cfg)) === canon(IndexBuilder.tokensTyped(ids, cfg)))
+    assert(IndexBuilder.tokens(ids, cfg).count() > 0)
+  }
+
   test("postings aggregation: df/tf exact, positions sorted, round-trips") {
     import spark.implicits._
     val cfg = BuildConfig(chunkDocs = 100)
@@ -48,12 +59,10 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(postings("#doc").df === 4)
   }
 
-  test("salted build produces identical postings") {
+  test("sorted, aggregator, and salted builds produce identical postings") {
     import spark.implicits._
     val docs = Corpus.synthetic(spark, 2, 30, seed = 7)
     val ids = Corpus.assignDocIds(spark, docs)
-    val cfg1 = BuildConfig(chunkDocs = 25, salts = 1)
-    val cfg4 = BuildConfig(chunkDocs = 25, salts = 4)
     def canon(cfg: BuildConfig) =
       IndexBuilder.buildPostings(IndexBuilder.tokens(ids, cfg), cfg)
         .collect()
@@ -61,7 +70,10 @@ class IndexBuilderSpec extends AnyFunSuite {
           (p.df, p.tf, PostingCodec.decode(p.df, p.postingsBlob)
             .map { case (d, ps) => (d, ps.toSeq) }.toSeq)))
         .toMap
-    assert(canon(cfg1) === canon(cfg4))
+    val sorted = canon(BuildConfig(chunkDocs = 25, strategy = "sorted"))
+    assert(sorted === canon(BuildConfig(chunkDocs = 25, strategy = "aggregator")))
+    assert(sorted === canon(BuildConfig(chunkDocs = 25, salts = 4)))
+    assert(sorted.nonEmpty)
   }
 
   test("docs table: url, title, abstract, docLength, sha") {
