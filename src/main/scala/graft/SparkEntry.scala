@@ -148,9 +148,9 @@ object SparkEntry {
     // ---- similarity search ----
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(embDf(s, dir), queryId = 0L, k = 10)),
-    "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir))),
+    "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir), nBits = 5)),
     "q_ann_lsh_topk" -> ((s, dir) =>
-      Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10)),
+      Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
 
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docsDf(s, dir))),
@@ -299,7 +299,7 @@ object SparkEntry {
         |  SELECT vec_id, plane,
         |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
         |                 THEN 1.0 ELSE -1.0 END) AS proj
-        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(8) t(i))
+        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(5) t(i))
         |  GROUP BY 1, 2)
         |SELECT vec_id,
         |       CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
@@ -310,7 +310,7 @@ object SparkEntry {
         |  SELECT vec_id, plane,
         |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
         |                 THEN 1.0 ELSE -1.0 END) AS proj
-        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(8) t(i))
+        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(5) t(i))
         |  GROUP BY 1, 2),
         |buckets AS (
         |  SELECT vec_id,

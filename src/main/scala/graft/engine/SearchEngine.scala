@@ -118,6 +118,12 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     }
   }
 
+  /** RESULTS_PER_PAGE slice of the final top-k — the front end's
+    * pagination (config.h:26; webServer.cpp:737-757). page is 0-based.
+    */
+  def searchPage(query: String, page: Int, perPage: Int = 10): Seq[DocScore] =
+    search(query).slice(page * perPage, (page + 1) * perPage)
+
   /** The distributed part: filter postings to the query's terms (parquet
     * predicate pushdown), keep only chunks containing every flattened
     * word (the term-absent abort, ranker.h:718-720 — also a major scale

@@ -74,6 +74,17 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertIdentical(docs, out, 150, queries)
   }
 
+  test("pagination slices the merged top-k (T6)") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-page")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val engine = new SearchEngine(spark, out, 200)
+    val all = engine.search("spark merge sort")
+    assert(engine.searchPage("spark merge sort", 0) === all.slice(0, 10))
+    assert(engine.searchPage("spark merge sort", 2) === all.slice(20, 30))
+    assert(engine.searchPage("spark merge sort", 5).isEmpty)
+  }
+
   test("chunk pruning returns nothing when a term is missing everywhere") {
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     val out = SparkTestBase.tempDir("graft-prune")
