@@ -172,6 +172,17 @@ object Bench {
       s""""files_per_sec_n${small}":${f"$thrSmall%.1f"},"files_per_sec_n${large}":${f"$thrLarge%.1f"}},""" +
       s""""scaling":{"n_small":$small,"n_large":$large,"efficiency":${f"$efficiency%.4f"}},""" +
       s""""query_latency":{"p50_sec":${f"$p50%.4f"},"p99_sec":${f"$p99%.4f"},"samples":${sortedS.size}}"""
-    println(s"""{"metric":"index-build files/sec @ local[$large] + query p50/p99 + N->4N scaling efficiency","value":${f"$thrLarge%.1f"},"unit":"files/sec","queries":$qs,"sf":"$sfDir",$extra,"total_sec":${f"$totalSec%.1f"}}""")
+    val json = s"""{"metric":"index-build files/sec @ local[$large] + query p50/p99 + N->4N scaling efficiency","value":${f"$thrLarge%.1f"},"unit":"files/sec","queries":$qs,"sf":"$sfDir",$extra,"total_sec":${f"$totalSec%.1f"}}"""
+    println(json)
+    // belt-and-braces handoff: the JSON also lands in a file (the r01
+    // driver failed to parse the line behind sbt's "[info] " prefix;
+    // build.sbt now forces StdoutOutput, and this file survives even if
+    // stdout gets re-wrapped by a future harness)
+    val outFiles = Seq(sys.env.get("SPARK_GRAFT_OUT").map(_ + "/bench.json"),
+      Some("bench_last.json")).flatten
+    outFiles.foreach { f =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n")
+      catch { case _: Throwable => () }
+    }
   }
 }

@@ -80,6 +80,24 @@ object Dedup {
     jaccard(docs, lshCandidatePairs(docs, k, bands))
       .filter(col("jaccard") >= threshold)
 
+  /** Scale-guarded near-dup: collapse exact-duplicate content FIRST (one
+    * hash groupBy), then LSH only the representatives. A mega-cluster of
+    * M identical docs (the common web-corpus pathology) otherwise lands in
+    * one band bucket and the candidate join materializes M^2/2 pairs; with
+    * the exact pre-pass it contributes exactly one representative, so
+    * bucket-join work is quadratic only in *distinct* near-dup content
+    * (DedupScaleSpec pins this with a 1k-identical-docs corpus). Full
+    * dup-group membership stays available from [[exactGroups]]; pairs here
+    * relate representatives (the min doc_id of each exact group).
+    */
+  def nearDuplicatesScalable(docs: DataFrame, threshold: Double = 0.7,
+                             k: Int = 8, bands: Int = 4): DataFrame = {
+    val reps = docs.join(
+      exactGroups(docs).select(col("keep_doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    nearDuplicates(reps, threshold, k, bands)
+  }
+
   /** 16-bit SimHash over kept tokens. Bit b of token t = parity of the
     * (b+1)-th hex char of md5(t); the doc's bit b is 1 iff the sum of
     * (2*bit - 1) over its tokens is positive. Deterministic and
@@ -87,17 +105,20 @@ object Dedup {
     * with a different per-token hash width).
     */
   def simhash16(docs: DataFrame): DataFrame = {
+    // ONE shuffle: each token row carries its md5 once; the 16 per-bit
+    // sign sums are 16 agg buffers of a single groupBy(doc_id) (the
+    // crossJoin(16 bits) + double-groupBy formulation shuffled 16x the
+    // token count for the same result)
     val toks = TextAnalysis.tokens(docs)
-    val bits = toks.sparkSession.range(16).select(col("id").cast("int").as("bit"))
-    toks.crossJoin(bits)
-      .select(col("doc_id"), col("bit"),
-        when(expr("ascii(substring(md5(term), bit + 1, 1)) % 2") === 1, lit(1L))
-          .otherwise(lit(-1L)).as("sign"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("sign")).as("s"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("bit")).cast("long"))
-        .otherwise(0L)).as("simhash"))
+    val hashed = toks.select(col("doc_id"), md5(col("term")).as("h"))
+    val sumCols = (0 until 16).map { b =>
+      sum(when(expr(s"ascii(substring(h, ${b + 1}, 1)) % 2") === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"s$b")
+    }
+    hashed.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Embedding near-duplicate pairs: exhaustive pairwise cosine >=
@@ -115,6 +136,35 @@ object Dedup {
         sqrt(sum(col("y.v") * col("y.v"))).as("nb"))
     joined.select(col("vec_a"), col("vec_b"),
         round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** The production composition of the two: sign-random-projection LSH
+    * buckets (Similarity.lshBuckets) -> pairs WITHIN a bucket only ->
+    * exact cosine on those candidates. The pair join is an equi-join on
+    * bucket (2^nBits partitions of the corpus), so pair volume is
+    * sum(bucket_size^2)/2 instead of N^2/2, and the cosine is computed
+    * with a single zip_with/aggregate over the two carried vectors — no
+    * per-dimension row explosion, no second shuffle. Recall follows the
+    * SRP collision bound; raise nBits for bigger corpora and multi-probe
+    * for recall (same trade-off as Similarity.lshTopK).
+    */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.95,
+                           nBits: Int = 5): DataFrame = {
+    val withBucket = emb
+      .join(Similarity.lshBuckets(emb, nBits), Seq("vec_id"))
+      .select(col("vec_id"), col("bucket"),
+        transform(col("embedding"), _.cast("double")).as("vd"))
+    val dot = aggregate(
+      zip_with(col("a.vd"), col("b.vd"), (x, y) => x * y), lit(0.0d), _ + _)
+    val na = sqrt(aggregate(
+      transform(col("a.vd"), x => x * x), lit(0.0d), _ + _))
+    val nb = sqrt(aggregate(
+      transform(col("b.vd"), x => x * x), lit(0.0d), _ + _))
+    withBucket.as("a").join(withBucket.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot / (na * nb), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -46,13 +46,21 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     } else None
   }
 
-  /** (N, avgdl) over pure token lengths (title + body, no EndDoc). */
-  lazy val corpusStats: (Long, Double) = {
+  /** One stats job: N, total token count, and the index's configured
+    * docs-per-chunk (persisted by buildStats so docId -> chunk is
+    * derivable for partition pruning).
+    */
+  private lazy val globalStats: (Long, Double, Long) = {
     val row = IndexStore.readStats(spark, indexDir)
-      .agg(sum($"numDocs"), sum($"totalTokens")).head()
+      .agg(sum($"numDocs"), sum($"totalTokens"), max($"chunkDocs")).head()
     val n = row.getLong(0)
-    (n, row.getLong(1).toDouble / n.toDouble)
+    (n, row.getLong(1).toDouble / n.toDouble, row.getLong(2))
   }
+
+  /** (N, avgdl) over pure token lengths (title + body, no EndDoc). */
+  lazy val corpusStats: (Long, Double) = (globalStats._1, globalStats._2)
+
+  private def chunkDocsConf: Long = globalStats._3
 
   sealed trait Mode
   case object Or extends Mode       // WAND path
@@ -66,9 +74,14 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     val terms = Tokenizer.bodyTokens(query).distinct.toSeq
     if (terms.isEmpty) return Seq.empty
     val hits = searchTerms(terms, k, mode, useWand)
-    // resolve doc metadata for the final k docIds only (tiny broadcast join)
+    if (hits.isEmpty) return Seq.empty
+    // resolve doc metadata for the final k docIds only. The chunk
+    // predicate (chunk = docId / chunkDocs) prunes the chunk-partitioned
+    // docs table to the <= k directories that contain a hit — without it
+    // this is a full docs-table scan per query at scale.
     val ids = hits.map(_.docId)
-    val meta = docs.filter($"docId".isin(ids: _*))
+    val hitChunks = ids.map(_ / chunkDocsConf).distinct
+    val meta = docs.filter($"chunk".isin(hitChunks: _*) && $"docId".isin(ids: _*))
       .select($"docId", $"url", $"title").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
     hits.map(h => Bm25Hit(h.docId, h.score,

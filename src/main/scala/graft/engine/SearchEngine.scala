@@ -60,6 +60,14 @@ object ChunkContextBuilder {
 case class ChunkHit(chunk: Long, slot: Int, title: String, summary: String,
                     url: String, score: Long, docId: Long)
 
+/** One scored candidate with its full component breakdown (the
+  * DebugScore instrument, ranker/ranker.h:162-215) as returned by
+  * [[SearchEngine.searchDebug]].
+  */
+case class DebugHit(chunk: Long, docId: Long, sStatic: Long, sUrl: Long,
+                    sTitle: Long, sBodyRaw: Long, sBody: Long,
+                    dynamicWeight: Long, total: Long)
+
 /** Driver-side query API over a persisted index — the Spark re-expression
   * of indexServer.cpp + the front end fan-in (SURVEY.md §3.2): chunks are
   * ranked in parallel as one Dataset job (chunk ≙ index machine), the
@@ -69,7 +77,8 @@ case class ChunkHit(chunk: Long, slot: Int, title: String, summary: String,
 class SearchEngine(spark: SparkSession, indexDir: String,
                    chunkCapacity: Long = GraftConfig.ChunkDocs,
                    cache: Boolean = true,
-                   broadcastDocsLimit: Long = 2000000L) extends Serializable {
+                   broadcastDocsLimit: Long = 2000000L,
+                   broadcastDocsBytes: Long = 256L << 20) extends Serializable {
   import spark.implicits._
 
   // cache() keeps hot chunks in executor memory across queries (the
@@ -92,7 +101,17 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     * table.
     */
   private lazy val docsBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Array[DocRow]]]] = {
-    if (docs.count() <= broadcastDocsLimit) {
+    // gate on estimated BYTES, not just rows: a 2M-row sidecar of long
+    // urls/titles/summaries would otherwise pull hundreds of MB through
+    // the driver before the row gate noticed nothing was wrong. One
+    // aggregate job sizes the payload (strings dominate; +64 covers the
+    // three longs + object headers per row).
+    val row = docs.toDF().agg(
+      count(lit(1)),
+      coalesce(sum(length($"url") + length($"title") + length($"summary") +
+        length($"contentSha") + lit(64L)), lit(0L))).head()
+    val (nRows, estBytes) = (row.getLong(0), row.getLong(1))
+    if (nRows <= broadcastDocsLimit && estBytes <= broadcastDocsBytes) {
       val grouped = docs.collect().groupBy(_.chunk)
         .map { case (c, arr) => c -> arr.sortBy(_.docId) }
       Some(spark.sparkContext.broadcast(grouped))
@@ -132,13 +151,49 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     * kernel. Result is <= topK rows per qualifying chunk.
     */
   private[graft] def searchChunks(ast: QOr, flat: Vector[String], topK: Int): Seq[ChunkHit] = {
+    val k = topK
+    runKernel(flat) { ctx =>
+      val chunk = ctx.chunk
+      RefRanker.rankChunk(ast, flat, ctx, k).iterator.zipWithIndex.map {
+        case (s, i) => ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
+      }
+    }
+  }
+
+  /** Per-candidate DebugScore breakdown for a query (ranker.h:162-215;
+    * tests/testQuery.cpp:47-61): every scored candidate in every
+    * qualifying chunk, with its static/url/title/body components — the
+    * rank-divergence diagnostic, distributed with the same plan shape as
+    * search(). Ordered (chunk, docId).
+    */
+  def searchDebug(query: String): Seq[DebugHit] = {
+    val (astOpt, flat) = QueryParser.parseQuery(query)
+    astOpt match {
+      case None => Seq.empty
+      case Some(ast) =>
+        runKernel(flat) { ctx =>
+          val chunk = ctx.chunk
+          RefRanker.debugScores(ast, flat, ctx).iterator.map { d =>
+            DebugHit(chunk, d.docId, d.sStatic, d.sUrl, d.sTitle,
+              d.sBodyRaw, d.sBody, d.dynamicWeight, d.total)
+          }
+        }.sortBy(h => (h.chunk, h.docId))
+    }
+  }
+
+  /** Shared distributed chunk-kernel runner for the RefScore surfaces:
+    * pushdown-pruned postings -> per-chunk ChunkContext -> `kernel`,
+    * over whichever of the two plan shapes (resident doc sidecar vs
+    * chunk-pruned cogroup) this index is using.
+    */
+  private def runKernel[T](flat: Vector[String])(kernel: ChunkContext => Iterator[T])
+                          (implicit enc: org.apache.spark.sql.Encoder[T]): Seq[T] = {
     if (flat.isEmpty) return Seq.empty
     val distinctFlat = flat.distinct
     val needed = (distinctFlat ++ distinctFlat.map("#" + _)).distinct
 
     val posts = postings.filter($"term".isin(needed: _*))
     val cap = chunkCapacity
-    val k = topK
 
     docsBroadcast match {
       case Some(bc) =>
@@ -150,10 +205,7 @@ class SearchEngine(spark: SparkSession, indexDir: String,
             bc.value.get(chunk) match {
               case None => Iterator.empty
               case Some(ds) =>
-                val ctx = ChunkContextBuilder.build(chunk, ps.toVector, ds, cap)
-                RefRanker.rankChunk(ast, flat, ctx, k).iterator.zipWithIndex.map {
-                  case (s, i) => ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
-                }
+                kernel(ChunkContextBuilder.build(chunk, ps.toVector, ds, cap))
             }
           }
           .collect().toSeq
@@ -175,13 +227,7 @@ class SearchEngine(spark: SparkSession, indexDir: String,
             val postsSeq = ps.toVector
             val docsSeq = ds.toVector
             if (docsSeq.isEmpty) Iterator.empty
-            else {
-              val ctx = ChunkContextBuilder.build(chunk, postsSeq, docsSeq, cap)
-              val slots = RefRanker.rankChunk(ast, flat, ctx, k)
-              slots.iterator.zipWithIndex.map { case (s, i) =>
-                ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
-              }
-            }
+            else kernel(ChunkContextBuilder.build(chunk, postsSeq, docsSeq, cap))
           }
           .collect().toSeq
     }

@@ -226,7 +226,10 @@ object IndexBuilder {
       .select($"chunk", $"numDocs", $"totalTokens",
         ($"totalTokens" + $"numDocs").as("totalPosts"),
         coalesce($"uniqueTerms", lit(0L)).as("uniqueTerms"),
-        (($"totalTokens" + $"numDocs").cast("double") / lit(cfg.chunkDocs.toDouble)).as("avgdl"))
+        (($"totalTokens" + $"numDocs").cast("double") / lit(cfg.chunkDocs.toDouble)).as("avgdl"),
+        // persisted so query engines can derive docId -> chunk (partition
+        // pruning on the docs table) without out-of-band config
+        lit(cfg.chunkDocs).as("chunkDocs"))
       .as[StatsRow]
   }
 

@@ -35,7 +35,8 @@ case class DocRow(chunk: Long, docId: Long, url: String, title: String,
   * rare-word tests divide by this inclusive count.
   */
 case class StatsRow(chunk: Long, numDocs: Long, totalTokens: Long,
-                    totalPosts: Long, uniqueTerms: Long, avgdl: Double)
+                    totalPosts: Long, uniqueTerms: Long, avgdl: Double,
+                    chunkDocs: Long)
 
 /** Per-partition build lineage (FIXTURES.md §4 `lineage`; the Spark
   * re-expression of the crawler's periodic checkpoint + restart pattern,

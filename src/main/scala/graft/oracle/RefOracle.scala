@@ -4,7 +4,7 @@ import graft.config.GraftConfig
 import graft.corpus.Corpus
 import graft.index.IdDoc
 import graft.query.QueryParser
-import graft.rank.{ChunkContext, DocScore, RankDoc, RefRanker}
+import graft.rank.{ChunkContext, DebugScore, DocScore, RankDoc, RefRanker}
 import graft.tokenizer.Tokenizer
 
 /** Single-threaded golden-path implementation (SURVEY.md §5.3): tokenize
@@ -57,6 +57,22 @@ object RefOracle {
           termLocs.view.mapValues(_.length.toLong).toMap,
           termDocs.view.mapValues(_.size.toLong).toMap,
           endLocs, metas, totalTokens + sorted.length, chunkDocs)
+    }
+  }
+
+  /** Golden per-candidate DebugScore breakdown (ranker.h:162-215) —
+    * single-threaded counterpart of SearchEngine.searchDebug; ordered
+    * (chunk, docId).
+    */
+  def searchDebug(docs: Seq[IdDoc], query: String,
+                  chunkDocs: Long = GraftConfig.ChunkDocs): Seq[(Long, DebugScore)] = {
+    val (astOpt, flat) = QueryParser.parseQuery(query)
+    astOpt match {
+      case None => Seq.empty
+      case Some(ast) =>
+        chunkContexts(docs, chunkDocs, flat.distinct).flatMap { ctx =>
+          RefRanker.debugScores(ast, flat, ctx).map(d => (ctx.chunk, d))
+        }
     }
   }
 

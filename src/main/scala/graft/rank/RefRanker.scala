@@ -19,6 +19,18 @@ object DocScore {
 case class RankDoc(docId: Long, url: String, title: String, summary: String,
                    numTitleWords: Long, docLength: Long)
 
+/** Per-candidate component breakdown — the reference's DebugScore
+  * instrument (ranker/ranker.h:162-215, printed by
+  * tests/testQuery.cpp:47-61): static / url / title / body parts, the
+  * body score before and after length normalization, the chunk's chosen
+  * dynamic weight, and the final total. This is the field diagnostic for
+  * a rank divergence: every number that enters
+  * `StaticWeight*static + dynamicWeight*(body + title + url)` is visible.
+  */
+case class DebugScore(docId: Long, sStatic: Long, sUrl: Long, sTitle: Long,
+                      sBodyRaw: Long, sBody: Long, dynamicWeight: Long,
+                      total: Long)
+
 /** Everything the ranker needs about one chunk, in memory: the decoded
   * flat-location posting lists of the query (body + '#'title) terms, the
   * EndDoc walk data, per-doc metadata, and the chunk's NumberOfPosts.
@@ -325,7 +337,34 @@ object RefRanker {
   def rankChunk(ast: QOr, searchWords: IndexedSeq[String],
                 ctx: ChunkContext, topK: Int = TopK): Array[DocScore] = {
     val topN = Array.fill(topK)(DocScore.empty)
+    scanChunk(ast, searchWords, ctx) { (docData, d) =>
+      insertionSort(
+        DocScore(docData.title, docData.summary, docData.url, d.total, docData.docId),
+        topN)
+    }
+    topN
+  }
 
+  /** All scored candidates of the chunk with their DebugScore breakdown,
+    * in candidate (docId) order — same walk, caps, and filters as
+    * rankChunk, BEFORE the top-K insertion sort.
+    */
+  def debugScores(ast: QOr, searchWords: IndexedSeq[String],
+                  ctx: ChunkContext): Array[DebugScore] = {
+    val out = Array.newBuilder[DebugScore]
+    scanChunk(ast, searchWords, ctx)((_, d) => out += d)
+    out.result()
+  }
+
+  /** The candidate walk + scoring shared by rankChunk and debugScores
+    * (so the debug surface can never diverge from the scoring path).
+    * Emits (doc metadata, component breakdown) for every scored
+    * candidate; returns early on the term-absent abort and the
+    * 999-candidate cap exactly as the reference loop does.
+    */
+  private def scanChunk(ast: QOr, searchWords: IndexedSeq[String],
+                        ctx: ChunkContext)
+                       (emit: (RankDoc, DebugScore) => Unit): Unit = {
     // SetDynamicRankWeight (ranker.h:362-392): abort chunk if any
     // flattened word is absent; rare-word share picks the weight.
     var numRare = 0.0
@@ -333,7 +372,7 @@ object RefRanker {
     while (i < searchWords.length) {
       val w = searchWords(i)
       ctx.termTf.get(w) match {
-        case None => return topN
+        case None => return
         case Some(tf) => if (ctx.totalPosts / tf > RareMultiplier) numRare += 1
       }
       i += 1
@@ -365,7 +404,7 @@ object RefRanker {
     var numDocsFound = 0L
     while (parsedQuery.nextDocument() &&
            { numDocsFound += 1; numDocsFound - 1 <= MaxCandidatesPerChunk }) {
-      if (numDocsFound >= MaxCandidatesPerChunk) return topN // ranker.h:760-765
+      if (numDocsFound >= MaxCandidatesPerChunk) return // ranker.h:760-765
       val docEnd = parsedQuery.docEnd.startLocation
       val docStart = docEnd - parsedQuery.docEnd.docLength
       val docData = ctx.docs(parsedQuery.docEnd.urlIndex)
@@ -374,19 +413,18 @@ object RefRanker {
         val sStatic = staticRank(docData)
         val sUrl = dynamicUrlRank(url, searchWords, rarestIdx)
         val sTitle = dynamicTitleRank(titleTerms, docStart, docEnd, docData.numTitleWords)
-        var sBody = dynamicBodyRank(terms, expectedFreq, rarestIdx, docStart, docEnd, currentSpan)
+        val sBodyRaw = dynamicBodyRank(terms, expectedFreq, rarestIdx, docStart, docEnd, currentSpan)
+        var sBody = sBodyRaw
         // length normalization (ranker.h:799-812): avgdl over the
         // CONFIGURED chunk capacity; truncating double division
         val averageDocLength = ctx.totalPosts.toDouble / ctx.chunkCapacity.toDouble
         val normFactor = parsedQuery.docEnd.docLength / averageDocLength / 10.0
         if (normFactor > 1) sBody = (sBody.toDouble / normFactor).toLong
         val total = StaticWeight * sStatic + dynamicWeight * (sBody + sTitle + sUrl)
-        insertionSort(
-          DocScore(docData.title, docData.summary, docData.url, total, docData.docId),
-          topN)
+        emit(docData, DebugScore(docData.docId, sStatic, sUrl, sTitle,
+          sBodyRaw, sBody, dynamicWeight, total))
       }
     }
-    topN
   }
 
   /** Cross-chunk merge (indexServer.cpp:94-112 + the front end's fan-in):
