@@ -50,6 +50,141 @@ object SparkEntry {
     s", sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id)"
   }
 
+  /** Shared CTEs for the RefScore oracles: tokenization (body pos is
+    * 1-based among kept tokens), per-doc metadata re-derived exactly as
+    * Corpus.fromDocumentsParquet + Tokenizer.docMeta build it (url, raw
+    * title-word count, kept title words, docLength), and per-chunk stats
+    * (totalPosts includes one EndDoc slot per doc; `first_doc` is the doc
+    * hit by the isr.h:131 sync-seek docLength off-by-one).
+    */
+  private val duckRefBase =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lower(tok) AS term,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS pos
+      |  FROM (
+      |    SELECT doc_id,
+      |           unnest(string_split_regex(text, '\s+')) AS tok,
+      |           generate_subscripts(string_split_regex(text, '\s+'), 1) AS idx
+      |    FROM documents
+      |  )
+      |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20
+      |),
+      |docmeta AS (
+      |  SELECT doc_id, doc_id // 200 AS chunk, url, title_raw, title_kept,
+      |         CAST(len(title_raw) AS BIGINT) AS num_title_words,
+      |         CAST(len(title_kept) AS BIGINT) AS title_kept_n
+      |  FROM (
+      |    SELECT doc_id,
+      |           'org' || (doc_id % 50) || '/proj' || (doc_id % 50) || '/' ||
+      |             source || '/doc' || doc_id || '.txt@' ||
+      |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS url,
+      |           list_transform(regexp_extract_all(source || '/doc' || doc_id || '.txt',
+      |                                             '[A-Za-z]+'), w -> lower(w)) AS title_raw,
+      |           list_filter(list_transform(regexp_extract_all(source || '/doc' || doc_id || '.txt',
+      |                                                         '[A-Za-z]+'), w -> lower(w)),
+      |                       w -> length(w) <= 18) AS title_kept
+      |    FROM documents)
+      |),
+      |doclen AS (
+      |  SELECT m.doc_id, m.chunk, m.title_kept_n + coalesce(t.n, 0) AS doc_length
+      |  FROM docmeta m
+      |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+      |),
+      |chunkstat AS (
+      |  SELECT chunk, sum(doc_length) + count(*) AS total_posts,
+      |         min(doc_id) AS first_doc
+      |  FROM doclen GROUP BY 1
+      |)""".stripMargin
+
+  /** SimplifyUrl + GetDomainName + IsHomePage + title-hit count as a
+    * LATERAL over `m`/`d`/`cs` (ranker.h:285-356): u2 = blind 8-char strip
+    * + www. strip; dom = between 1st and 2nd dots, else before 1st dot,
+    * else whole string. `normFactor` is the ranker's length normalization
+    * with the ISR docLength (+1 on the chunk's first doc, isr.h:131) over
+    * avgdl = totalPosts / 200 (the CONFIGURED capacity, ranker.h:802-804).
+    */
+  private def duckRefLateral(words: Seq[String]): String = {
+    val tcnt = words.map(w =>
+      s"(CASE WHEN list_contains(m.title_kept, '$w') THEN 1 ELSE 0 END)")
+      .mkString(" +\n         ")
+    s"""CROSS JOIN LATERAL (
+       |  SELECT (d.doc_length + CASE WHEN d.doc_id = cs.first_doc THEN 1 ELSE 0 END)
+       |           / (cs.total_posts / 200.0) / 10.0 AS norm_factor,
+       |         CASE WHEN strpos(u2, '.') = 0 THEN u2
+       |              WHEN strpos(substr(u2, strpos(u2, '.') + 1), '.') > 0
+       |              THEN substr(u2, strpos(u2, '.') + 1,
+       |                          strpos(substr(u2, strpos(u2, '.') + 1), '.') - 1)
+       |              ELSE substr(u2, 1, strpos(u2, '.') - 1) END AS dom,
+       |         strpos(u2, '/') = 0 AND
+       |           len(regexp_extract_all(u2, '\\.')) <= 1 AS homepage,
+       |         $tcnt AS tcnt
+       |  FROM (SELECT CASE WHEN substr(m.url, 9) LIKE 'www.%'
+       |               THEN substr(m.url, 13) ELSE substr(m.url, 9) END AS u2)
+       |) x""".stripMargin
+  }
+
+  /** StaticRank as SQL (ranker.h:396-430; the domain bonus is dead code —
+    * GetDomainName never returns a dot-prefixed string).
+    */
+  private val duckRefStatic =
+    """CAST(CASE WHEN length(m.url) < 40 THEN 30 ELSE 0 END +
+      |            CASE WHEN m.num_title_words < 6 THEN 30 ELSE 0 END AS BIGINT)""".stripMargin
+
+  /** DynamicTitleRank thresholds (ranker.h:653-681) over x.tcnt. */
+  private val duckRefTitle =
+    """CAST(CASE WHEN m.num_title_words > 0 AND x.tcnt * 1.0 / m.num_title_words >= 1.0 THEN 250
+      |                 WHEN m.num_title_words > 0 AND x.tcnt * 1.0 / m.num_title_words >= 0.74 THEN 90
+      |                 WHEN m.num_title_words > 0 AND x.tcnt * 1.0 / m.num_title_words >= 0.49 THEN 70
+      |                 WHEN m.num_title_words > 0 AND x.tcnt * 1.0 / m.num_title_words >= 0.24 THEN 35
+      |                 WHEN m.num_title_words > 0 AND x.tcnt * 1.0 / m.num_title_words >= 0.05 THEN 10
+      |                 ELSE 0 END AS BIGINT)""".stripMargin
+
+  /** Single-term body rank + occurrence CTEs for the query word 'dup'
+    * (ranker.h:434-551 collapses, for n = 1, to: one span hit per
+    * occurrence — every hit is a shortSpan, plus a nearTop when the
+    * location is inside the first 100 of the doc — and the final /3).
+    * nearTop uses title-inclusive positions; the chunk's first doc has
+    * docStart 0 instead of 1 (isr.h:131), shifting its window by one.
+    */
+  private val duckRefOcc =
+    """occ AS (
+      |  SELECT t.doc_id, count(*) AS n_occ,
+      |         sum(CASE WHEN m.title_kept_n + t.pos <=
+      |                       CASE WHEN d.doc_id = cs.first_doc THEN 99 ELSE 100 END
+      |             THEN 1 ELSE 0 END) AS n_neartop
+      |  FROM toks t
+      |  JOIN docmeta m USING (doc_id)
+      |  JOIN doclen d USING (doc_id)
+      |  JOIN chunkstat cs ON cs.chunk = d.chunk
+      |  WHERE t.term = 'dup'
+      |  GROUP BY 1
+      |),
+      |tfc AS (SELECT d.chunk, count(*) AS tf FROM toks t JOIN doclen d USING (doc_id)
+      |        WHERE t.term = 'dup' GROUP BY 1)""".stripMargin
+
+  private val duckRefBodyRaw = "(least(o.n_occ, 20) * 2 + o.n_neartop * 3) // 3"
+
+  /** InsertionSort step (ranker.h:103-158) over a slot list kept as the
+    * nonzero prefix (scores are strictly positive for this corpus, so the
+    * zero-slot quirks never fire), sorted descending with ties in
+    * insertion order: slot-30 gate, dup-URL / (title, score) drops, insert
+    * after ties, truncate to 30.
+    */
+  private def duckRefIns(slots: String, d: String): String =
+    s"""CASE
+       |    WHEN len($slots) = 30 AND $slots[30].score > ($d).score THEN $slots
+       |    WHEN len(list_filter($slots, zz -> zz.url = ($d).url OR
+       |             (zz.title = ($d).title AND zz.score = ($d).score))) > 0 THEN $slots
+       |    ELSE list_slice(
+       |           list_concat(
+       |             list_filter($slots, zz -> zz.score >= ($d).score),
+       |             list_concat([$d], list_filter($slots, zz -> zz.score < ($d).score))),
+       |           1, 30)
+       |  END""".stripMargin
+
+  private val duckSlotType =
+    "STRUCT(title VARCHAR, url VARCHAR, score BIGINT, doc_id BIGINT)[]"
+
   private val duckEmbParts =
     """WITH parts AS (
       |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
@@ -126,12 +261,41 @@ object SparkEntry {
         .toDF("doc_id", "score")
     }),
 
-    // ---- RefScore search (not SQL-expressible; rows-only check) ----
+    // ---- RefScore search through the real engine, fully DuckDB-checked.
+    // Three angles (ranker.h semantics re-derived in SQL from the raw
+    // documents table, including the quirks: first-doc-of-chunk
+    // docStart/docLength sync-seek off-by-one, integer divisions,
+    // insertion-sort dedup):
+    //  - q_ref_scores: single-term query -> every candidate's FULL
+    //    component breakdown and total (single-term body rank is closed
+    //    form: occurrence count + near-top count, /3, length norm);
+    //  - q_ref_candidates: multi-term conjunctive walk -> candidate set +
+    //    the SQL-expressible components (static/url/title);
+    //  - q_ref_topk: the end-to-end top-30 for the single-term query —
+    //    the oracle replays InsertionSort (dup-URL / (title,score) drops,
+    //    eviction) with a recursive CTE.
+    "q_ref_scores" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new SearchEngine(s, indexDir(s, dir), chunkCapacity = 200)
+      engine.searchDebug("dup")
+        .map(h => (h.chunk, h.docId, h.sStatic, h.sUrl, h.sTitle,
+          h.sBodyRaw, h.sBody, h.dynamicWeight, h.total))
+        .toDF("chunk", "doc_id", "s_static", "s_url", "s_title",
+          "s_body_raw", "s_body", "dyn_weight", "total")
+    }),
+    "q_ref_candidates" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new SearchEngine(s, indexDir(s, dir), chunkCapacity = 200)
+      engine.searchDebug("spark merge sort")
+        .map(h => (h.chunk, h.docId, h.sStatic, h.sUrl, h.sTitle))
+        .toDF("chunk", "doc_id", "s_static", "s_url", "s_title")
+    }),
     "q_ref_topk" -> ((s, dir) => {
       import s.implicits._
       val engine = new SearchEngine(s, indexDir(s, dir), chunkCapacity = 200)
-      engine.search("spark merge sort")
-        .map(h => (h.docId, h.score, h.url)).toDF("doc_id", "score", "url")
+      engine.search("dup").zipWithIndex
+        .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
+        .toDF("slot", "doc_id", "score", "url")
     }),
 
     // ---- dedup family ----
@@ -144,6 +308,8 @@ object SparkEntry {
     // so a production-style 0.95 would make the check vacuous
     "q_embed_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(embDf(s, dir), threshold = 0.35)),
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupsLsh(embDf(s, dir), threshold = 0.35, nBits = 5)),
 
     // ---- similarity search ----
     "q_ann_brute" -> ((s, dir) =>
@@ -229,6 +395,163 @@ object SparkEntry {
         |SELECT doc_id, round(raw, 4) AS score FROM scores
         |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
 
+      // ---- RefScore oracles: ranker.h semantics re-derived from the raw
+      // documents table (see duckRef* helpers). The url>=10 filter and the
+      // 999-candidate cap are both structurally dead for this corpus
+      // (min url length 33, max 200 candidates/chunk), so their relative
+      // order is unobservable; both are still expressed.
+      "q_ref_scores" -> (duckRefBase + ",\n" + duckRefOcc + s""",
+        |cand AS (
+        |  SELECT o.doc_id,
+        |         row_number() OVER (PARTITION BY d.chunk ORDER BY o.doc_id) AS rn
+        |  FROM occ o JOIN doclen d USING (doc_id)
+        |),
+        |scored AS (
+        |  SELECT d.chunk, d.doc_id,
+        |         $duckRefStatic AS s_static,
+        |         CAST(CASE WHEN x.dom = 'dup' THEN
+        |                CASE WHEN x.homepage THEN 250 ELSE 70 END * 2
+        |              ELSE 0 END AS BIGINT) AS s_url,
+        |         $duckRefTitle AS s_title,
+        |         CAST($duckRefBodyRaw AS BIGINT) AS s_body_raw,
+        |         CAST(CASE WHEN x.norm_factor > 1
+        |              THEN trunc(($duckRefBodyRaw) / x.norm_factor)
+        |              ELSE $duckRefBodyRaw END AS BIGINT) AS s_body,
+        |         CAST(CASE WHEN cs.total_posts // tfc.tf > 100000
+        |              THEN 15 ELSE 10 END AS BIGINT) AS dyn_weight
+        |  FROM occ o
+        |  JOIN cand c ON c.doc_id = o.doc_id
+        |  JOIN doclen d ON d.doc_id = o.doc_id
+        |  JOIN docmeta m ON m.doc_id = o.doc_id
+        |  JOIN chunkstat cs ON cs.chunk = d.chunk
+        |  JOIN tfc ON tfc.chunk = d.chunk
+        |  ${duckRefLateral(Seq("dup"))}
+        |  WHERE c.rn <= 999 AND length(m.url) >= 10
+        |)
+        |SELECT chunk, doc_id, s_static, s_url, s_title, s_body_raw, s_body, dyn_weight,
+        |       CAST(10 * s_static + dyn_weight * (s_body + s_title + s_url) AS BIGINT) AS total
+        |FROM scored""".stripMargin),
+
+      "q_ref_candidates" -> (duckRefBase + s""",
+        |tfc AS (
+        |  SELECT d.chunk, t.term, count(*) AS tf
+        |  FROM toks t JOIN doclen d USING (doc_id)
+        |  WHERE t.term IN ('spark', 'merge', 'sort') GROUP BY 1, 2
+        |),
+        |okchunk AS (
+        |  SELECT chunk,
+        |         CASE WHEN min(CASE WHEN term = 'spark' THEN tf END) <=
+        |                   least(min(CASE WHEN term = 'merge' THEN tf END),
+        |                         min(CASE WHEN term = 'sort' THEN tf END)) THEN 0
+        |              WHEN min(CASE WHEN term = 'merge' THEN tf END) <=
+        |                   min(CASE WHEN term = 'sort' THEN tf END) THEN 1
+        |              ELSE 2 END AS rarest_idx
+        |  FROM tfc GROUP BY chunk HAVING count(DISTINCT term) = 3
+        |),
+        |cand AS (
+        |  SELECT d.chunk, t.doc_id,
+        |         row_number() OVER (PARTITION BY d.chunk ORDER BY t.doc_id) AS rn
+        |  FROM toks t JOIN doclen d USING (doc_id)
+        |  JOIN okchunk USING (chunk)
+        |  WHERE t.term IN ('spark', 'merge', 'sort')
+        |  GROUP BY 1, 2 HAVING count(DISTINCT t.term) = 3
+        |)
+        |SELECT c.chunk, c.doc_id,
+        |       $duckRefStatic AS s_static,
+        |       CAST(CASE WHEN x.dom = 'spark' THEN
+        |              CASE WHEN x.homepage THEN 250 ELSE 70 END *
+        |              CASE WHEN o.rarest_idx = 0 THEN 2 ELSE 1 END
+        |            WHEN x.dom = 'merge' THEN
+        |              CASE WHEN x.homepage THEN 250 ELSE 70 END *
+        |              CASE WHEN o.rarest_idx = 1 THEN 2 ELSE 1 END
+        |            WHEN x.dom = 'sort' THEN
+        |              CASE WHEN x.homepage THEN 250 ELSE 70 END *
+        |              CASE WHEN o.rarest_idx = 2 THEN 2 ELSE 1 END
+        |            ELSE 0 END AS BIGINT) AS s_url,
+        |       $duckRefTitle AS s_title
+        |FROM cand c
+        |JOIN docmeta m ON m.doc_id = c.doc_id
+        |JOIN doclen d ON d.doc_id = c.doc_id
+        |JOIN chunkstat cs ON cs.chunk = c.chunk
+        |JOIN okchunk o ON o.chunk = c.chunk
+        |${duckRefLateral(Seq("spark", "merge", "sort"))}
+        |WHERE c.rn <= 999 AND length(m.url) >= 10""".stripMargin),
+
+      // Two-stage InsertionSort replay: per-chunk top-30 in candidate
+      // (docId) order, then the cross-chunk merge re-inserting each
+      // chunk's slots in (chunk, slot) order — both as recursive CTEs
+      // stepping duckRefIns over the slot list.
+      "q_ref_topk" -> (duckRefBase + s""",
+        |twords AS (
+        |  SELECT doc_id, w, i,
+        |         coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM (SELECT doc_id, unnest(title_kept) AS w,
+        |               generate_subscripts(title_kept, 1) AS i FROM docmeta)
+        |),
+        |titles AS (
+        |  SELECT m.doc_id, coalesce(string_agg(tw.w, ' ' ORDER BY tw.i), '') AS title
+        |  FROM docmeta m
+        |  LEFT JOIN twords tw ON tw.doc_id = m.doc_id
+        |   AND tw.i < coalesce((SELECT min(i) FROM twords b
+        |                        WHERE b.doc_id = m.doc_id AND b.cum + length(b.w) >= 50),
+        |                       2147483647)
+        |  GROUP BY m.doc_id
+        |),
+        |${duckRefOcc},
+        |scored AS (
+        |  SELECT d.chunk, d.doc_id, m.url, ti.title,
+        |         CAST(10 * ($duckRefStatic)
+        |              + (CASE WHEN cs.total_posts // tfc.tf > 100000 THEN 15 ELSE 10 END) *
+        |                (CASE WHEN x.norm_factor > 1
+        |                      THEN trunc(($duckRefBodyRaw) / x.norm_factor)
+        |                      ELSE $duckRefBodyRaw END
+        |                 + $duckRefTitle
+        |                 + CASE WHEN x.dom = 'dup' THEN
+        |                     CASE WHEN x.homepage THEN 250 ELSE 70 END * 2 ELSE 0 END)
+        |              AS BIGINT) AS score
+        |  FROM occ o
+        |  JOIN doclen d ON d.doc_id = o.doc_id
+        |  JOIN docmeta m ON m.doc_id = o.doc_id
+        |  JOIN titles ti ON ti.doc_id = o.doc_id
+        |  JOIN chunkstat cs ON cs.chunk = d.chunk
+        |  JOIN tfc ON tfc.chunk = d.chunk
+        |  ${duckRefLateral(Seq("dup"))}
+        |  WHERE length(m.url) >= 10
+        |),
+        |cands AS (
+        |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY chunk) AS cnt
+        |  FROM scored QUALIFY rn <= 999
+        |),
+        |rec1 AS (
+        |  SELECT chunk, 0 AS n, least(cnt, 999) AS cnt,
+        |         CAST([] AS $duckSlotType) AS slots
+        |  FROM (SELECT DISTINCT chunk, cnt FROM cands)
+        |  UNION ALL
+        |  SELECT r.chunk, r.n + 1, r.cnt,
+        |         ${duckRefIns("r.slots",
+                    "struct_pack(title := c.title, url := c.url, " +
+                    "score := c.score, doc_id := c.doc_id)")} AS slots
+        |  FROM rec1 r JOIN cands c ON c.chunk = r.chunk AND c.rn = r.n + 1
+        |),
+        |chunktop AS (SELECT chunk, slots FROM rec1 WHERE n = cnt),
+        |gseq AS (
+        |  SELECT s, row_number() OVER (ORDER BY chunk, slot) AS rn
+        |  FROM (SELECT chunk, unnest(slots) AS s,
+        |               generate_subscripts(slots, 1) AS slot FROM chunktop)
+        |),
+        |rec2 AS (
+        |  SELECT 0 AS n, CAST([] AS $duckSlotType) AS slots
+        |  UNION ALL
+        |  SELECT r.n + 1, ${duckRefIns("r.slots", "g.s")} AS slots
+        |  FROM rec2 r JOIN gseq g ON g.rn = r.n + 1
+        |)
+        |SELECT CAST(i - 1 AS BIGINT) AS slot, f.s.doc_id AS doc_id,
+        |       f.s.score AS score, f.s.url AS url
+        |FROM (SELECT unnest(slots) AS s, generate_subscripts(slots, 1) AS i
+        |      FROM rec2 WHERE n = (SELECT count(*) FROM gseq)) f""".stripMargin),
+
       "q_dedup_exact" -> """
         |SELECT sha256(text) AS content_sha, count(*) AS n_docs,
         |       min(doc_id) AS keep_doc_id
@@ -280,6 +603,31 @@ object SparkEntry {
         |         sum(x.v * y.v) AS dot,
         |         sqrt(sum(x.v * x.v)) AS na, sqrt(sum(y.v * y.v)) AS nb
         |  FROM parts x JOIN parts y ON x.dim = y.dim AND x.vec_id < y.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
+        |FROM j WHERE round(dot / (na * nb), 6) >= 0.35""".stripMargin),
+
+      "q_embed_neardup_lsh" -> (duckEmbParts + """
+        |, signed AS (
+        |  SELECT vec_id, plane,
+        |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
+        |                 THEN 1.0 ELSE -1.0 END) AS proj
+        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(5) t(i))
+        |  GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM signed GROUP BY 1),
+        |prs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |j AS (
+        |  SELECT p.vec_a, p.vec_b, sum(x.v * y.v) AS dot,
+        |         sqrt(sum(x.v * x.v)) AS na, sqrt(sum(y.v * y.v)) AS nb
+        |  FROM prs p
+        |  JOIN parts x ON x.vec_id = p.vec_a
+        |  JOIN parts y ON y.vec_id = p.vec_b AND y.dim = x.dim
         |  GROUP BY 1, 2)
         |SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
         |FROM j WHERE round(dot / (na * nb), 6) >= 0.35""".stripMargin),

@@ -90,6 +90,57 @@ object StreamingIngest {
       }
   }
 
+  /** Production-shape sessionization: event-time timeout + watermark.
+    * Sessions are emitted when the WATERMARK (not the wall clock) passes
+    * `last event + gapSeconds`, so results are deterministic under replay
+    * and independent of processing speed; events arriving more than
+    * `lateness` behind the max seen event time are dropped by the
+    * watermark filter (FlatMapGroupsWithStateExec filters late input rows
+    * under EventTimeTimeout) and can neither extend nor resurrect a
+    * session. This is what [[sessionize]]'s doc comment promises for
+    * production; the ProcessingTimeTimeout variant stays for bounded
+    * wall-clock tests.
+    */
+  def sessionizeEventTime(events: Dataset[Event], gapSeconds: Long = 1800,
+                          lateness: String = "10 minutes") = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.last <= gapSeconds =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout fires once watermark > this; input rows are never
+              // below the watermark here, so last + gap is always ahead
+              state.setTimeoutTimestamp((s.last + gapSeconds) * 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Batch-mode wrapper for tests: sessionize a static events table with
     * identical semantics (same fold, no state timeout), so streaming
     * session splits can be golden-checked against a plain computation.

@@ -32,7 +32,20 @@ object SearchDemo {
     }
     // "bm25:" prefix routes to the BM25/WAND engine; "bm25and:" to the
     // conjunctive leapfrog path
-    if (query.startsWith("bm25:") || query.startsWith("bm25and:")) {
+    if (query.startsWith("debug:")) {
+      // per-candidate DebugScore breakdown (the reference prints this from
+      // tests/testQuery.cpp:47-61) — the rank-divergence field diagnostic
+      val engine = new SearchEngine(spark, indexDir, chunkDocs)
+      val q = query.substring(query.indexOf(':') + 1)
+      val hits = engine.searchDebug(q)
+      println(s"""Debug: "$q" -> ${hits.size} scored candidates""")
+      println(f"${"chunk"}%5s ${"docId"}%6s ${"static"}%6s ${"url"}%4s " +
+        f"${"title"}%5s ${"bodyRaw"}%7s ${"body"}%5s ${"dynW"}%4s ${"total"}%6s")
+      hits.foreach { h =>
+        println(f"${h.chunk}%5d ${h.docId}%6d ${h.sStatic}%6d ${h.sUrl}%4d " +
+          f"${h.sTitle}%5d ${h.sBodyRaw}%7d ${h.sBody}%5d ${h.dynamicWeight}%4d ${h.total}%6d")
+      }
+    } else if (query.startsWith("bm25:") || query.startsWith("bm25and:")) {
       val engine = new graft.engine.Bm25Engine(spark, indexDir)
       val mode = if (query.startsWith("bm25and:")) engine.And else engine.Or
       val q = query.substring(query.indexOf(':') + 1)

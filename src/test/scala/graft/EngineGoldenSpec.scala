@@ -85,6 +85,55 @@ class EngineGoldenSpec extends AnyFunSuite {
     assert(engine.searchPage("spark merge sort", 5).isEmpty)
   }
 
+  test("searchDebug breakdown is golden-identical to RefOracle (DebugScore)") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val docs = src.collect().toSeq
+    val out = SparkTestBase.tempDir("graft-debug")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val engine = new SearchEngine(spark, out, 200)
+    Seq("dup", "spark merge sort", "spark OR dup").foreach { q =>
+      val got = engine.searchDebug(q)
+        .map(h => (h.chunk, h.docId, h.sStatic, h.sUrl, h.sTitle, h.sBodyRaw,
+          h.sBody, h.dynamicWeight, h.total))
+      val want = RefOracle.searchDebug(docs, q, 200)
+        .sortBy { case (c, d) => (c, d.docId) }
+        .map { case (c, d) => (c, d.docId, d.sStatic, d.sUrl, d.sTitle,
+          d.sBodyRaw, d.sBody, d.dynamicWeight, d.total) }
+      assert(got === want, s"query [$q]")
+      assert(got.nonEmpty, s"query [$q] produced no candidates")
+    }
+  }
+
+  test("T3: exactly 999 candidates scored at the per-chunk cap boundary") {
+    // a single chunk with 1,100 matching docs: the reference loop
+    // (ranker.h:756-765) post-increments numDocsFound in the while
+    // condition and breaks BEFORE scoring once it reaches 1000, so docs
+    // 0..998 are scored and 999..1099 are not — on both engines.
+    import spark.implicits._
+    val docs = (0 until 1100).map { i =>
+      IdDoc(i.toLong, s"org${i % 7}/proj${i % 7}", s"cap/doc$i.txt",
+        f"c$i%08d", "txt",
+        // vary occurrence count and length so scores are not uniform
+        ("capword " * (1 + i % 4)) + ("filler " * (i % 9)))
+    }
+    val out = SparkTestBase.tempDir("graft-cap")
+    IndexBuilder.build(spark, spark.createDataset(docs), out,
+      IndexBuilder.BuildConfig(chunkDocs = 2000))
+    val engine = new SearchEngine(spark, out, 2000)
+
+    val dbg = engine.searchDebug("capword")
+    assert(dbg.size === 999)
+    assert(dbg.map(_.docId) === (0L until 999L))
+    val oracle = RefOracle.searchDebug(docs, "capword", 2000)
+    assert(oracle.size === 999)
+    assert(dbg.map(h => (h.docId, h.total)) ===
+      oracle.map { case (_, d) => (d.docId, d.total) })
+
+    // end-to-end: the capped candidate walk feeds the same top-30
+    assert(engine.search("capword").map(h => (h.docId, h.score)) ===
+      RefOracle.search(docs, "capword", 2000).map(h => (h.docId, h.score)))
+  }
+
   test("chunk pruning returns nothing when a term is missing everywhere") {
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     val out = SparkTestBase.tempDir("graft-prune")

@@ -48,6 +48,54 @@ class StreamingSpec extends AnyFunSuite {
       Seq((1L, 1000L, 1100L, 2L, 3.0), (1L, 5000L, 5000L, 1L, 3.0), (2L, 1000L, 1000L, 1L, 1.0)))
   }
 
+  test("event-time sessionization: watermark closes sessions, late events dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, t: Long, v: Double) =
+      StreamingIngest.Event(u, new java.sql.Timestamp(t * 1000), "click", v)
+
+    val input = MemoryStream[StreamingIngest.Event]
+    val sessions = StreamingIngest.sessionizeEventTime(
+      input.toDS(), gapSeconds = 1800, lateness = "600 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("evsess").start()
+    def drain(): Unit = q.processAllAvailable()
+    def emitted(): Seq[(Long, Long, Long, Long, Double)] =
+      spark.sql("SELECT * FROM evsess").as[StreamingIngest.Session]
+        .collect().map(s => (s.user_id, s.start_ts, s.end_ts, s.n_events, s.total_value))
+        .sortBy(t => (t._1, t._2)).toSeq
+
+    // batch 1: one session forming for user 1; user 99 is the "clock"
+    input.addData(ev(1, 1000, 1.0), ev(1, 1100, 2.0), ev(99, 1000, 0.0))
+    drain()
+    assert(emitted().isEmpty) // watermark still at 0 -> nothing closed
+
+    // batch 2 advances the max event time to 10000s -> watermark becomes
+    // 9400s after the batch; batch 3 then fires user 1's timeout
+    // (1100 + 1800 = 2900s < 9400s)
+    input.addData(ev(99, 10000, 0.0))
+    drain()
+    input.addData(ev(99, 10001, 0.0))
+    drain()
+    // (the clock user's own first session closes too, via the batch fold)
+    assert(emitted().filter(_._1 == 1L) === Seq((1L, 1000L, 1100L, 2L, 3.0)))
+
+    // late event for user 1 at 1200s, far below the 9400s watermark:
+    // dropped by the watermark filter -- it must not resurrect a session
+    input.addData(ev(1, 1200, 5.0))
+    drain()
+    // advance the clock so any (incorrect) resurrected state would time out
+    input.addData(ev(99, 20000, 0.0))
+    drain()
+    input.addData(ev(99, 20001, 0.0))
+    drain()
+    val after = emitted()
+    assert(after.count(_._1 == 1L) === 1, s"late event resurrected a session: $after")
+
+    q.stop()
+  }
+
   test("streaming windowed aggregation over events parquet (memory sink)") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val srcDir = SparkTestBase.tempDir("stream-ev")
