@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analysis.{Dedup, Similarity}
+
+/** Scale-shape guarantees of the dedup family: the pathological corpora a
+  * web-scale pipeline actually hits (mega-clusters of identical docs,
+  * planted near-twin embeddings) must stay sub-quadratic through the
+  * guarded paths while keeping the exhaustive-path semantics.
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("1k identical docs: exact-first near-dup stays sub-quadratic (LSH guard)") {
+    import spark.implicits._
+    // the common web pathology: one mega-cluster of M identical documents
+    // plus a handful of distinct near-dup texts. Naive LSH would put all M
+    // in one band bucket and materialize M^2/2 ~ 500k candidate pairs.
+    val mega = (0 until 1000).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+    val near = Seq(
+      (2000L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of mega text
+      (2001L, "one two three four five six seven eight"),
+      (2002L, "one two three four five six seven nine"))         // near-dup of 2001
+    val docs = (mega ++ near).toDF("doc_id", "text")
+
+    // the guard collapses the mega-cluster to one representative: the
+    // candidate join sees 4 docs, not 1003
+    val reps = docs.join(
+      Dedup.exactGroups(docs).select(col("keep_doc_id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    assert(reps.count() === 4) // doc 0 represents the mega-cluster
+
+    val candPairs = Dedup.lshCandidatePairs(reps).count()
+    assert(candPairs <= 6, s"quadratic blowup: $candPairs candidate pairs")
+
+    // semantics: representative pairs above threshold; the mega-cluster's
+    // full membership stays available from exactGroups
+    val pairs = Dedup.nearDuplicatesScalable(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2000L)), s"mega-rep near-dup missing: $pairs")
+    assert(pairs.contains((2001L, 2002L)), s"distinct near-dup missing: $pairs")
+    assert(pairs.forall { case (a, b) => a == 0L || a >= 2000L }, s"non-rep leaked: $pairs")
+    val g = Dedup.exactGroups(docs)
+      .filter(col("keep_doc_id") === 0L).select("n_docs").as[Long].head()
+    assert(g === 1000L)
+  }
+
+  test("planted near-twin embeddings: bucketed LSH finds them without the dim join") {
+    import spark.implicits._
+    // seeded base vectors + two planted twins: an exact scaled copy
+    // (cosine 1.0 -> identical SRP signs -> same bucket, guaranteed) and a
+    // tiny-perturbation near-twin
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }
+    val v0 = base.head._2
+    val planted = Seq(
+      (100L, v0.map(_ * 2f)),                                  // cosine(0, 100) = 1.0
+      (101L, v0.zipWithIndex.map { case (x, i) =>              // cosine ~ 0.999
+        if (i == 0) x + 0.01f else x }))
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+
+    val lsh = Dedup.embeddingNearDupsLsh(emb, threshold = 0.95, nBits = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(lsh.contains((0L, 100L)), s"scaled twin not found: ${lsh.keys}")
+    assert(lsh((0L, 100L)) === 1.0)
+
+    // LSH pairs are a subset of the exhaustive pairs with identical cosines
+    val full = Dedup.embeddingNearDups(emb, threshold = 0.95)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    lsh.foreach { case (k, c) =>
+      assert(full.contains(k), s"LSH pair $k not in exhaustive set")
+      assert(math.abs(full(k) - c) < 1e-9, s"cosine mismatch for $k")
+    }
+
+    // and the bucketed plan materializes only same-bucket pairs: with the
+    // corpus spread over 2^5 buckets the pair volume is far below C(42,2)
+    val buckets = Similarity.lshBuckets(emb, nBits = 5)
+    val pairVolume = buckets.groupBy("bucket").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).as[Long].head()
+    assert(pairVolume < 42L * 41 / 2, s"buckets degenerate: $pairVolume pairs")
+  }
+}

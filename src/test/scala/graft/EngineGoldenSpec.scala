@@ -134,6 +134,24 @@ class EngineGoldenSpec extends AnyFunSuite {
       RefOracle.search(docs, "capword", 2000).map(h => (h.docId, h.score)))
   }
 
+  test("byte-capped doc broadcast: fallback cogroup path stays rank-identical") {
+    // broadcastDocsBytes = 1 forces the big-index fallback (per-query
+    // chunk-pruned cogroup against the docs table) even though the row
+    // count is tiny — both plan shapes must produce identical rankings
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-bytecap")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val resident = new SearchEngine(spark, out, 200)
+    val fallback = new SearchEngine(spark, out, 200, broadcastDocsBytes = 1L)
+    Seq("dup", "spark merge sort", "spark OR dup", "\"sort merge\"").foreach { q =>
+      val a = resident.search(q).map(h => (h.url, h.score))
+      val b = fallback.search(q).map(h => (h.url, h.score))
+      assert(a === b, s"query [$q]")
+      assert(a.nonEmpty, s"query [$q] vacuous")
+    }
+    assert(resident.searchDebug("dup") === fallback.searchDebug("dup"))
+  }
+
   test("chunk pruning returns nothing when a term is missing everywhere") {
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     val out = SparkTestBase.tempDir("graft-prune")
