@@ -317,6 +317,8 @@ object SparkEntry {
     "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir), nBits = 5)),
     "q_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
+    "q_ann_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.lshTopKMultiProbe(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
 
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docsDf(s, dir))),
@@ -667,6 +669,32 @@ object SparkEntry {
         |cand AS (
         |  SELECT b.vec_id FROM buckets b
         |  JOIN (SELECT bucket FROM buckets WHERE vec_id = 0) qb USING (bucket)),
+        |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+        |  FROM parts p JOIN cand USING (vec_id) JOIN q USING (dim) GROUP BY 1),
+        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+        |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
+        |FROM cos CROSS JOIN nq WHERE vec_id <> 0
+        |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
+      "q_ann_lsh_multiprobe" -> (duckEmbParts + """
+        |, signed AS (
+        |  SELECT vec_id, plane,
+        |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
+        |                 THEN 1.0 ELSE -1.0 END) AS proj
+        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(5) t(i))
+        |  GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id,
+        |         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM signed GROUP BY 1),
+        |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT DISTINCT xor(qb.bucket, CAST(pow(2, i) AS BIGINT)) AS bucket
+        |  FROM qb CROSS JOIN range(5) t(i)
+        |  UNION SELECT bucket FROM qb),
+        |cand AS (SELECT b.vec_id FROM buckets b JOIN probes USING (bucket)),
         |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
         |cos AS (
         |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv

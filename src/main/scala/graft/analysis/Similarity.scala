@@ -85,4 +85,30 @@ object Similarity {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }
+
+  /** Multi-probe LSH ANN: candidates come from the query's bucket PLUS
+    * every bucket at Hamming distance 1 (each of the nBits sign bits
+    * flipped) — the standard recall/cost point for SRP-LSH (Lv et al.,
+    * VLDB'07 multi-probe): a near neighbor that lands just across one
+    * hyperplane is recovered for (nBits+1)/2^nBits of the corpus scanned
+    * instead of a full-recall exhaustive pass. Still one broadcast of a
+    * tiny probe-bucket list + one equi-join; wider radii expand the flip
+    * combinations, same plan shape.
+    */
+  def lshTopKMultiProbe(emb: DataFrame, queryId: Long, k: Int,
+                        nBits: Int = 8): DataFrame = {
+    val buckets = lshBuckets(emb, nBits)
+    val qb = buckets.filter(col("vec_id") === queryId).select(col("bucket"))
+    val flips = emb.sparkSession.range(nBits)
+      .select(expr("CAST(pow(2, id) AS BIGINT)").as("flip"))
+    val probes = qb.crossJoin(flips)
+      .select(col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+      .unionByName(qb).distinct()
+    val candidates = buckets.join(broadcast(probes), Seq("bucket"))
+      .select(col("vec_id"))
+    cosineToQuery(emb.join(candidates, Seq("vec_id")), queryId)
+      .filter(col("vec_id") =!= queryId)
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
 }

@@ -49,6 +49,15 @@ object PlanAudit {
         .groupBy($"term").agg(sum($"df"))
     }
 
+    section("bm25 metadata lookup: chunk partition pruning + docId pushdown") {
+      // mirrors Bm25Engine.search's final-k resolve: the derived chunk
+      // predicate must appear as PartitionFilters (only hit chunks'
+      // directories opened), docId as PushedFilters
+      IndexStore.readDocs(spark, out).toDF()
+        .filter($"chunk".isin(0L, 2L) && $"docId".isin(5L, 410L))
+        .select($"docId", $"url", $"title")
+    }
+
     section("stats read is column-pruned (no blob)") {
       IndexStore.readPostings(spark, out).toDF().groupBy($"chunk")
         .agg(count(lit(1)).as("uniqueTerms"))

@@ -59,6 +59,24 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("similarity: multi-probe LSH dominates single-probe recall") {
+    // probing the Hamming-1 neighbor buckets can only ADD candidates, so
+    // at every rank position the multi-probe cosine is >= the single-probe
+    // cosine, and its candidate pool contains the single-probe pool
+    val single = Similarity.lshTopK(emb, 0L, 10, nBits = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val multi = Similarity.lshTopKMultiProbe(emb, 0L, 10, nBits = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(multi.length >= single.length)
+    single.zip(multi).foreach { case ((_, cs), (_, cm)) =>
+      assert(cm >= cs, s"rank slipped: single=$cs multi=$cm")
+    }
+    // cosines agree with brute force wherever both rank a vector
+    val brute = Similarity.bruteForceTopK(emb, 0L, 500).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    multi.foreach { case (id, c) => brute.get(id).foreach(b => assert(b === c)) }
+  }
+
   test("langId picks en for stopword-rich english text") {
     import spark.implicits._
     val d = Seq((1L, "the cat and the dog in a house"),
