@@ -325,6 +325,7 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextAnalysis.quality(docsDf(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docsDf(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docsDf(s, dir))),
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docsDf(s, dir))),
 
     // ---- multimodal plumbing (decode stubbed; metadata is real) ----
     "q_multimodal_meta" -> ((s, dir) => Multimodal.metaSql(docsDf(s, dir))),
@@ -753,6 +754,20 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN (SELECT doc_id, min(md5(shingle)) AS fp FROM sh GROUP BY 1) f
         |  USING (doc_id)""".stripMargin),
+
+      "q_repetition" -> (duckToks + duckShingles + """
+        |, per AS (
+        |  SELECT doc_id, shingle, count(*) AS cnt FROM sh GROUP BY 1, 2),
+        |per_doc AS (
+        |  SELECT doc_id, sum(cnt) AS n_shingles, count(*) AS n_distinct,
+        |         max(cnt) AS top_n
+        |  FROM per GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |       CAST(coalesce(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+        |       round(coalesce(1.0 - p.n_distinct * 1.0 / p.n_shingles, 0.0), 6) AS dup_ratio,
+        |       round(coalesce(p.top_n * 1.0 / p.n_shingles, 0.0), 6) AS top_share
+        |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin),
 
       "q_multimodal_meta" -> """
         |SELECT doc_id,

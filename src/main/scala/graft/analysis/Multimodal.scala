@@ -11,15 +11,29 @@ case class BinaryMeta(doc_id: Long, kind: String, n_bytes: Long,
                       header_hex: String, width: Int, height: Int,
                       payload_sha: String)
 
+/** Decoded image record: dimensions + per-channel means (the canonical
+  * cheap feature vector slice).
+  */
+case class ImageMeta(doc_id: Long, width: Int, height: Int,
+                     mean_r: Double, mean_g: Double, mean_b: Double)
+
+/** Decoded audio record: PCM header fields + RMS amplitude. */
+case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                     bits: Int, n_samples: Long, duration_ms: Double,
+                     rms: Double)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
   * The Spark side is real — schema, partitioning, batch iteration, and
   * the metadata contract are what a production pipeline needs. The codec
-  * step is STUBBED: this container has no image/audio libraries, so
-  * [[StubDecoder]] derives deterministic fake dimensions from the payload
-  * header instead of actually decoding pixels. Swap [[Decoder]]
-  * implementations to plug in a real codec; everything else is unchanged.
+  * step is REAL where the JVM provides one with no external deps:
+  * PNG decode / resize / channel-mean features via `javax.imageio`
+  * (java.desktop, headless-safe raster ops only), and WAV/PCM parse +
+  * RMS via a hand-rolled RIFF reader. [[StubDecoder]] remains the
+  * documented stand-in for formats with no in-container codec (video
+  * frame-sampling); swap [[Decoder]] implementations to plug one in —
+  * everything else is unchanged.
   */
 object Multimodal {
 
@@ -41,6 +55,218 @@ object Multimodal {
       val b1 = if (payload.length > 1) payload(1) & 0xFF else 0
       (1 + b0 % 64, 1 + b1 % 64)
     }
+  }
+
+  /** REAL image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG — the
+    * java.desktop module ships the codecs; raster-only, headless-safe).
+    */
+  object ImageIoDecoder extends Decoder {
+    def decode(payload: Array[Byte]): (Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) (0, 0) else (img.getWidth, img.getHeight)
+    }
+  }
+
+  /** Deterministic pixel generator shared by the synthetic corpus and the
+    * specs: seeded LCG over sha256(text) -> (width, height, argb(x, y)).
+    */
+  private[graft] def imageSpec(textSha: Array[Byte]): (Int, Int, (Int, Int) => Int) = {
+    val w = 1 + (textSha(0) & 0x3F)
+    val h = 1 + (textSha(1) & 0x3F)
+    val seed = java.nio.ByteBuffer.wrap(textSha, 2, 8).getLong
+    val argb = (x: Int, y: Int) => {
+      var s = seed ^ (x * 2654435761L + y * 40503L)
+      s = s * 6364136223846793005L + 1442695040888963407L
+      0xFF000000 | (((s >>> 40) & 0xFFFFFF).toInt)
+    }
+    (w, h, argb)
+  }
+
+  /** Deterministic synthetic PNG corpus: per doc, a small seeded RGB
+    * image encoded as real PNG bytes (on the executors, one codec per
+    * partition). Gives the decode/resize/feature operators true image
+    * payloads without external data.
+    */
+  def syntheticPng(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), sha2(col("text"), 256).as("sha"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, shaHex) =>
+          val sha = shaHex.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+          val (w, h, argb) = imageSpec(sha)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, argb(x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, "image", bos.toByteArray)
+        }
+      }.toDF("doc_id", "kind", "payload")
+  }
+
+  /** Real decode + channel-mean features over a binary image column
+    * (mapPartitions batches; ImageIO reader reused per task).
+    */
+  def decodeImages(bin: DataFrame): Dataset[ImageMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          if (img == null) ImageMeta(id, 0, 0, 0, 0, 0)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            val n = (w * h).toDouble
+            ImageMeta(id, w, h, sr / n, sg / n, sb / n)
+          }
+        }
+      }
+  }
+
+  /** Real resize: longest side scaled to `maxDim` (never upscaled),
+    * bilinear, re-encoded as PNG — the canonical pre-training image
+    * normalization step. Output schema matches the input binary column
+    * contract so stages compose.
+    */
+  def resizeImages(bin: DataFrame, maxDim: Int): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("kind"), col("payload"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.map { d =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(d.payload))
+          if (img == null) (d.doc_id, d.kind, d.payload)
+          else {
+            val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+            if (scale >= 1.0) (d.doc_id, d.kind, d.payload)
+            else {
+              val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+              val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+              val out = new java.awt.image.BufferedImage(
+                nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, nw, nh, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              (d.doc_id, d.kind, bos.toByteArray)
+            }
+          }
+        }
+      }.toDF("doc_id", "kind", "payload")
+  }
+
+  /** Deterministic synthetic WAV corpus: 16-bit PCM mono sine, frequency
+    * and length seeded from sha256(text) — real RIFF/WAVE bytes.
+    */
+  def syntheticWav(docs: DataFrame, sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), sha2(col("text"), 256).as("sha"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, shaHex) =>
+          val b0 = Integer.parseInt(shaHex.substring(0, 2), 16)
+          val b1 = Integer.parseInt(shaHex.substring(2, 4), 16)
+          val n = 64 + b0 * 4                      // 64..1084 samples
+          val freq = 100.0 + b1 * 10.0             // Hz
+          val amp = 12000.0
+          val samples = Array.tabulate(n)(i =>
+            math.round(amp * math.sin(2 * math.Pi * freq * i / sampleRate)).toShort)
+          (id, "audio", wavBytes(samples, sampleRate))
+        }
+      }.toDF("doc_id", "kind", "payload")
+  }
+
+  /** Minimal RIFF/WAVE writer: PCM16 mono. */
+  private[analysis] def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                    // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)  // byte rate
+      .putShort(2).putShort(16)                   // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Real WAV/PCM parse (hand-rolled RIFF walk — no libraries): header
+    * fields + RMS amplitude over the PCM16 samples.
+    */
+  def decodeWav(bin: DataFrame): Dataset[AudioMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val bb = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          if (payload.length < 44 ||
+              new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
+              new String(payload, 8, 4, "US-ASCII") != "WAVE")
+            AudioMeta(id, 0, 0, 0, 0L, 0.0, 0.0)
+          else {
+            // chunk walk: find fmt and data wherever they sit
+            var pos = 12
+            var rate = 0; var channels = 0; var bits = 0
+            var dataOff = -1; var dataLen = 0
+            while (pos + 8 <= payload.length) {
+              val cid = new String(payload, pos, 4, "US-ASCII")
+              val clen = bb.getInt(pos + 4)
+              if (clen < 0 || clen > payload.length - pos - 8) pos = payload.length
+              else {
+                if (cid == "fmt ") {
+                  channels = bb.getShort(pos + 10).toInt
+                  rate = bb.getInt(pos + 12)
+                  bits = bb.getShort(pos + 22).toInt
+                } else if (cid == "data") { dataOff = pos + 8; dataLen = clen }
+                pos += 8 + clen + (clen & 1)
+              }
+            }
+            if (dataOff < 0 || bits != 16 || channels < 1)
+              AudioMeta(id, rate, channels, bits, 0L, 0.0, 0.0)
+            else {
+              val n = dataLen / 2
+              var sumSq = 0.0
+              var i = 0
+              while (i < n) {
+                val s = bb.getShort(dataOff + 2 * i).toDouble
+                sumSq += s * s
+                i += 1
+              }
+              val frames = n / channels
+              AudioMeta(id, rate, channels, bits, frames.toLong,
+                frames * 1000.0 / rate, math.sqrt(sumSq / math.max(n, 1)))
+            }
+          }
+        }
+      }
   }
 
   /** Deterministic synthetic binary corpus derived from documents(text):

@@ -129,4 +129,30 @@ object TextAnalysis {
           .agg(min(md5(col("shingle"))).as("fp")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("fp"), md5(lit(""))).as("fingerprint"))
+
+  /** Within-document repetition signals (the Gopher / RefinedWeb-style
+    * quality rules): duplicate 3-gram mass and the heaviest 3-gram's
+    * share. High values flag boilerplate/spam for pre-training filters.
+    * One shuffle (shingle window) + one aggregate; docs with no shingle
+    * report zeros.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    // two-level: per-(doc, shingle) counts, then per-doc stats — keeps the
+    // heaviest-shingle share exact without a collect
+    val perShingle = shingles(docs)
+      .groupBy(col("doc_id"), col("shingle")).agg(count(lit(1)).as("cnt"))
+    val perDoc = perShingle.groupBy(col("doc_id")).agg(
+      sum(col("cnt")).as("n_shingles"),
+      count(lit(1)).as("n_distinct"),
+      max(col("cnt")).as("top_n"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(coalesce(lit(1.0) - col("n_distinct") / col("n_shingles"), lit(0.0)), 6)
+          .as("dup_ratio"),
+        round(coalesce(col("top_n") / col("n_shingles"), lit(0.0)), 6)
+          .as("top_share"))
+  }
 }

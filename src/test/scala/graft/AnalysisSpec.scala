@@ -77,6 +77,20 @@ class AnalysisSpec extends AnyFunSuite {
     multi.foreach { case (id, c) => brute.get(id).foreach(b => assert(b === c)) }
   }
 
+  test("repetition: dup-3gram mass and top-shingle share, hand-computed") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c a b c a b c"),   // 7 shingles: abc x3, bca x2, cab x2
+      (2L, "one two three four"),  // 2 shingles, all distinct
+      (3L, "x y")).toDF("doc_id", "text") // no shingle
+    val out = TextAnalysis.repetition(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L) === ((7L, 3L, math.rint((1.0 - 3.0 / 7) * 1e6) / 1e6, math.rint(3.0 / 7 * 1e6) / 1e6)))
+    assert(out(2L) === ((2L, 2L, 0.0, 0.5)))
+    assert(out(3L) === ((0L, 0L, 0.0, 0.0)))
+  }
+
   test("langId picks en for stopword-rich english text") {
     import spark.implicits._
     val d = Seq((1L, "the cat and the dog in a house"),
