@@ -20,17 +20,23 @@ object IndexBuilder {
     * @param salts      >1 enables the two-level salted aggregation for
     *                   high-df terms: stage 1 aggregates contiguous docId
     *                   range slices, stage 2 concatenates the sorted runs
-    * @param strategy   "sorted" (default): repartition by (chunk, term) +
-    *                   sortWithinPartitions + streaming encode — one
-    *                   Tungsten shuffle of compact rows, bounded memory
-    *                   (one term's postings at a time), no object
-    *                   serialization; "aggregator": the typed Aggregator
+    * @param strategy   "grouped" (default): tokenize emits one row per
+    *                   (doc, term) carrying all positions (map-side
+    *                   grouping is free — every position of the pair is in
+    *                   the same input row), then repartition by
+    *                   (chunk, term) + sortWithinPartitions + streaming
+    *                   encode. ~3x fewer shuffle/sort rows than the flat
+    *                   stream; measured 36% faster on the aggregation
+    *                   stage at 500k docs (BuildProfile). "sorted": the
+    *                   flat Token stream with the same shuffle+sort+encode
+    *                   (whole-stage-codegen tokenize, no objects before
+    *                   the shuffle); "aggregator": the typed Aggregator
     *                   path (partial/final map-side combine — fewer but
     *                   fatter shuffle records; measurably slower at high
     *                   token volume because buffers are object-serialized)
     */
   case class BuildConfig(chunkDocs: Long = GraftConfig.ChunkDocs, salts: Int = 1,
-                         strategy: String = "sorted")
+                         strategy: String = "grouped")
 
   def chunkOf(docId: Long, chunkDocs: Long): Long = docId / chunkDocs
 
@@ -65,6 +71,110 @@ object IndexBuilder {
       .select(col("chunk"), col("col").as("term"), col("docId"),
         (col("pos") + 1).cast("long").as("pos"))
       .as[Token]
+  }
+
+  /** Map-side grouped tokenizer: one row per (doc, term) carrying ALL of
+    * that term's positions in the doc, produced inside the tokenize pass
+    * (every position of a (doc, term) pair lives in the same input row, so
+    * the grouping is free — no extra shuffle). At ~57 tokens/doc over
+    * ~20 distinct terms this cuts the wide shuffle's row count ~3x and the
+    * Tungsten sort's key comparisons with it; positions arrive already
+    * ascending because tokenize order is ascending. ArrayBuilder.ofLong
+    * keeps the position buffers primitive (no boxing; see
+    * memory/graft-env-gotchas.md).
+    */
+  def tokenGroups(docs: Dataset[IdDoc], cfg: BuildConfig): Dataset[TokenGroup] = {
+    import docs.sparkSession.implicits._
+    val chunkDocs = cfg.chunkDocs
+    docs.mapPartitions { it =>
+      it.flatMap { d =>
+        val chunk = chunkOf(d.docId, chunkDocs)
+        val title = Tokenizer.titleTokens(d.path)
+        val body = Tokenizer.bodyTokens(d.content)
+        val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+        var pos = 1L
+        def add(term: String): Unit = {
+          var b = m.get(term)
+          if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofLong; m.put(term, b) }
+          b += pos
+          pos += 1
+        }
+        title.foreach(add)
+        body.foreach(add)
+        val out = new Array[TokenGroup](m.size)
+        val eit = m.entrySet().iterator()
+        var i = 0
+        while (eit.hasNext) {
+          val e = eit.next()
+          out(i) = TokenGroup(chunk, e.getKey, d.docId, e.getValue.result())
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Grouped-row posting build: shuffle the (chunk, term, docId, poss)
+    * groups BY CHUNK ONLY, sort within partitions by (chunk, term, docId),
+    * and stream the encode exactly as [[buildPostingsSorted]] does — the
+    * position arrays drop straight into the codec's per-doc buffers. Must
+    * be blob-identical to the sorted strategy (strategy-equivalence spec).
+    *
+    * Chunk-only partitioning means the OUTPUT is already laid out the way
+    * the persisted table is partitioned (a chunk never splits across
+    * tasks), so [[build]] writes it with partitionBy(chunk) directly: no
+    * second shuffle of the encoded blobs, no cache materialization, no
+    * small-files commit storm (files written = chunks). Parallelism is
+    * capped at the chunk count — thousands at production scale (30k docs
+    * per chunk), and >= the core count for every bench/test corpus here.
+    */
+  def buildPostingsGrouped(groups: Dataset[TokenGroup]): Dataset[PostingRow] = {
+    import groups.sparkSession.implicits._
+    groups.toDF()
+      .repartition(col("chunk"))
+      .sortWithinPartitions(col("chunk"), col("term"), col("docId"))
+      .as[TokenGroup]
+      .mapPartitions { it =>
+        new Iterator[PostingRow] {
+          private val docs = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]
+          private var pending: TokenGroup = _
+          private var nextRow: PostingRow = _
+
+          private def encodeRun(chunk: Long, term: String): PostingRow = {
+            val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(docs)
+            docs.clear()
+            PostingRow(chunk, term, df, tf, blocks, blob)
+          }
+
+          private def advance(): Unit = {
+            nextRow = null
+            if (pending == null && !it.hasNext) return
+            var cur = if (pending != null) pending else it.next()
+            pending = null
+            val chunk = cur.chunk
+            val term = cur.term
+            while (cur != null) {
+              if (cur.chunk != chunk || cur.term != term) {
+                pending = cur
+                nextRow = encodeRun(chunk, term)
+                return
+              }
+              docs += ((cur.docId, cur.poss))
+              cur = if (it.hasNext) it.next() else null
+            }
+            nextRow = encodeRun(chunk, term)
+          }
+
+          def hasNext: Boolean = {
+            if (nextRow == null) advance()
+            nextRow != null
+          }
+          def next(): PostingRow = {
+            if (!hasNext) throw new NoSuchElementException
+            val r = nextRow; nextRow = null; r
+          }
+        }
+      }
   }
 
   /** The typed-flatMap tokenizer (kept as the cross-check reference for
@@ -124,6 +234,15 @@ object IndexBuilder {
         }
     }
   }
+
+  /** Strategy dispatch from the source docs: "grouped" tokenizes into
+    * per-(doc, term) position groups (3x fewer shuffle rows), everything
+    * else goes through the flat Token stream.
+    */
+  def buildPostingsFor(docs: Dataset[IdDoc], cfg: BuildConfig): Dataset[PostingRow] =
+    if (cfg.salts <= 1 && cfg.strategy == "grouped")
+      buildPostingsGrouped(tokenGroups(docs, cfg))
+    else buildPostings(tokens(docs, cfg), cfg)
 
   /** Sort-based posting build: one shuffle of compact (chunk, term,
     * docId, pos) rows hash-partitioned on (chunk, term), Tungsten-sorted
@@ -272,38 +391,62 @@ object IndexBuilder {
     // the emptiness probe is itself a job; only pay it on resumed builds
     if (!fresh && pending.isEmpty) return Set.empty
 
-    val toks = tokens(pending, cfg)
-    // persisted: each feeds two actions (table write + lineage aggregate)
-    // and would otherwise re-run the tokenize/encode pipeline per action
-    val postings = buildPostings(toks, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docRows = buildDocs(pending, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // repartition by the partition column before writing: without it every
-    // shuffle task writes a file into every chunk directory (tasks x
-    // chunks small files) and the commit protocol's rename storm becomes
-    // a serial fixed cost
-    docRows.repartition(col("chunk"))
-      .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))
-    postings.repartition(col("chunk"))
-      .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
+    val grouped = cfg.salts <= 1 && cfg.strategy == "grouped"
+    if (grouped) {
+      // single-pass flow: the chunk-partitioned grouped build writes
+      // straight to the table layout — no cache materialization, no
+      // second shuffle of encoded blobs. Lineage/stats re-derive from the
+      // written tables (pruned parquet reads; the only blob touch is the
+      // byte count).
+      buildPostingsGrouped(tokenGroups(pending, cfg))
+        .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
+      buildDocs(pending, cfg).repartition(col("chunk"))
+        .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))
+    } else {
+      // persisted: each feeds two actions (table write + lineage
+      // aggregate) and would otherwise re-run the pipeline per action
+      val postings = buildPostingsFor(pending, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docRows = buildDocs(pending, cfg)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // repartition by the partition column before writing: without it
+      // every shuffle task writes a file into every chunk directory
+      // (tasks x chunks small files) and the commit protocol's rename
+      // storm becomes a serial fixed cost
+      docRows.repartition(col("chunk"))
+        .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))
+      postings.repartition(col("chunk"))
+        .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
+      postings.unpersist(blocking = false)
+      docRows.unpersist(blocking = false)
+    }
 
     // stats covers the full index; the re-read is cheap because parquet
     // column pruning touches only (chunk, docLength) / (chunk), never the
     // posting blobs
-    buildStats(IndexStore.readDocs(spark, outDir),
-               IndexStore.readPostings(spark, outDir), cfg)
+    val postingsR = IndexStore.readPostings(spark, outDir)
+    val docsR = IndexStore.readDocs(spark, outDir)
+    buildStats(docsR, postingsR, cfg)
       .write.mode(SaveMode.Overwrite).parquet(statsDir(outDir))
 
-    val postingLineage = postings.groupBy($"chunk").agg(
+    // lineage covers the chunks built THIS invocation: the read-back also
+    // contains previously-completed chunks on a resume, so exclude `done`
+    // (columnar partition filter — resumes carry modest chunk lists; a
+    // broadcast anti-join would replace isin if they ever grew huge)
+    val postingsNew =
+      if (done.isEmpty) postingsR.toDF()
+      else postingsR.toDF().filter(!$"chunk".isin(done.toSeq: _*))
+    val docsNew =
+      if (done.isEmpty) docsR.toDF()
+      else docsR.toDF().filter(!$"chunk".isin(done.toSeq: _*))
+    val postingLineage = postingsNew.groupBy($"chunk").agg(
       min($"term").as("termMin"), max($"term").as("termMax"),
       min(element_at($"blocks", 1).getField("firstDocId")).as("docMin"),
       max(element_at($"blocks", -1).getField("lastDocId")).as("docMax"),
       count(lit(1)).as("rows"), sum(length($"postingsBlob")).as("bytes"))
       .select(lit("postings").as("stage"), $"chunk", $"termMin", $"termMax",
         $"docMin", $"docMax", $"rows", $"bytes", lit("complete").as("status"))
-    val docLineage = docRows.groupBy($"chunk").agg(
+    val docLineage = docsNew.groupBy($"chunk").agg(
       min($"docId").as("docMin"), max($"docId").as("docMax"),
       count(lit(1)).as("rows"), sum($"docLength").as("bytes"))
       .select(lit("docs").as("stage"), $"chunk", lit("").as("termMin"),
@@ -314,8 +457,6 @@ object IndexBuilder {
     val lineageRows = postingLineage.unionByName(docLineage).as[LineageRow].collect()
     spark.createDataset(lineageRows.toIndexedSeq)
       .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
-    postings.unpersist(blocking = false)
-    docRows.unpersist(blocking = false)
     lineageRows.filter(_.stage == "docs").map(_.chunk).toSet
   }
 }

@@ -16,6 +16,12 @@ case class IdDoc(docId: Long, repo: String, path: String, commit: String,
   */
 case class Token(chunk: Long, term: String, docId: Long, pos: Long)
 
+/** Map-side grouped posting fragment: every position of one (doc, term)
+  * pair in ascending order — the shuffle row of the "grouped" build
+  * strategy (IndexBuilder.tokenGroups).
+  */
+case class TokenGroup(chunk: Long, term: String, docId: Long, poss: Array[Long])
+
 /** One (chunk, term) posting list (FIXTURES.md §4 `postings`). */
 case class PostingRow(chunk: Long, term: String, df: Long, tf: Long,
                       blocks: Array[PostingBlock], postingsBlob: Array[Byte])

@@ -1,59 +1,107 @@
 package graft.tools
 
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.corpus.Corpus
-import graft.index._
+import graft.index.{IdDoc, IndexBuilder}
 
-/** Stage-level profiling of the full index build (temporary tool).
-  * Usage: SPARK_GRAFT_CPUS=8 SPARK_GRAFT_BENCH_FACTOR=60 runMain ...
+/** Stage-level timing of the index build on the bench corpus shape
+  * (sfDir replicated by `factor`), isolating tokenize, the
+  * shuffle+sort+encode aggregation, and the full persisted build:
+  * `runMain graft.tools.BuildProfile [sfDir] [factor] [cores]`.
+  * The deltas locate the throughput budget before any tuning work.
   */
 object BuildProfile {
   def main(args: Array[String]): Unit = {
-    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
-    val factor = sys.env.getOrElse("SPARK_GRAFT_BENCH_FACTOR", "60").toInt
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cores * 2).toString)
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(100)
+    val cores = args.lift(2).map(_.toInt).getOrElse(4)
+    val localDir = s"/dev/shm/graft-profile-$cores"
+    new java.io.File(localDir).mkdirs()
     val spark = SparkSession.builder().master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    def timed(name: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[profile] n$cores $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-    }
-
-    val t00 = System.nanoTime()
-    val base = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.1")
+    // same parallel-expansion shape as Bench.replicated (tiny base
+    // repartitioned first, copies broadcast — no serial expansion task)
+    val base = graft.corpus.Corpus.fromDocumentsParquet(spark, sfDir)
+      .toDF().repartition(spark.sparkContext.defaultParallelism * 3)
     val copies = spark.range(factor).select($"id".as("copy"))
-    val src = base.toDF().crossJoin(copies)
+    val src = base.crossJoin(broadcast(copies))
       .select(($"docId" + $"copy" * 10000000L).as("docId"),
         $"repo", $"path", concat($"commit", lit("-"), $"copy").as("commit"),
-        $"lang", $"content").as[IdDoc]
-    val out = java.nio.file.Files.createTempDirectory("prof").toString
-    val cfg = IndexBuilder.BuildConfig(chunkDocs = 30000)
+        $"lang", $"content")
+      .as[IdDoc]
 
-    val postings = IndexBuilder.buildPostings(IndexBuilder.tokens(src, cfg), cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val docRows = IndexBuilder.buildDocs(src, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    timed("docs write")(docRows.write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(IndexBuilder.docsDir(out)))
-    timed("postings write")(postings.write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(IndexBuilder.postingsDir(out)))
-    timed("stats") {
-      IndexBuilder.buildStats(IndexStore.readDocs(spark, out), IndexStore.readPostings(spark, out), cfg)
-        .write.mode(SaveMode.Overwrite).parquet(IndexBuilder.statsDir(out))
+    def time(name: String)(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name%-28s ${dt}%7.2f s")
+      dt
     }
-    timed("lineage aggregates") {
-      val pl = postings.groupBy($"chunk").agg(count(lit(1))).collect()
-      val dl = docRows.groupBy($"chunk").agg(count(lit(1))).collect()
-      (pl, dl)
+
+    val cfg = IndexBuilder.BuildConfig(chunkDocs = 30000L)
+    time("warmup tokenize (cold JIT)") {
+      IndexBuilder.tokens(src, cfg).filter($"term" === "zzz").count()
     }
-    println(f"[profile] n$cores TOTAL                      ${(System.nanoTime() - t00) / 1e9}%8.2f s")
+    time("source materialize (no-op)") {
+      src.toDF().select(lit(1)).count()
+    }
+    time("tokenize only") {
+      IndexBuilder.tokens(src, cfg).filter($"term" === "zzz").count()
+    }
+    time("tokenize+shuffle+sort+encode") {
+      IndexBuilder.buildPostingsSorted(IndexBuilder.tokens(src, cfg))
+        .map(p => p.postingsBlob.length).filter(_ < 0).count()
+    }
+    time("grouped: tokenize only") {
+      IndexBuilder.tokenGroups(src, cfg).filter($"term" === "zzz").count()
+    }
+    time("grouped: shuffle+sort+encode") {
+      IndexBuilder.buildPostingsGrouped(IndexBuilder.tokenGroups(src, cfg))
+        .map(p => p.postingsBlob.length).filter(_ < 0).count()
+    }
+    time("docs table (sha256+meta)") {
+      IndexBuilder.buildDocs(src, cfg).filter($"docLength" < 0).count()
+    }
+    val out = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft_profile").toString
+    time("FULL build (writes+stats)") {
+      IndexBuilder.build(spark, src, out, cfg)
+    }
+
+    // phase decomposition of the grouped flow (mirrors build() exactly)
+    val out2 = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/dev/shm"), "graft_profile2").toString
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    time("phase: postings encode+write") {
+      IndexBuilder.buildPostingsGrouped(IndexBuilder.tokenGroups(src, cfg))
+        .write.mode("overwrite").partitionBy("chunk")
+        .parquet(IndexBuilder.postingsDir(out2))
+    }
+    time("phase: docs build+write") {
+      IndexBuilder.buildDocs(src, cfg).repartition(col("chunk"))
+        .write.mode("overwrite").partitionBy("chunk")
+        .parquet(IndexBuilder.docsDir(out2))
+    }
+    val postingsR = graft.index.IndexStore.readPostings(spark, out2)
+    val docsR = graft.index.IndexStore.readDocs(spark, out2)
+    time("phase: stats") {
+      IndexBuilder.buildStats(docsR, postingsR, cfg)
+        .write.mode("overwrite").parquet(IndexBuilder.statsDir(out2))
+    }
+    time("phase: lineage aggs+write") {
+      val pl = postingsR.toDF().groupBy($"chunk").agg(
+        min($"term"), max($"term"), count(lit(1)), sum(length($"postingsBlob")))
+      val dl = docsR.toDF().groupBy($"chunk").agg(
+        min($"docId"), max($"docId"), count(lit(1)), sum($"docLength"))
+      pl.collect(); dl.collect()
+    }
     spark.stop()
   }
 }

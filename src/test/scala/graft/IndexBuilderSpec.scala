@@ -70,9 +70,17 @@ class IndexBuilderSpec extends AnyFunSuite {
           (p.df, p.tf, PostingCodec.decode(p.df, p.postingsBlob)
             .map { case (d, ps) => (d, ps.toSeq) }.toSeq)))
         .toMap
+    def canonFor(cfg: BuildConfig) =
+      IndexBuilder.buildPostingsFor(ids, cfg)
+        .collect()
+        .map(p => ((p.chunk, p.term),
+          (p.df, p.tf, PostingCodec.decode(p.df, p.postingsBlob)
+            .map { case (d, ps) => (d, ps.toSeq) }.toSeq)))
+        .toMap
     val sorted = canon(BuildConfig(chunkDocs = 25, strategy = "sorted"))
     assert(sorted === canon(BuildConfig(chunkDocs = 25, strategy = "aggregator")))
     assert(sorted === canon(BuildConfig(chunkDocs = 25, salts = 4)))
+    assert(sorted === canonFor(BuildConfig(chunkDocs = 25, strategy = "grouped")))
     assert(sorted.nonEmpty)
   }
 
