@@ -74,6 +74,38 @@ class EngineGoldenSpec extends AnyFunSuite {
     assertIdentical(docs, out, 150, queries)
   }
 
+  test("rank-identity holds across randomized seeded corpora") {
+    // two more seeded corpora with corpus-derived query sets — catches
+    // ISR/codec/merge corners the two fixed corpora might not exercise
+    Seq(11, 23).foreach { seed =>
+      val src = Corpus.synthetic(spark, 3, 60, seed = seed)
+      val ids = Corpus.assignDocIds(spark, src).cache()
+      val docs = ids.collect().toSeq
+      val out = SparkTestBase.tempDir(s"graft-golden-seed$seed")
+      IndexBuilder.build(spark, ids, out, IndexBuilder.BuildConfig(chunkDocs = 70))
+      val freq = docs.flatMap(d => graft.tokenizer.Tokenizer.bodyTokens(d.content))
+        .groupBy(identity).view.mapValues(_.size).toSeq.sortBy(-_._2)
+      val common = freq.take(2).map(_._1)
+      val mid = freq.drop(15).take(2).map(_._1)
+      val rare = freq.takeRight(2).map(_._1)
+      val queries = Seq(
+        s"${common.head} ${mid.head}",
+        s"${rare.head} OR ${rare(1)}",
+        "\"" + s"${common.head} ${common(1)}" + "\"",
+        s"(${mid.head} OR ${rare.head}) && ${common.head}",
+        mid(1))
+      assertIdentical(docs, out, 70, queries)
+      // debug surface too: component-level identity on the AND query
+      val engine = new SearchEngine(spark, out, 70)
+      val got = engine.searchDebug(s"${common.head} ${mid.head}")
+        .map(h => (h.chunk, h.docId, h.total))
+      val want = RefOracle.searchDebug(docs, s"${common.head} ${mid.head}", 70)
+        .sortBy { case (c, d) => (c, d.docId) }
+        .map { case (c, d) => (c, d.docId, d.total) }
+      assert(got === want, s"seed $seed debug")
+    }
+  }
+
   test("pagination slices the merged top-k (T6)") {
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     val out = SparkTestBase.tempDir("graft-page")
