@@ -337,7 +337,23 @@ object SparkEntry {
           window(col("ts"), "1 hour").getField("start").as("w"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
         .select(col("event_type"),
-          unix_timestamp(col("w")).as("window_start"), col("n"), col("total")))
+          unix_timestamp(col("w")).as("window_start"), col("n"), col("total"))),
+
+    // ---- events: sessionization (the batch twin of the streaming
+    // flatMapGroupsWithState fold — same gap rule, golden-checked against
+    // the streaming path in StreamingSpec; here DuckDB re-derives it with
+    // window functions) ----
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select($"user_id", $"ts".cast("timestamp").as("ts"),
+          $"event_type", $"value")
+        .as[graft.streaming.StreamingIngest.Event]
+      graft.streaming.StreamingIngest.sessionizeBatch(ev, gapSeconds = 1800)
+        .toDF()
+        .select($"user_id", $"start_ts", $"end_ts", $"n_events",
+          round($"total_value", 4).as("total_value"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -779,7 +795,24 @@ object SparkEntry {
         |SELECT event_type,
         |       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
         |       count(*) AS n, round(sum(value), 4) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // session id = running count of >30min gaps per user; same-second
+      // ties are interchangeable (gap 0) so the tie order is immaterial
+      "q_sessionize" -> """
+        |WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |            THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |            ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(t) AS start_ts, max(t) AS end_ts,
+        |       count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin
     )
   }
 }
