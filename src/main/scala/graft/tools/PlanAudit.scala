@@ -39,6 +39,13 @@ object PlanAudit {
       IndexBuilder.tokens(src, IndexBuilder.BuildConfig(chunkDocs = 200)).toDF()
     }
 
+    section("grouped posting build: ONE exchange, partitioned by chunk") {
+      // the write consumes this directly (partitionBy(chunk) matches the
+      // exchange), so there is no second shuffle of encoded blobs
+      IndexBuilder.buildPostingsGrouped(
+        IndexBuilder.tokenGroups(src, IndexBuilder.BuildConfig(chunkDocs = 200))).toDF()
+    }
+
     section("term stats aggregation") {
       TextAnalysis.termStats(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }

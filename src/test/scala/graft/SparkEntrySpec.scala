@@ -18,6 +18,13 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every queries entry has an oracleSql (no amber rows in the driver gate)") {
+    // round-1 lesson: a queries entry without oracle SQL degrades to a
+    // rows-only check and shows up as err=no_oracle in CORRECTNESS
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracleSql: $missing")
+  }
+
   test("all queries run on sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
