@@ -242,6 +242,14 @@ object SparkEntry {
       TextAnalysis.tokens(docsDf(s, dir))
         .filter(col("term").isin("spark", "dup"))
         .select(col("doc_id")).distinct()),
+    // U3: seen-set exclusion (frontEnd's "already returned" filter shape)
+    // as a distributed left_anti join
+    "q_except" -> ((s, dir) => {
+      val t = TextAnalysis.tokens(docsDf(s, dir))
+      val seen = t.filter(col("term") === "dup").select(col("doc_id")).distinct()
+      t.filter(col("term") === "spark").select(col("doc_id")).distinct()
+        .join(seen, Seq("doc_id"), "left_anti")
+    }),
     "q_phrase" -> ((s, dir) => {
       val t = TextAnalysis.tokens(docsDf(s, dir))
       t.as("t1").join(t.as("t2"),
@@ -386,6 +394,10 @@ object SparkEntry {
 
       "q_disjunctive" -> (duckToks + """
         |SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'dup')""".stripMargin),
+
+      "q_except" -> (duckToks + """
+        |SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'
+        |EXCEPT SELECT DISTINCT doc_id FROM toks WHERE term = 'dup'""".stripMargin),
 
       "q_phrase" -> (duckToks + """
         |SELECT t1.doc_id AS doc_id, count(*) AS n_matches
