@@ -347,18 +347,14 @@ object SparkEntry {
         .select(col("event_type"),
           unix_timestamp(col("w")).as("window_start"), col("n"), col("total"))),
 
-    // ---- events: sessionization (the batch twin of the streaming
-    // flatMapGroupsWithState fold — same gap rule, golden-checked against
-    // the streaming path in StreamingSpec; here DuckDB re-derives it with
-    // window functions) ----
+    // ---- events: sessionization — the window-function scale path
+    // (sessionizeSql); spec-asserted identical to the flatMapGroups fold
+    // and the streaming flatMapGroupsWithState variant ----
     "q_sessionize" -> ((s, dir) => {
       import s.implicits._
       val ev = s.read.parquet(s"$dir/events.parquet")
-        .select($"user_id", $"ts".cast("timestamp").as("ts"),
-          $"event_type", $"value")
-        .as[graft.streaming.StreamingIngest.Event]
-      graft.streaming.StreamingIngest.sessionizeBatch(ev, gapSeconds = 1800)
-        .toDF()
+        .select($"user_id", $"ts".cast("timestamp").as("ts"), $"value")
+      graft.streaming.StreamingIngest.sessionizeSql(ev, gapSeconds = 1800)
         .select($"user_id", $"start_ts", $"end_ts", $"n_events",
           round($"total_value", 4).as("total_value"))
     })

@@ -141,6 +141,32 @@ object StreamingIngest {
       }
   }
 
+  /** Scale-path batch sessionization: pure window functions (gap flag ->
+    * running session id -> per-session aggregate). Unlike the
+    * flatMapGroups twin below, nothing materializes a user's whole event
+    * history in one task's memory — a mega-user is just more rows through
+    * the windowed codegen pipeline — and the single shuffle key is
+    * user_id. Output semantics are identical to [[sessionizeBatch]]
+    * (spec-asserted); timestamps are floored to seconds like the fold's
+    * `getTime / 1000`.
+    */
+  def sessionizeSql(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("t"))
+    events
+      .select(col("user_id"),
+        floor(col("ts").cast("double")).cast("long").as("t"), col("value"))
+      .withColumn("brk",
+        when(lag(col("t"), 1).over(byUser).isNull ||
+          col("t") - lag(col("t"), 1).over(byUser) > gapSeconds, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("t")).as("start_ts"), max(col("t")).as("end_ts"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .drop("sid")
+  }
+
   /** Batch-mode wrapper for tests: sessionize a static events table with
     * identical semantics (same fold, no state timeout), so streaming
     * session splits can be golden-checked against a plain computation.

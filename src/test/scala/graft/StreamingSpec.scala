@@ -96,6 +96,24 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("sessionizeSql (window functions) == sessionizeBatch (typed fold) on events parquet") {
+    import spark.implicits._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_type", $"value")
+    val viaSql = StreamingIngest.sessionizeSql(raw, gapSeconds = 1800)
+      .select($"user_id", $"start_ts", $"end_ts", $"n_events",
+        round($"total_value", 6).as("tv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaFold = StreamingIngest.sessionizeBatch(raw.as[StreamingIngest.Event], 1800)
+      .toDF().select($"user_id", $"start_ts", $"end_ts", $"n_events",
+        round($"total_value", 6).as("tv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(viaSql === viaFold)
+    assert(viaSql.nonEmpty)
+  }
+
   test("streaming windowed aggregation over events parquet (memory sink)") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val srcDir = SparkTestBase.tempDir("stream-ev")
