@@ -65,6 +65,13 @@ object PlanAudit {
         .select($"docId", $"url", $"title")
     }
 
+    section("repetition: window partitioning satisfies downstream groupBys") {
+      // hashpartitioning(doc_id) from the shingle window must satisfy both
+      // groupBy(doc_id, shingle) and groupBy(doc_id) -> ONE exchange total
+      TextAnalysis.repetition(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
+
     section("stats read is column-pruned (no blob)") {
       IndexStore.readPostings(spark, out).toDF().groupBy($"chunk")
         .agg(count(lit(1)).as("uniqueTerms"))
