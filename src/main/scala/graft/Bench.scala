@@ -44,7 +44,7 @@ object Bench {
     * i * 10^7 and rotates the commit, nothing else — same term
     * distribution, factor-x the rows.
     */
-  private def replicated(spark: SparkSession, sfDir: String, factor: Int) = {
+  private[graft] def replicated(spark: SparkSession, sfDir: String, factor: Int) = {
     import spark.implicits._
     // documents.parquet is ONE file -> one input split, so repartition the
     // TINY base table FIRST (5k rows, cheap shuffle) and broadcast the
@@ -118,7 +118,7 @@ object Bench {
     val steal0 = stealSec()
 
     // --- build throughput at N and 4N cores (same input, same job) ---
-    buildOnce(large, sfDir, 1, chunkDocs) // JIT/classload warmup, untimed
+    val warmupOut = buildOnce(large, sfDir, 1, chunkDocs)._3 // JIT/classload warmup, untimed
     var files = 0L
     var dtSmall = Double.MaxValue
     var dtLarge = Double.MaxValue
@@ -148,9 +148,9 @@ object Bench {
         if (dl < dtLarge) { dtLarge = dl; outLarge = ol }
       }
     }
-    // tmpfs hygiene: every trial leaves a full index on /dev/shm; keep
-    // only the one the query phase uses
-    allOuts.filter(_ != outLarge).foreach(rmTree)
+    // tmpfs hygiene: every trial (and the warmup) leaves a full index on
+    // /dev/shm; keep only the one the query phase uses
+    (allOuts :+ warmupOut).filter(_ != outLarge).foreach(rmTree)
     val thrSmall = files / dtSmall
     val thrLarge = files / dtLarge
     val efficiency = thrLarge / ((large.toDouble / small) * thrSmall)

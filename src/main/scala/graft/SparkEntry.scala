@@ -192,6 +192,22 @@ object SparkEntry {
       |  FROM embeddings
       |)""".stripMargin
 
+  /** Shared SRP bucket CTEs (on top of duckEmbParts) — must stay in
+    * lockstep with Similarity.lshBuckets' plane-hash convention; factored
+    * so the four LSH oracles cannot desynchronize.
+    */
+  private val duckLshBuckets =
+    """, signed AS (
+      |  SELECT vec_id, plane,
+      |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
+      |                 THEN 1.0 ELSE -1.0 END) AS proj
+      |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(5) t(i))
+      |  GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM signed GROUP BY 1)""".stripMargin
+
   private def docsDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embDf(s: SparkSession, dir: String): DataFrame =
@@ -544,15 +560,20 @@ object SparkEntry {
         |  JOIN chunkstat cs ON cs.chunk = d.chunk
         |  JOIN tfc ON tfc.chunk = d.chunk
         |  ${duckRefLateral(Seq("dup"))}
-        |  WHERE length(m.url) >= 10
+        |),
+        |cand0 AS (
+        |  -- the 999 cap counts ALL walked candidates (the engine
+        |  -- increments numDocsFound before the url filter)
+        |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id) AS rn0
+        |  FROM scored QUALIFY rn0 <= 999
         |),
         |cands AS (
         |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id) AS rn,
         |         count(*) OVER (PARTITION BY chunk) AS cnt
-        |  FROM scored QUALIFY rn <= 999
+        |  FROM cand0 WHERE length(url) >= 10
         |),
         |rec1 AS (
-        |  SELECT chunk, 0 AS n, least(cnt, 999) AS cnt,
+        |  SELECT chunk, 0 AS n, cnt,
         |         CAST([] AS $duckSlotType) AS slots
         |  FROM (SELECT DISTINCT chunk, cnt FROM cands)
         |  UNION ALL
@@ -634,18 +655,8 @@ object SparkEntry {
         |SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
         |FROM j WHERE round(dot / (na * nb), 6) >= 0.35""".stripMargin),
 
-      "q_embed_neardup_lsh" -> (duckEmbParts + """
-        |, signed AS (
-        |  SELECT vec_id, plane,
-        |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
-        |                 THEN 1.0 ELSE -1.0 END) AS proj
-        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(5) t(i))
-        |  GROUP BY 1, 2),
-        |buckets AS (
-        |  SELECT vec_id,
-        |         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM signed GROUP BY 1),
-        |prs AS (
+      "q_embed_neardup_lsh" -> (duckEmbParts + duckLshBuckets + """
+        |, prs AS (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM buckets a JOIN buckets b
         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -669,29 +680,11 @@ object SparkEntry {
         |FROM cos CROSS JOIN nq WHERE vec_id <> 0
         |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
 
-      "q_ann_lsh_buckets" -> (duckEmbParts + """
-        |, signed AS (
-        |  SELECT vec_id, plane,
-        |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
-        |                 THEN 1.0 ELSE -1.0 END) AS proj
-        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(5) t(i))
-        |  GROUP BY 1, 2)
-        |SELECT vec_id,
-        |       CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |FROM signed GROUP BY 1""".stripMargin),
+      "q_ann_lsh_buckets" -> (duckEmbParts + duckLshBuckets + """
+        |SELECT vec_id, bucket FROM buckets""".stripMargin),
 
-      "q_ann_lsh_topk" -> (duckEmbParts + """
-        |, signed AS (
-        |  SELECT vec_id, plane,
-        |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
-        |                 THEN 1.0 ELSE -1.0 END) AS proj
-        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(5) t(i))
-        |  GROUP BY 1, 2),
-        |buckets AS (
-        |  SELECT vec_id,
-        |         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM signed GROUP BY 1),
-        |cand AS (
+      "q_ann_lsh_topk" -> (duckEmbParts + duckLshBuckets + """
+        |, cand AS (
         |  SELECT b.vec_id FROM buckets b
         |  JOIN (SELECT bucket FROM buckets WHERE vec_id = 0) qb USING (bucket)),
         |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
@@ -703,18 +696,8 @@ object SparkEntry {
         |FROM cos CROSS JOIN nq WHERE vec_id <> 0
         |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
 
-      "q_ann_lsh_multiprobe" -> (duckEmbParts + """
-        |, signed AS (
-        |  SELECT vec_id, plane,
-        |         sum(v * CASE WHEN ascii(substr(md5(plane || '_' || dim), 1, 1)) % 2 = 1
-        |                 THEN 1.0 ELSE -1.0 END) AS proj
-        |  FROM parts CROSS JOIN (SELECT CAST(i AS INT) AS plane FROM range(5) t(i))
-        |  GROUP BY 1, 2),
-        |buckets AS (
-        |  SELECT vec_id,
-        |         CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM signed GROUP BY 1),
-        |qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+      "q_ann_lsh_multiprobe" -> (duckEmbParts + duckLshBuckets + """
+        |, qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
         |probes AS (
         |  SELECT DISTINCT xor(qb.bucket, CAST(pow(2, i) AS BIGINT)) AS bucket
         |  FROM qb CROSS JOIN range(5) t(i)

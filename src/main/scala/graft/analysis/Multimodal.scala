@@ -249,7 +249,7 @@ object Multimodal {
                 pos += 8 + clen + (clen & 1)
               }
             }
-            if (dataOff < 0 || bits != 16 || channels < 1)
+            if (dataOff < 0 || bits != 16 || channels < 1 || rate <= 0)
               AudioMeta(id, rate, channels, bits, 0L, 0.0, 0.0)
             else {
               val n = dataLen / 2

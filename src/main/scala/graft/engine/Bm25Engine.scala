@@ -53,8 +53,11 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
   private lazy val globalStats: (Long, Double, Long) = {
     val row = IndexStore.readStats(spark, indexDir)
       .agg(sum($"numDocs"), sum($"totalTokens"), max($"chunkDocs")).head()
-    val n = row.getLong(0)
-    (n, row.getLong(1).toDouble / n.toDouble, row.getLong(2))
+    if (row.isNullAt(0)) (0L, 0.0, GraftConfig.ChunkDocs) // empty index
+    else {
+      val n = row.getLong(0)
+      (n, row.getLong(1).toDouble / math.max(n, 1L).toDouble, row.getLong(2))
+    }
   }
 
   /** (N, avgdl) over pure token lengths (title + body, no EndDoc). */

@@ -202,7 +202,11 @@ object IndexBuilder {
   def buildPostings(toks: Dataset[Token], cfg: BuildConfig): Dataset[PostingRow] = {
     import toks.sparkSession.implicits._
     val agg = new PostingAggregator().toColumn
-    if (cfg.salts <= 1 && cfg.strategy == "sorted") {
+    if (cfg.salts <= 1 && cfg.strategy != "aggregator") {
+      // "grouped" arriving here (a flat Token stream — the grouped rows
+      // are only produced by tokenGroups/buildPostingsFor) takes the
+      // equivalent sorted path rather than silently degrading to the
+      // object-serialized aggregator
       buildPostingsSorted(toks)
     } else if (cfg.salts <= 1) {
       toks.groupByKey(t => (t.chunk, t.term))
@@ -403,22 +407,16 @@ object IndexBuilder {
       buildDocs(pending, cfg).repartition(col("chunk"))
         .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))
     } else {
-      // persisted: each feeds two actions (table write + lineage
-      // aggregate) and would otherwise re-run the pipeline per action
-      val postings = buildPostingsFor(pending, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val docRows = buildDocs(pending, cfg)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // repartition by the partition column before writing: without it
-      // every shuffle task writes a file into every chunk directory
-      // (tasks x chunks small files) and the commit protocol's rename
-      // storm becomes a serial fixed cost
-      docRows.repartition(col("chunk"))
+      // stats/lineage re-derive from the written tables (below), so each
+      // dataset feeds exactly one action — no persist needed. The
+      // repartition by the partition column before writing matters:
+      // without it every shuffle task writes a file into every chunk
+      // directory (tasks x chunks small files) and the commit protocol's
+      // rename storm becomes a serial fixed cost
+      buildDocs(pending, cfg).repartition(col("chunk"))
         .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))
-      postings.repartition(col("chunk"))
+      buildPostingsFor(pending, cfg).repartition(col("chunk"))
         .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
-      postings.unpersist(blocking = false)
-      docRows.unpersist(blocking = false)
     }
 
     // stats covers the full index; the re-read is cheap because parquet
@@ -514,6 +512,13 @@ object IndexStore {
 
   def readStats(spark: SparkSession, outDir: String): Dataset[StatsRow] = {
     import spark.implicits._
-    spark.read.parquet(IndexBuilder.statsDir(outDir)).as[StatsRow]
+    val df = spark.read.parquet(IndexBuilder.statsDir(outDir))
+    // chunkDocs was added to the stats schema mid-project; indexes
+    // persisted before it carry the config default
+    val withCd =
+      if (df.columns.contains("chunkDocs")) df
+      else df.withColumn("chunkDocs",
+        org.apache.spark.sql.functions.lit(graft.config.GraftConfig.ChunkDocs))
+    withCd.as[StatsRow]
   }
 }

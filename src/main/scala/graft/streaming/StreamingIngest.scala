@@ -122,7 +122,11 @@ object StreamingIngest {
               val t = e.ts.getTime / 1000
               cur match {
                 case Some(s) if t - s.last <= gapSeconds =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                  // late-but-valid events (above the watermark, below the
+                  // session's last) widen the session instead of
+                  // regressing it: last/start are max/min, never "current"
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                    s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += Session(userId, s.start, s.last, s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))

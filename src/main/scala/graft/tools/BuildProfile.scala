@@ -26,16 +26,9 @@ object BuildProfile {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // same parallel-expansion shape as Bench.replicated (tiny base
-    // repartitioned first, copies broadcast — no serial expansion task)
-    val base = graft.corpus.Corpus.fromDocumentsParquet(spark, sfDir)
-      .toDF().repartition(spark.sparkContext.defaultParallelism * 3)
-    val copies = spark.range(factor).select($"id".as("copy"))
-    val src = base.crossJoin(broadcast(copies))
-      .select(($"docId" + $"copy" * 10000000L).as("docId"),
-        $"repo", $"path", concat($"commit", lit("-"), $"copy").as("commit"),
-        $"lang", $"content")
-      .as[IdDoc]
+    // the bench's own corpus expansion, so the decomposition measures
+    // exactly the shape graft.Bench times
+    val src = graft.Bench.replicated(spark, sfDir, factor)
 
     def time(name: String)(f: => Unit): Double = {
       val t0 = System.nanoTime()
