@@ -96,6 +96,39 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("event-time sessionization: out-of-order-but-valid event widens, not regresses") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ev(u: Long, t: Long, v: Double) =
+      StreamingIngest.Event(u, new java.sql.Timestamp(t * 1000), "click", v)
+    val input = MemoryStream[StreamingIngest.Event]
+    val q = StreamingIngest.sessionizeEventTime(
+        input.toDS(), gapSeconds = 1800, lateness = "600 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("evsess2").start()
+
+    input.addData(ev(1, 10000, 1.0), ev(99, 10000, 0.0))
+    q.processAllAvailable() // watermark after batch: 9400
+    // 9500 is BELOW the session's last (10000) but ABOVE the watermark:
+    // it must join the session as a widening, leaving last at 10000
+    input.addData(ev(1, 9500, 2.0))
+    q.processAllAvailable()
+    // 11500 - 10000 = 1500 <= gap -> extends; with the regression bug the
+    // state's last would be 9500 and this would wrongly split
+    input.addData(ev(1, 11500, 3.0))
+    q.processAllAvailable()
+    // advance the clock twice to fire the timeout
+    input.addData(ev(99, 30000, 0.0)); q.processAllAvailable()
+    input.addData(ev(99, 30001, 0.0)); q.processAllAvailable()
+
+    val sessions = spark.sql("SELECT * FROM evsess2").as[StreamingIngest.Session]
+      .collect().filter(_.user_id == 1L)
+      .map(s => (s.start_ts, s.end_ts, s.n_events, s.total_value)).toSeq
+    assert(sessions === Seq((9500L, 11500L, 3L, 6.0)), s"got $sessions")
+    q.stop()
+  }
+
   test("sessionizeSql (window functions) == sessionizeBatch (typed fold) on events parquet") {
     import spark.implicits._
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
