@@ -350,6 +350,12 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docsDf(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docsDf(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docsDf(s, dir))),
+    // data mixing: downsample en, keep most of the rest (permille rates)
+    "q_sample_stratified" -> ((s, dir) =>
+      TextAnalysis.sampleStratified(docsDf(s, dir),
+        Map("en" -> 300, "fr" -> 800, "es" -> 800, "de" -> 800, "zh" -> 800))),
+    "q_topk_per_lang" -> ((s, dir) =>
+      TextAnalysis.topKTokensPerLang(docsDf(s, dir), k = 5)),
 
     // ---- multimodal plumbing (decode stubbed; metadata is real) ----
     "q_multimodal_meta" -> ((s, dir) => Multimodal.metaSql(docsDf(s, dir))),
@@ -775,6 +781,22 @@ object SparkEntry {
         |       round(coalesce(1.0 - p.n_distinct * 1.0 / p.n_shingles, 0.0), 6) AS dup_ratio,
         |       round(coalesce(p.top_n * 1.0 / p.n_shingles, 0.0), 6) AS top_share
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin),
+
+      "q_sample_stratified" -> """
+        |SELECT doc_id, lang FROM documents
+        |WHERE (doc_id % 100003) * 2654435761 % 1000 <
+        |      CASE lang WHEN 'en' THEN 300 WHEN 'fr' THEN 800 WHEN 'es' THEN 800
+        |                WHEN 'de' THEN 800 WHEN 'zh' THEN 800 ELSE 0 END""".stripMargin,
+
+      "q_topk_per_lang" -> (duckToks + """
+        |, counts AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT d.lang, d.doc_id, coalesce(c.n, 0) AS doc_tokens,
+        |         row_number() OVER (PARTITION BY d.lang
+        |           ORDER BY coalesce(c.n, 0) DESC, d.doc_id) AS rk
+        |  FROM documents d LEFT JOIN counts c USING (doc_id))
+        |SELECT lang, doc_id, doc_tokens, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 5""".stripMargin),
 
       "q_multimodal_meta" -> """
         |SELECT doc_id,

@@ -130,6 +130,42 @@ object TextAnalysis {
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("fp"), md5(lit(""))).as("fingerprint"))
 
+  /** Deterministic hash-based stratified sampling — the data-mixing
+    * primitive of a training pipeline (per-language/source sampling
+    * weights). A doc is kept iff its hash bucket (0..999) falls below its
+    * stratum's permille rate, so the sample is reproducible, join-free,
+    * and one codegen'd filter over the scan; the doc_id is bounded before
+    * the multiply so the arithmetic is overflow-safe (and therefore
+    * engine-portable) at any id scale.
+    */
+  def sampleStratified(docs: DataFrame, permille: Map[String, Int],
+                       defaultPermille: Int = 0): DataFrame = {
+    val bucket = (col("doc_id") % 100003L) * 2654435761L % 1000L
+    val rate = permille.foldLeft(lit(defaultPermille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs.filter(bucket < rate).select(col("doc_id"), col("lang"))
+  }
+
+  /** Top-k docs per group by a metric — the canonical curation pattern
+    * (e.g. keep the k longest documents per language). Window row_number
+    * with a deterministic tie-break; one shuffle on the group key.
+    */
+  def topKTokensPerLang(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = tokens(docs).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("doc_tokens"))
+    val ranked = docs.select(col("doc_id"), col("lang"))
+      .join(counts, Seq("doc_id"), "left")
+      .withColumn("doc_tokens", coalesce(col("doc_tokens"), lit(0L)))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(desc("doc_tokens"), asc("doc_id"))))
+    ranked.filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("doc_tokens"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Within-document repetition signals (the Gopher / RefinedWeb-style
     * quality rules): duplicate 3-gram mass and the heaviest 3-gram's
     * share. High values flag boilerplate/spam for pre-training filters.
