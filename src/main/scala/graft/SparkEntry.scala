@@ -356,6 +356,9 @@ object SparkEntry {
         Map("en" -> 300, "fr" -> 800, "es" -> 800, "de" -> 800, "zh" -> 800))),
     "q_topk_per_lang" -> ((s, dir) =>
       TextAnalysis.topKTokensPerLang(docsDf(s, dir), k = 5)),
+    // context-window chunking: 64-token windows, stride 48 (25% overlap)
+    "q_sliding_chunks" -> ((s, dir) =>
+      TextAnalysis.slidingChunks(docsDf(s, dir), size = 64, stride = 48)),
 
     // ---- multimodal plumbing (decode stubbed; metadata is real) ----
     "q_multimodal_meta" -> ((s, dir) => Multimodal.metaSql(docsDf(s, dir))),
@@ -781,6 +784,18 @@ object SparkEntry {
         |       round(coalesce(1.0 - p.n_distinct * 1.0 / p.n_shingles, 0.0), 6) AS dup_ratio,
         |       round(coalesce(p.top_n * 1.0 / p.n_shingles, 0.0), 6) AS top_share
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin),
+
+      "q_sliding_chunks" -> (duckToks + """
+        |, wins AS (
+        |  SELECT doc_id, pos, term,
+        |         unnest(range(
+        |           GREATEST(CAST(ceil((pos - 64) / 48.0) AS BIGINT), 0),
+        |           CAST(floor((pos - 1) / 48.0) AS BIGINT) + 1)) AS win
+        |  FROM toks)
+        |SELECT doc_id, win, count(*) AS n_tokens,
+        |       min(pos) AS start_pos, max(pos) AS end_pos,
+        |       md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_sha
+        |FROM wins GROUP BY 1, 2""".stripMargin),
 
       "q_sample_stratified" -> """
         |SELECT doc_id, lang FROM documents

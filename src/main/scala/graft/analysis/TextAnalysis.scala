@@ -166,6 +166,31 @@ object TextAnalysis {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Sliding-window context chunking with overlap — the pre-training
+    * splitter (e.g. 256-token windows, stride 192). Window w of a doc
+    * covers token positions [w*stride+1, w*stride+size]; every window
+    * whose start lies inside the doc is emitted, including a partial
+    * tail. Each token explodes into ONLY the windows containing it (a
+    * size/stride-bounded fan-out, not a cross join), so the plan is
+    * explode -> one groupBy(doc_id, win); the chunk digest hashes the
+    * position-sorted token stream (deterministic under parallel agg).
+    */
+  def slidingChunks(docs: DataFrame, size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val t = tokens(docs)
+    val firstWin = greatest(
+      ceil((col("pos") - size).cast("double") / stride).cast("long"), lit(0L))
+    val lastWin = floor((col("pos") - 1).cast("double") / stride).cast("long")
+    t.select(col("doc_id"), col("pos"), col("term"),
+        explode(sequence(firstWin, lastWin)).as("win"))
+      .groupBy(col("doc_id"), col("win"))
+      .agg(count(lit(1)).as("n_tokens"),
+        min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("term")))),
+            x => x.getField("term")))).as("chunk_sha"))
+  }
+
   /** Within-document repetition signals (the Gopher / RefinedWeb-style
     * quality rules): duplicate 3-gram mass and the heaviest 3-gram's
     * share. High values flag boilerplate/spam for pre-training filters.

@@ -91,6 +91,16 @@ class AnalysisSpec extends AnyFunSuite {
     assert(out(3L) === ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("slidingChunks: hand-computed windows incl. partial tail") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text") // 10 tokens
+    val out = TextAnalysis.slidingChunks(d, size = 8, stride = 4).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // w0 covers pos 1-8, w1 covers 5-12 (tokens 5-10), w2 covers 9-16 (9-10)
+    assert(out === Map(0L -> ((8L, 1L, 8L)), 1L -> ((6L, 5L, 10L)), 2L -> ((2L, 9L, 10L))))
+  }
+
   test("langId picks en for stopword-rich english text") {
     import spark.implicits._
     val d = Seq((1L, "the cat and the dog in a house"),
