@@ -514,11 +514,17 @@ object IndexStore {
     import spark.implicits._
     val df = spark.read.parquet(IndexBuilder.statsDir(outDir))
     // chunkDocs was added to the stats schema mid-project; indexes
-    // persisted before it carry the config default
+    // persisted before it carry the config default — WARN because an old
+    // index built with a non-default chunkDocs would be mislabeled (its
+    // docId -> chunk pruning would then miss; rebuild stats to fix)
     val withCd =
       if (df.columns.contains("chunkDocs")) df
-      else df.withColumn("chunkDocs",
-        org.apache.spark.sql.functions.lit(graft.config.GraftConfig.ChunkDocs))
+      else {
+        System.err.println(s"[graft] WARN: stats table at $outDir predates the " +
+          s"chunkDocs column; assuming the config default ${graft.config.GraftConfig.ChunkDocs}")
+        df.withColumn("chunkDocs",
+          org.apache.spark.sql.functions.lit(graft.config.GraftConfig.ChunkDocs))
+      }
     withCd.as[StatsRow]
   }
 }

@@ -74,7 +74,11 @@ object StreamingIngest {
             val t = e.ts.getTime / 1000
             cur match {
               case Some(s) if t - s.last <= gapSeconds =>
-                cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                // min/max so a cross-batch out-of-order event widens the
+                // session instead of regressing `last` (which would
+                // corrupt later gap decisions)
+                cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t),
+                  s.n + 1, s.total + e.value))
               case Some(s) =>
                 closed += Session(userId, s.start, s.last, s.n, s.total)
                 cur = Some(SessionState(t, t, 1, e.value))
@@ -102,9 +106,15 @@ object StreamingIngest {
     * wall-clock tests.
     */
   def sessionizeEventTime(events: Dataset[Event], gapSeconds: Long = 1800,
-                          lateness: String = "10 minutes") = {
+                          latenessSeconds: Long = 600) = {
+    // lateness <= gap makes the streaming output provably identical to the
+    // batch fold: any accepted event t satisfies t >= last - lateness >=
+    // start - gap, so the widening branch below can never merge an event
+    // that the batch twin would place in an earlier session
+    require(latenessSeconds <= gapSeconds,
+      s"lateness ($latenessSeconds s) must be <= gap ($gapSeconds s) for batch-equivalent sessions")
     import events.sparkSession.implicits._
-    events.withWatermark("ts", lateness)
+    events.withWatermark("ts", s"$latenessSeconds seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -57,7 +57,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val input = MemoryStream[StreamingIngest.Event]
     val sessions = StreamingIngest.sessionizeEventTime(
-      input.toDS(), gapSeconds = 1800, lateness = "600 seconds")
+      input.toDS(), gapSeconds = 1800, latenessSeconds = 600)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("evsess").start()
     def drain(): Unit = q.processAllAvailable()
@@ -104,7 +104,7 @@ class StreamingSpec extends AnyFunSuite {
       StreamingIngest.Event(u, new java.sql.Timestamp(t * 1000), "click", v)
     val input = MemoryStream[StreamingIngest.Event]
     val q = StreamingIngest.sessionizeEventTime(
-        input.toDS(), gapSeconds = 1800, lateness = "600 seconds")
+        input.toDS(), gapSeconds = 1800, latenessSeconds = 600)
       .writeStream.outputMode("append")
       .format("memory").queryName("evsess2").start()
 
