@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analysis.{AnnStore, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
 import graft.index.IndexBuilder
@@ -224,6 +224,18 @@ object SparkEntry {
     })
   }
 
+  /** One persisted bucket-partitioned ANN store per scale dir (nBits=5,
+    * in lockstep with the duckLshBuckets oracle CTEs), built on first use.
+    */
+  private val annCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def annDir(s: SparkSession, sfDir: String): String = synchronized {
+    annCache.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_ann").toString
+      AnnStore.build(embDf(s, sfDir), out, nBits = 5)
+      out
+    })
+  }
+
   /** Flagship: index build + reference-scored search, end to end. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -343,6 +355,22 @@ object SparkEntry {
       Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
     "q_ann_lsh_multiprobe" -> ((s, dir) =>
       Similarity.lshTopKMultiProbe(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
+    // query-time ANN over the PERSISTED bucket-partitioned store: the
+    // query vector is bucketed on the driver and only the probe-bucket
+    // partitions are read (PartitionFilters — PLANS.md); results must
+    // equal the recompute-everything variants above
+    "q_ann_store_topk" -> ((s, dir) => {
+      val store = AnnStore.load(s, annDir(s, dir))
+      val qv = AnnStore.vectorOf(embDf(s, dir), 0L)
+      AnnStore.topK(store, qv, k = 10, nBits = 5, multiProbe = false,
+        excludeVecId = 0L)
+    }),
+    "q_ann_store_multiprobe" -> ((s, dir) => {
+      val store = AnnStore.load(s, annDir(s, dir))
+      val qv = AnnStore.vectorOf(embDf(s, dir), 0L)
+      AnnStore.topK(store, qv, k = 10, nBits = 5, multiProbe = true,
+        excludeVecId = 0L)
+    }),
 
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docsDf(s, dir))),
@@ -382,6 +410,18 @@ object SparkEntry {
       graft.streaming.StreamingIngest.sessionizeSql(ev, gapSeconds = 1800)
         .select($"user_id", $"start_ts", $"end_ts", $"n_events",
           round($"total_value", 4).as("total_value"))
+    }),
+
+    // ---- events: the STREAMING sessionizer itself (event-time timeout +
+    // watermark) through a bounded deterministic replay with injected
+    // late events — accepted ones widen/extend sessions, dropped ones
+    // vanish; the oracle re-derives the injection rule in SQL ----
+    "q_sessionize_event_time" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.streaming.StreamingIngest
+        .sessionizeEventTimeReplay(s, ev, gapSeconds = 1800, latenessSeconds = 600)
+        .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
+          round(col("total_value"), 4).as("total_value"))
     })
   )
 
@@ -392,6 +432,35 @@ object SparkEntry {
     val deL = TextAnalysis.stopwords("de").map("'" + _ + "'").mkString(", ")
     val allStops = TextAnalysis.stopwords.values.flatten.toSeq.distinct
       .map("'" + _ + "'").mkString(", ")
+    // the persisted-store ANN queries must return exactly what the
+    // recompute-everything variants return, so they share one oracle text
+    val annTopkSql = (duckEmbParts + duckLshBuckets + """
+      |, cand AS (
+      |  SELECT b.vec_id FROM buckets b
+      |  JOIN (SELECT bucket FROM buckets WHERE vec_id = 0) qb USING (bucket)),
+      |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+      |cos AS (
+      |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+      |  FROM parts p JOIN cand USING (vec_id) JOIN q USING (dim) GROUP BY 1),
+      |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+      |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
+      |FROM cos CROSS JOIN nq WHERE vec_id <> 0
+      |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin)
+    val annMultiprobeSql = (duckEmbParts + duckLshBuckets + """
+      |, qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+      |probes AS (
+      |  SELECT DISTINCT xor(qb.bucket, CAST(pow(2, i) AS BIGINT)) AS bucket
+      |  FROM qb CROSS JOIN range(5) t(i)
+      |  UNION SELECT bucket FROM qb),
+      |cand AS (SELECT b.vec_id FROM buckets b JOIN probes USING (bucket)),
+      |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+      |cos AS (
+      |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+      |  FROM parts p JOIN cand USING (vec_id) JOIN q USING (dim) GROUP BY 1),
+      |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+      |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
+      |FROM cos CROSS JOIN nq WHERE vec_id <> 0
+      |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin)
     Map(
       "q_term_stats" -> (duckToks + """
         |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
@@ -692,34 +761,10 @@ object SparkEntry {
       "q_ann_lsh_buckets" -> (duckEmbParts + duckLshBuckets + """
         |SELECT vec_id, bucket FROM buckets""".stripMargin),
 
-      "q_ann_lsh_topk" -> (duckEmbParts + duckLshBuckets + """
-        |, cand AS (
-        |  SELECT b.vec_id FROM buckets b
-        |  JOIN (SELECT bucket FROM buckets WHERE vec_id = 0) qb USING (bucket)),
-        |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
-        |cos AS (
-        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
-        |  FROM parts p JOIN cand USING (vec_id) JOIN q USING (dim) GROUP BY 1),
-        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
-        |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
-        |FROM cos CROSS JOIN nq WHERE vec_id <> 0
-        |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
-
-      "q_ann_lsh_multiprobe" -> (duckEmbParts + duckLshBuckets + """
-        |, qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
-        |probes AS (
-        |  SELECT DISTINCT xor(qb.bucket, CAST(pow(2, i) AS BIGINT)) AS bucket
-        |  FROM qb CROSS JOIN range(5) t(i)
-        |  UNION SELECT bucket FROM qb),
-        |cand AS (SELECT b.vec_id FROM buckets b JOIN probes USING (bucket)),
-        |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
-        |cos AS (
-        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
-        |  FROM parts p JOIN cand USING (vec_id) JOIN q USING (dim) GROUP BY 1),
-        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
-        |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
-        |FROM cos CROSS JOIN nq WHERE vec_id <> 0
-        |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+      "q_ann_lsh_topk" -> annTopkSql,
+      "q_ann_lsh_multiprobe" -> annMultiprobeSql,
+      "q_ann_store_topk" -> annTopkSql,
+      "q_ann_store_multiprobe" -> annMultiprobeSql,
 
       "q_lang_id" -> (duckToks + s"""
         |, hits AS (
@@ -835,6 +880,35 @@ object SparkEntry {
         |  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
         |            THEN 1 ELSE 0 END AS brk
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |            ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(t) AS start_ts, max(t) AS end_ts,
+        |       count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+      // streaming replay twin (StreamingIngest.sessionizeEventTimeReplay):
+      // gap sessions over on-time events UNION the deterministically
+      // re-derived ACCEPTED injections (G = max floor-second, L = 600:
+      // users with last event <= G - L get one event at
+      // G - L + 1 + user_id % 60); the DROPPED injections (at G - 12L,
+      // below the watermark) are simply absent from both sides
+      "q_sessionize_event_time" -> """
+        |WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events),
+        |g AS (SELECT max(t) AS gm FROM e),
+        |lastu AS (SELECT user_id, max(t) AS lu FROM e GROUP BY 1),
+        |inj AS (
+        |  SELECT l.user_id, g.gm - 600 + 1 + l.user_id % 60 AS t, 0.0 AS value
+        |  FROM lastu l CROSS JOIN g WHERE l.lu <= g.gm - 600),
+        |allev AS (
+        |  SELECT user_id, t, value FROM e
+        |  UNION ALL SELECT user_id, t, value FROM inj),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |            THEN 1 ELSE 0 END AS brk
+        |  FROM allev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
         |sess AS (
         |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
         |            ROWS UNBOUNDED PRECEDING) AS sid FROM m)

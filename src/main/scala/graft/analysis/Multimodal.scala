@@ -22,18 +22,26 @@ case class AudioMeta(doc_id: Long, sample_rate: Int, channels: Int,
                      bits: Int, n_samples: Long, duration_ms: Double,
                      rms: Double)
 
+/** Decoded multi-frame (video-shaped) record: dimensions of the first
+  * frame, frame count, mean luma over all frames' pixels.
+  */
+case class VideoMeta(doc_id: Long, width: Int, height: Int,
+                     n_frames: Int, mean_luma: Double)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
   * The Spark side is real — schema, partitioning, batch iteration, and
   * the metadata contract are what a production pipeline needs. The codec
-  * step is REAL where the JVM provides one with no external deps:
-  * PNG decode / resize / channel-mean features via `javax.imageio`
-  * (java.desktop, headless-safe raster ops only), and WAV/PCM parse +
-  * RMS via a hand-rolled RIFF reader. [[StubDecoder]] remains the
-  * documented stand-in for formats with no in-container codec (video
-  * frame-sampling); swap [[Decoder]] implementations to plug one in —
-  * everything else is unchanged.
+  * step is REAL for every declared modality, using only what the JVM
+  * ships: image = PNG decode / resize / channel-mean features via
+  * `javax.imageio` (java.desktop, headless-safe raster ops only);
+  * audio = WAV/PCM parse + RMS via a hand-rolled RIFF reader;
+  * video-shaped multi-frame = animated GIF frame walk ([[decodeGif]]).
+  * [[StubDecoder]] survives only as the cheap pluggability/test
+  * stand-in for [[extractMeta]]'s Decoder seam — swap [[Decoder]]
+  * implementations to plug a real external codec in; everything else is
+  * unchanged.
   */
 object Multimodal {
 
@@ -135,7 +143,10 @@ object Multimodal {
               }
               y += 1
             }
-            val n = (w * h).toDouble
+            // Long multiply: a real >=2^31-pixel image would overflow the
+            // Int product and corrupt the channel means (the Long sums
+            // above were already safe; the divisor must be too)
+            val n = (w.toLong * h).toDouble
             ImageMeta(id, w, h, sr / n, sg / n, sb / n)
           }
         }
@@ -265,6 +276,117 @@ object Multimodal {
                 frames * 1000.0 / rate, math.sqrt(sumSq / math.max(n, 1)))
             }
           }
+        }
+      }
+  }
+
+  /** Deterministic synthetic animated-GIF corpus: per doc, a small
+    * multi-frame GIF (2..9 frames, seeded size/palette drift from
+    * sha256(text)) written with ImageIO's sequence writer — a REAL
+    * multi-frame container, the codec-level stand-in for video
+    * frame-sampling (GIF is the one multi-frame format the JDK both
+    * encodes and decodes with no external deps).
+    */
+  def syntheticGif(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), sha2(col("text"), 256).as("sha"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, shaHex) =>
+          val sha = shaHex.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray
+          val w = 4 + (sha(0) & 0x1F)            // 4..35 px
+          val h = 4 + (sha(1) & 0x1F)
+          val nFrames = 2 + ((sha(2) & 0xFF) % 8) // 2..9 frames
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          // interlace off: the JDK GIF codec mis-permutes interlaced rows
+          // for frames shorter than the 8-row interlace stride
+          val param = writer.getDefaultWriteParam
+          param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+          // explicit gray palette (index i < 16 -> gray 17*i): GIF stores
+          // palettes losslessly, so decoded pixels — not just counts and
+          // dims — are exactly the generator's (spec-pinned). The table
+          // is a full 256 entries on purpose: with <= 16 colors the JDK
+          // GIF writer emits 4-bit LZW codes and scrambles rows at
+          // non-byte-aligned widths; 256 entries force 8-bit codes
+          val grays = Array.tabulate(256)(i => if (i < 16) (i * 17).toByte else 0.toByte)
+          val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.getRaster.setSample(x, y, 0,
+                  (x + y + f + (sha(3) & 0xFF)) % 16)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+            f += 1
+          }
+          writer.endWriteSequence()
+          writer.dispose()
+          ios.close()
+          (id, "video", bos.toByteArray)
+        }
+      }.toDF("doc_id", "kind", "payload")
+  }
+
+  /** Real multi-frame decode over a binary GIF column: frame count via
+    * the ImageIO reader's index walk, dimensions of frame 0, and the mean
+    * luma over every pixel of every frame — the frame-sample feature
+    * extraction shape (swap GIF for a real video codec; the Spark-side
+    * batching, schema, and per-partition reader reuse are identical).
+    */
+  def decodeGif(bin: DataFrame): Dataset[VideoMeta] = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("gif").next() // reused per task
+        it.map { case (id, payload) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            if (n <= 0) VideoMeta(id, 0, 0, 0, 0.0)
+            else {
+              val first = reader.read(0)
+              var lumaSum = 0.0
+              var pixels = 0L
+              var f = 0
+              while (f < n) {
+                val img = reader.read(f)
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val p = img.getRGB(x, y)
+                    lumaSum += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3.0
+                    x += 1
+                  }
+                  y += 1
+                }
+                pixels += img.getWidth.toLong * img.getHeight
+                f += 1
+              }
+              VideoMeta(id, first.getWidth, first.getHeight, n,
+                lumaSum / math.max(pixels, 1L))
+            }
+          } catch {
+            case _: Exception => VideoMeta(id, 0, 0, 0, 0.0)
+          } finally iis.close()
         }
       }
   }

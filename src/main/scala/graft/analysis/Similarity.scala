@@ -1,42 +1,63 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over `embeddings(vec_id, embedding: array<float>)`.
   *
   * Brute-force cosine top-k is the correctness baseline; the scale path
   * is sign-random-projection LSH: vectors land in 2^nBits buckets and the
-  * search cross-joins only the query's bucket (a broadcast of one bucket
-  * instead of the full corpus). Hyperplanes are pseudo-random but
-  * deterministic — component i of plane j has sign = parity of
-  * md5(j || '_' || i) — so Spark and the DuckDB oracles agree exactly.
+  * search scans only the query's (multi-)probe buckets. Hyperplanes are
+  * pseudo-random but deterministic — component i of plane j has sign =
+  * parity of md5(j || '_' || i) — so Spark, the driver-side twin
+  * ([[AnnStore.bucketOf]]), and the DuckDB oracles agree exactly.
+  *
+  * Every per-vector computation here is a single codegen'd projection
+  * over the embedding array (`transform`/`zip_with`/`aggregate`): the
+  * round-2 formulation exploded N·d·b rows through two exchanges to
+  * compute values derivable from each row alone — at 10^9 vectors x 768
+  * dims that was ~10^12 shuffle rows for zero information gain.
   */
 object Similarity {
 
   /** (vec_id, dim, v): one row per vector component, double-typed.
-    * dim is 1-based to match SQL generate_subscripts (the dim VALUE feeds
-    * the md5 hyperplane hashes, so the base matters for LSH parity).
+    * dim is 1-based to match SQL generate_subscripts. Retained ONLY for
+    * the exhaustive small-scale oracle twins (Dedup.embeddingNearDups);
+    * the production paths below never explode dimensions.
     */
   def explodeDims(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), (col("pos") + 1).as("dim"),
         col("col").cast("double").as("v"))
 
-  /** Cosine of every vector against the vector `queryId`, via the
-    * dimension-exploded equi-join (SQL-mirrorable; summation order
-    * differences are absorbed by rounding in the oracles).
+  /** The embedding column as array<double> (parquet stores float). */
+  private[analysis] def vecD(embedding: Column): Column =
+    transform(embedding, _.cast("double"))
+
+  /** Sum of elementwise products of two array<double> columns — the
+    * codegen'd dot product (no per-dimension rows).
+    */
+  private[analysis] def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0d), _ + _)
+
+  /** L2 norm of an array<double> column. */
+  private[analysis] def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), _ + _))
+
+  /** Cosine of every vector against the vector `queryId`: the single-row
+    * query vector is broadcast and the cosine is one projection per row
+    * (dot/norms via zip_with/aggregate). The plan is scan -> broadcast
+    * nested-loop of ONE row -> project: zero wide shuffles. Summation
+    * order differences vs the SQL oracles are absorbed by round(…, 6).
     */
   def cosineToQuery(emb: DataFrame, queryId: Long): DataFrame = {
-    val parts = explodeDims(emb)
-    val q = parts.filter(col("vec_id") === queryId)
-      .select(col("dim"), col("v").as("qv"))
-    parts.join(broadcast(q), Seq("dim"))
-      .groupBy(col("vec_id"))
-      .agg(sum(col("v") * col("qv")).as("dot"),
-        sqrt(sum(col("v") * col("v"))).as("nv"))
-      .crossJoin(broadcast(
-        q.agg(sqrt(sum(col("qv") * col("qv"))).as("nq"))))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(vecD(col("embedding")).as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        dotCol(vecD(col("embedding")), col("qv")).as("dot"),
+        normCol(vecD(col("embedding"))).as("nv"),
+        normCol(col("qv")).as("nq"))
       .select(col("vec_id"),
         round(col("dot") / (col("nv") * col("nq")), 6).as("cosine"))
   }
@@ -50,40 +71,61 @@ object Similarity {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
 
-  /** Sign-random-projection bucket per vector: bit j = 1 iff
-    * sum_i sign(j, i) * v_i > 0, with sign(j, i) = +1 when
-    * ascii(first hex char of md5(j || '_' || i)) is odd else -1.
-    * Returns (vec_id, bucket) with bucket in [0, 2^nBits).
+  /** The SRP bucket of an embedding column as ONE codegen'd expression:
+    * bit j = 1 iff sum_i sign(j, i) * v_i > 0, with sign(j, i) = +1 when
+    * ascii(first hex char of md5(j || '_' || i)) is odd else -1 (i
+    * 1-based). Shared by [[lshBuckets]], [[AnnStore.build]], and
+    * Dedup.embeddingNearDupsLsh; the driver-side scalar twin is
+    * [[AnnStore.bucketOf]] (spec-asserted identical).
     */
-  def lshBuckets(emb: DataFrame, nBits: Int = 8): DataFrame = {
-    val parts = explodeDims(emb)
-    val planes = emb.sparkSession.range(nBits)
-      .select(col("id").cast("int").as("plane"))
-    val signed = parts.crossJoin(broadcast(planes))
-      .select(col("vec_id"), col("plane"),
-        (col("v") * when(
-          expr("ascii(substring(md5(concat(plane, '_', dim)), 1, 1)) % 2") === 1,
-          lit(1.0)).otherwise(lit(-1.0))).as("sv"))
-      .groupBy(col("vec_id"), col("plane"))
-      .agg(sum(col("sv")).as("proj"))
-    signed.groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0, pow(lit(2.0), col("plane")).cast("long"))
-        .otherwise(0L)).as("bucket"))
+  def bucketExpr(embedding: Column, nBits: Int): Column = {
+    val vd = vecD(embedding)
+    val dims = sequence(lit(1), size(embedding))
+    (0 until nBits).map { j =>
+      val proj = aggregate(
+        zip_with(vd, dims, (v, d) =>
+          v * when(ascii(substring(md5(concat(lit(s"${j}_"), d.cast("string"))), 1, 1)) % 2 === 1,
+            lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0d), _ + _)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
-  /** LSH-restricted ANN: cosine top-k among vectors sharing the query's
-    * bucket. Recall < 1 by construction (bucket boundaries); at scale
-    * probe neighboring buckets by Hamming distance for higher recall.
+  /** Sign-random-projection bucket per vector: (vec_id, bucket) with
+    * bucket in [0, 2^nBits). One projection over the scan — no shuffle.
     */
-  def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
-    val buckets = lshBuckets(emb, nBits)
-    val qb = buckets.filter(col("vec_id") === queryId).select(col("bucket"))
-    val candidates = buckets.join(broadcast(qb), Seq("bucket"))
-      .select(col("vec_id"))
-    cosineToQuery(emb.join(candidates, Seq("vec_id")), queryId)
+  def lshBuckets(emb: DataFrame, nBits: Int = 8): DataFrame =
+    emb.select(col("vec_id"), bucketExpr(col("embedding"), nBits).as("bucket"))
+
+  private def bucketed(emb: DataFrame, nBits: Int): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      bucketExpr(col("embedding"), nBits).as("bucket"))
+
+  /** Candidate-restricted cosine top-k: vectors whose bucket is in the
+    * broadcast `probes` set, scored against queryId's vector.
+    */
+  private def probeTopK(emb: DataFrame, probes: DataFrame, queryId: Long,
+                        k: Int, nBits: Int): DataFrame = {
+    val cand = bucketed(emb, nBits).join(broadcast(probes), Seq("bucket"))
+      .select(col("vec_id"), col("embedding"))
+    cosineToQuery(cand, queryId)
       .filter(col("vec_id") =!= queryId)
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** LSH-restricted ANN: cosine top-k among vectors sharing the query's
+    * bucket. Recall < 1 by construction (bucket boundaries); see
+    * [[lshTopKMultiProbe]] for the recall knob. Plan: per-row bucket
+    * projection -> broadcast join with the ONE-row query bucket ->
+    * cosine projection -> TakeOrdered. Zero wide shuffles. For repeated
+    * queries against a static corpus, persist the buckets once with
+    * [[AnnStore]] and probe its partitions instead of recomputing.
+    */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 8): DataFrame = {
+    val qb = bucketed(emb, nBits).filter(col("vec_id") === queryId)
+      .select(col("bucket"))
+    probeTopK(emb, qb, queryId, k, nBits)
   }
 
   /** Multi-probe LSH ANN: candidates come from the query's bucket PLUS
@@ -92,23 +134,18 @@ object Similarity {
     * VLDB'07 multi-probe): a near neighbor that lands just across one
     * hyperplane is recovered for (nBits+1)/2^nBits of the corpus scanned
     * instead of a full-recall exhaustive pass. Still one broadcast of a
-    * tiny probe-bucket list + one equi-join; wider radii expand the flip
-    * combinations, same plan shape.
+    * tiny probe-bucket list; wider radii expand the flip combinations,
+    * same plan shape.
     */
   def lshTopKMultiProbe(emb: DataFrame, queryId: Long, k: Int,
                         nBits: Int = 8): DataFrame = {
-    val buckets = lshBuckets(emb, nBits)
-    val qb = buckets.filter(col("vec_id") === queryId).select(col("bucket"))
+    val qb = bucketed(emb, nBits).filter(col("vec_id") === queryId)
+      .select(col("bucket"))
     val flips = emb.sparkSession.range(nBits)
       .select(expr("CAST(pow(2, id) AS BIGINT)").as("flip"))
     val probes = qb.crossJoin(flips)
       .select(col("bucket").bitwiseXOR(col("flip")).as("bucket"))
       .unionByName(qb).distinct()
-    val candidates = buckets.join(broadcast(probes), Seq("bucket"))
-      .select(col("vec_id"))
-    cosineToQuery(emb.join(candidates, Seq("vec_id")), queryId)
-      .filter(col("vec_id") =!= queryId)
-      .orderBy(desc("cosine"), asc("vec_id"))
-      .limit(k)
+    probeTopK(emb, probes, queryId, k, nBits)
   }
 }

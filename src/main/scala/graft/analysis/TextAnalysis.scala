@@ -105,18 +105,26 @@ object TextAnalysis {
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
         .cast("long").as("bpe_tokens"))
 
-  /** 3-token shingles via a lead window (order by kept-token position). */
+  /** n-token shingles (doc_id, pos, shingle), pos = 1-based kept-token
+    * position of the shingle's first token. Derived PER ROW from the
+    * kept-token array (slice of a projection) — no explode-then-window:
+    * the round-2 lead-window formulation paid a corpus-wide exchange on
+    * doc_id that minhash/fingerprint/repetition all inherited, for a
+    * value computable inside the scan. Docs with < n kept tokens emit no
+    * shingle (explode of the empty sequence), exactly as before.
+    */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val t = tokens(docs)
-    val withLeads = (1 until n).foldLeft(t) { (df, i) =>
-      df.withColumn(s"t$i", lead(col("term"), i).over(w))
-    }
-    val parts = col("term") +: (1 until n).map(i => col(s"t$i"))
-    withLeads
-      .filter((1 until n).map(i => col(s"t$i").isNotNull).reduce(_ && _))
-      .select(col("doc_id"), col("pos"), concat_ws(" ", parts: _*).as("shingle"))
+    val kept = transform(
+      filter(split(col("text"), "\\s+"),
+        t => t.rlike("^[A-Za-z]+$") && length(t) < 20),
+      lower(_))
+    docs.select(col("doc_id"), kept.as("kt"))
+      .select(col("doc_id"), col("kt"),
+        explode(when(size(col("kt")) >= n,
+            sequence(lit(1), size(col("kt")) - lit(n - 1)))
+          .otherwise(array().cast("array<int>"))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        concat_ws(" ", slice(col("kt"), col("p"), lit(n))).as("shingle"))
   }
 
   /** Document fingerprint: the minimum md5 over the doc's 3-shingles —
@@ -194,8 +202,10 @@ object TextAnalysis {
   /** Within-document repetition signals (the Gopher / RefinedWeb-style
     * quality rules): duplicate 3-gram mass and the heaviest 3-gram's
     * share. High values flag boilerplate/spam for pre-training filters.
-    * One shuffle (shingle window) + one aggregate; docs with no shingle
-    * report zeros.
+    * Shingles are a per-row projection, so the plan is two partial-agg
+    * groupBys (per-(doc,shingle) counts, then per-doc stats) — both
+    * map-side combined, unlike the round-2 window exchange that shuffled
+    * every raw token row. Docs with no shingle report zeros.
     */
   def repetition(docs: DataFrame): DataFrame = {
     // two-level: per-(doc, shingle) counts, then per-doc stats — keeps the

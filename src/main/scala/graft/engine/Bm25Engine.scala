@@ -17,7 +17,8 @@ case class Bm25Hit(docId: Long, score: Double, url: String, title: String)
   * merged on the driver by (score desc, docId asc).
   */
 class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
-                 broadcastDocsLimit: Long = 2000000L) {
+                 broadcastDocsLimit: Long = 2000000L,
+                 broadcastDocsBytes: Long = 256L << 20) {
   import spark.implicits._
 
   private val postings = {
@@ -31,10 +32,13 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
 
   /** (chunk -> docId -> docLength), broadcast once when it fits; larger
     * indexes fall back to the per-query cogroup (see SearchEngine's
-    * resident-sidecar rationale).
+    * resident-sidecar rationale). Gated on rows AND estimated bytes via
+    * the shared [[BroadcastGate]] (fixed-width payload: 3 longs + map
+    * entry overhead per row), aligned with SearchEngine's sidecar gate.
     */
   private lazy val lensBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, java.util.HashMap[java.lang.Long, java.lang.Double]]]] = {
-    if (docs.count() <= broadcastDocsLimit) {
+    if (BroadcastGate.fits(docs.toDF(), lit(64L),
+        broadcastDocsLimit, broadcastDocsBytes)) {
       val grouped = docs.select($"chunk", $"docId", $"docLength")
         .as[(Long, Long, Long)].collect().groupBy(_._1)
         .map { case (c, arr) =>
@@ -69,7 +73,13 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
   case object Or extends Mode       // WAND path
   case object And extends Mode      // leapfrog intersection
 
-  private val dfCache = scala.collection.mutable.HashMap.empty[String, Long]
+  /** Global-df memo. One engine serves concurrent queries (the
+    * pthread-per-request analog, index/indexServer.cpp:178-198), so the
+    * memo is a ConcurrentHashMap — a plain mutable map raced on resize
+    * (Bm25Spec's concurrent-query smoke test pins this). A term may be
+    * computed twice under contention; both writers store the same value.
+    */
+  private val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Tokenize the query with the frozen body-token rules, score top-k. */
   def search(query: String, k: Int = GraftConfig.TopK, mode: Mode = Or,
@@ -81,10 +91,17 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     // resolve doc metadata for the final k docIds only. The chunk
     // predicate (chunk = docId / chunkDocs) prunes the chunk-partitioned
     // docs table to the <= k directories that contain a hit — without it
-    // this is a full docs-table scan per query at scale.
+    // this is a full docs-table scan per query at scale. Legacy indexes
+    // whose stats predate the chunkDocs column (sentinel -1) skip the
+    // predicate entirely rather than pruning with a guessed value that
+    // would silently match no partitions.
     val ids = hits.map(_.docId)
-    val hitChunks = ids.map(_ / chunkDocsConf).distinct
-    val meta = docs.filter($"chunk".isin(hitChunks: _*) && $"docId".isin(ids: _*))
+    val pruned =
+      if (chunkDocsConf > 0) {
+        val hitChunks = ids.map(_ / chunkDocsConf).distinct
+        docs.filter($"chunk".isin(hitChunks: _*) && $"docId".isin(ids: _*))
+      } else docs.filter($"docId".isin(ids: _*))
+    val meta = pruned
       .select($"docId", $"url", $"title").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
     hits.map(h => Bm25Hit(h.docId, h.score,
@@ -102,14 +119,16 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
 
     // global df per term (Catalyst aggregate, tiny result), memoized per
     // engine so repeat queries pay no stats job
-    val missing = terms.filterNot(dfCache.contains)
+    val missing = terms.filterNot(dfCache.containsKey)
     if (missing.nonEmpty) {
       postings.filter($"term".isin(missing: _*))
         .groupBy($"term").agg(sum($"df").as("df"))
-        .collect().foreach(r => dfCache(r.getString(0)) = r.getLong(1))
-      missing.foreach(t => if (!dfCache.contains(t)) dfCache(t) = 0L)
+        .collect().foreach(r => dfCache.put(r.getString(0), r.getLong(1)))
+      missing.foreach(t => dfCache.putIfAbsent(t, 0L))
     }
-    val dfMap = terms.flatMap(t => dfCache.get(t).filter(_ > 0).map(t -> _)).toMap
+    val dfMap = terms
+      .flatMap(t => Option(dfCache.get(t)).map(_.longValue).filter(_ > 0).map(t -> _))
+      .toMap
     if (mode == And && terms.exists(t => !dfMap.contains(t))) return Seq.empty
     if (dfMap.isEmpty) return Seq.empty
     val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }

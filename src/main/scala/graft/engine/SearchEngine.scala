@@ -101,17 +101,15 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     * table.
     */
   private lazy val docsBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Array[DocRow]]]] = {
-    // gate on estimated BYTES, not just rows: a 2M-row sidecar of long
+    // gate on estimated BYTES, not just rows (shared BroadcastGate, also
+    // used by Bm25Engine's lens sidecar): a 2M-row sidecar of long
     // urls/titles/summaries would otherwise pull hundreds of MB through
-    // the driver before the row gate noticed nothing was wrong. One
-    // aggregate job sizes the payload (strings dominate; +64 covers the
-    // three longs + object headers per row).
-    val row = docs.toDF().agg(
-      count(lit(1)),
-      coalesce(sum(length($"url") + length($"title") + length($"summary") +
-        length($"contentSha") + lit(64L)), lit(0L))).head()
-    val (nRows, estBytes) = (row.getLong(0), row.getLong(1))
-    if (nRows <= broadcastDocsLimit && estBytes <= broadcastDocsBytes) {
+    // the driver before the row gate noticed nothing was wrong. Strings
+    // dominate; +64 covers the three longs + object headers per row.
+    if (BroadcastGate.fits(docs.toDF(),
+        length($"url") + length($"title") + length($"summary") +
+          length($"contentSha") + lit(64L),
+        broadcastDocsLimit, broadcastDocsBytes)) {
       val grouped = docs.collect().groupBy(_.chunk)
         .map { case (c, arr) => c -> arr.sortBy(_.docId) }
       Some(spark.sparkContext.broadcast(grouped))

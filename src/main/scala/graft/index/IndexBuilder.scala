@@ -514,16 +514,18 @@ object IndexStore {
     import spark.implicits._
     val df = spark.read.parquet(IndexBuilder.statsDir(outDir))
     // chunkDocs was added to the stats schema mid-project; indexes
-    // persisted before it carry the config default — WARN because an old
-    // index built with a non-default chunkDocs would be mislabeled (its
-    // docId -> chunk pruning would then miss; rebuild stats to fix)
+    // persisted before it get the -1 "unknown" sentinel, NOT a guessed
+    // default: an old index built with a non-default chunkDocs would
+    // otherwise derive a chunk-pruning predicate matching NO partitions
+    // and silently return hits with empty metadata. Consumers must skip
+    // chunk pruning when chunkDocs < 0 (Bm25Engine falls back to the
+    // docId-only filter); rebuild stats to restore pruning.
     val withCd =
       if (df.columns.contains("chunkDocs")) df
       else {
         System.err.println(s"[graft] WARN: stats table at $outDir predates the " +
-          s"chunkDocs column; assuming the config default ${graft.config.GraftConfig.ChunkDocs}")
-        df.withColumn("chunkDocs",
-          org.apache.spark.sql.functions.lit(graft.config.GraftConfig.ChunkDocs))
+          "chunkDocs column; chunk pruning disabled for this index (rebuild stats to restore)")
+        df.withColumn("chunkDocs", org.apache.spark.sql.functions.lit(-1L))
       }
     withCd.as[StatsRow]
   }

@@ -107,12 +107,22 @@ object StreamingIngest {
     */
   def sessionizeEventTime(events: Dataset[Event], gapSeconds: Long = 1800,
                           latenessSeconds: Long = 600) = {
-    // lateness <= gap makes the streaming output provably identical to the
-    // batch fold: any accepted event t satisfies t >= last - lateness >=
-    // start - gap, so the widening branch below can never merge an event
-    // that the batch twin would place in an earlier session
+    // What lateness <= gap actually guarantees: an accepted event can
+    // never REGRESS state (the widening branch is min/max) and a dropped
+    // event can never resurrect an emitted session. It does NOT make the
+    // output identical to the batch fold in every case: an accepted late
+    // event may land within `gap` of a session that was ALREADY emitted
+    // and also join the current one — the batch fold would merge the two,
+    // while append-mode streaming has irrevocably split them (the emitted
+    // end is gone from state, so the bridge is undetectable here). True
+    // merge semantics need merge-capable session windows
+    // (session_window / a compaction pass over the sink), not
+    // flatMapGroupsWithState append. The bound is kept as a sanity rail:
+    // with lateness > gap even the no-regress property gets hard to
+    // reason about, and sessionizeEventTimeReplay's oracle construction
+    // depends on it.
     require(latenessSeconds <= gapSeconds,
-      s"lateness ($latenessSeconds s) must be <= gap ($gapSeconds s) for batch-equivalent sessions")
+      s"lateness ($latenessSeconds s) must be <= gap ($gapSeconds s)")
     import events.sparkSession.implicits._
     events.withWatermark("ts", s"$latenessSeconds seconds")
       .groupByKey(_.user_id)
@@ -153,6 +163,74 @@ object StreamingIngest {
             closed.result().iterator
           }
       }
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Bounded deterministic replay of [[sessionizeEventTime]] over a
+    * static events table — the driver-oracle harness for the streaming
+    * path. Three micro-batches through a MemoryStream:
+    *
+    *  1. every event of the table (watermark still 0 -> nothing dropped);
+    *  2. injected late events, derived from the data by a rule a SQL
+    *     oracle can re-derive: let G = max floor-second of the table and
+    *     L = lateness; every user whose last event is <= G - L gets
+    *     (a) an ACCEPTED late event at G - L + 1 + (user_id % 60) —
+    *     strictly above the watermark G_exact - L, and at/after the
+    *     user's open tail session, so the append-mode output provably
+    *     equals the batch fold (the bridge divergence documented in
+    *     [[sessionizeEventTime]] needs an accepted event BEFORE the
+    *     user's last on-time event, which this rule excludes) — and
+    *     (b) a DROPPED event at G - 12L, far below the watermark;
+    *  3. two sentinel clock events (user_id -1) 100000 s ahead, pushing
+    *     the watermark past every session's last + gap so every real
+    *     user's tail times out and emits.
+    *
+    * Returns the emitted sessions (sentinel excluded) as a local batch
+    * DataFrame: exactly the gap-sessions over (on-time ∪ accepted
+    * injected) — which is what the DuckDB oracle recomputes — with the
+    * dropped injections provably absent.
+    */
+  def sessionizeEventTimeReplay(spark: SparkSession, events: DataFrame,
+                                gapSeconds: Long = 1800,
+                                latenessSeconds: Long = 600): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val onTime = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        coalesce(col("event_type"), lit("e")).as("event_type"),
+        col("value").cast("double").as("value"))
+      .as[Event].collect().toSeq
+    require(onTime.nonEmpty, "sessionizeEventTimeReplay needs a non-empty events table")
+    def floorSec(e: Event): Long = e.ts.getTime / 1000
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val g = onTime.map(floorSec).max
+    val lastByUser = onTime.groupBy(_.user_id).view.mapValues(_.map(floorSec).max)
+    val injectedUsers = lastByUser.filter(_._2 <= g - latenessSeconds).keys.toSeq.sorted
+    val accepted = injectedUsers.map(u =>
+      Event(u, at(g - latenessSeconds + 1 + u % 60), "late", 0.0))
+    val dropped = injectedUsers.map(u =>
+      Event(u, at(g - 12 * latenessSeconds), "late", 0.0))
+
+    val input = MemoryStream[Event]
+    val qname = s"graft_evreplay_${replaySeq.incrementAndGet()}"
+    val q = sessionizeEventTime(input.toDS(), gapSeconds, latenessSeconds)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(qname).start()
+    try {
+      input.addData(onTime); q.processAllAvailable()
+      input.addData(accepted ++ dropped); q.processAllAvailable()
+      // two clock ticks: the first advances the watermark, the second
+      // runs a batch under it so the timeouts actually fire (matches the
+      // MemoryStream behavior pinned in StreamingSpec)
+      input.addData(Event(-1L, at(g + 100000), "clock", 0.0)); q.processAllAvailable()
+      input.addData(Event(-1L, at(g + 100001), "clock", 0.0)); q.processAllAvailable()
+      val out = spark.table(qname).as[Session].collect().filter(_.user_id >= 0L).toSeq
+      spark.createDataset(out).toDF()
+    } finally q.stop()
   }
 
   /** Scale-path batch sessionization: pure window functions (gap flag ->

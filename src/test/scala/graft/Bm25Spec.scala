@@ -91,4 +91,34 @@ class Bm25Spec extends AnyFunSuite {
     // absent term -> empty under And
     assert(engine.searchTerms(Seq("spark", "zzzz"), 5, engine.And).isEmpty)
   }
+
+  test("concurrent queries on ONE engine are identical to sequential (dfCache race)") {
+    // the pthread-per-request analog (index/indexServer.cpp:178-198): N
+    // threads share one engine; the global-df memo must not race. Term
+    // sets overlap deliberately so cache hits and concurrent misses mix.
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-bm25-conc")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val engine = new Bm25Engine(spark, out)
+    val querySets = Seq(
+      Seq("spark", "dup"), Seq("spark", "merge", "sort"), Seq("dup"),
+      Seq("merge", "join"), Seq("spark"), Seq("sort", "dup"))
+    val expected = querySets.map(t => engine.searchTerms(t, 10, engine.Or))
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    (1 to 3).foreach { round =>
+      val fresh = new Bm25Engine(spark, out) // empty dfCache each round
+      val futures = (0 until 12).map { i =>
+        Future(querySets(i % querySets.size) -> fresh.searchTerms(
+          querySets(i % querySets.size), 10, fresh.Or))
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      results.foreach { case (terms, hits) =>
+        val exp = expected(querySets.indexOf(terms))
+        assert(hits === exp, s"round $round terms $terms diverged under concurrency")
+      }
+    }
+  }
 }

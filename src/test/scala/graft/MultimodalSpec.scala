@@ -26,7 +26,7 @@ class MultimodalSpec extends AnyFunSuite {
           val p = argb(x, y)
           sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
         }
-        val n = (w * h).toDouble
+        val n = (w.toLong * h).toDouble
         id -> ((w, h, sr / n, sg / n, sb / n))
     }.toMap
 
@@ -103,5 +103,35 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(a.rms - rms) < 1e-9, s"rms for ${a.doc_id}")
       assert(math.abs(a.duration_ms - n * 1000.0 / 8000) < 1e-9)
     }
+  }
+
+  test("gif: multi-frame decode recovers seeded frame count, dims, exact pixels") {
+    import spark.implicits._
+    val expected = docs.select("doc_id", "text").as[(Long, String)].collect().map {
+      case (id, text) =>
+        val sha = shaBytes(text)
+        val w = 4 + (sha(0) & 0x1F)
+        val h = 4 + (sha(1) & 0x1F)
+        val nFrames = 2 + ((sha(2) & 0xFF) % 8)
+        // generator palette: index i -> gray 17*i, so mean_luma is the
+        // exact mean of 17 * ((x + y + f + sha3) % 16) over all frames
+        var s = 0.0
+        for (f <- 0 until nFrames; y <- 0 until h; x <- 0 until w)
+          s += 17.0 * ((x + y + f + (sha(3) & 0xFF)) % 16)
+        id -> ((w, h, nFrames, s / (w.toLong * h * nFrames)))
+    }.toMap
+
+    val got = Multimodal.decodeGif(Multimodal.syntheticGif(docs)).collect()
+    assert(got.length === expected.size)
+    got.foreach { m =>
+      val (w, h, n, luma) = expected(m.doc_id)
+      assert((m.width, m.height) === ((w, h)), s"dims for ${m.doc_id}")
+      assert(m.n_frames === n, s"frame count for ${m.doc_id}")
+      assert(math.abs(m.mean_luma - luma) < 1e-9, s"luma for ${m.doc_id}")
+    }
+    val again = Multimodal.decodeGif(Multimodal.syntheticGif(docs)).collect()
+      .map(m => m.doc_id -> ((m.width, m.height, m.n_frames, m.mean_luma))).toMap
+    got.foreach(m => assert(
+      again(m.doc_id) === ((m.width, m.height, m.n_frames, m.mean_luma))))
   }
 }

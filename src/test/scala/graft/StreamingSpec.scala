@@ -129,6 +129,44 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("event-time replay == batch fold over on-time + accepted injections; dropped absent") {
+    import spark.implicits._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val got = StreamingIngest.sessionizeEventTimeReplay(spark, raw,
+        gapSeconds = 1800, latenessSeconds = 600)
+      .select($"user_id", $"start_ts", $"end_ts", $"n_events",
+        round($"total_value", 6).as("tv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // re-derive the injection rule (the oracle's SQL twin) and fold
+    val ev = raw.select($"user_id".cast("long"), $"ts".cast("timestamp").as("ts"),
+        $"event_type", $"value".cast("double")).as[StreamingIngest.Event].collect().toSeq
+    val g = ev.map(_.ts.getTime / 1000).max
+    val lastByUser = ev.groupBy(_.user_id).view.mapValues(_.map(_.ts.getTime / 1000).max)
+    val injectedUsers = lastByUser.filter(_._2 <= g - 600).keys.toSeq
+    assert(injectedUsers.nonEmpty, "injection rule selected no users — test vacuous")
+    assert(injectedUsers.size < lastByUser.size,
+      "every user selected — the not-injected branch is unexercised")
+    val accepted = injectedUsers.map(u => StreamingIngest.Event(
+      u, new java.sql.Timestamp((g - 600 + 1 + u % 60) * 1000), "late", 0.0))
+    val expected = StreamingIngest.sessionizeBatch(
+        spark.createDataset(ev ++ accepted), gapSeconds = 1800)
+      .toDF().select($"user_id", $"start_ts", $"end_ts", $"n_events",
+        round($"total_value", 6).as("tv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === expected)
+
+    // dropped injections (at g - 7200) must not have created or touched
+    // any session: no session boundary sits at that timestamp unless an
+    // on-time event does
+    val droppedT = g - 12 * 600
+    val onTimeTs = ev.map(_.ts.getTime / 1000).toSet
+    if (!onTimeTs.contains(droppedT))
+      assert(!got.exists(s => s._2 == droppedT || s._3 == droppedT))
+  }
+
   test("sessionizeSql (window functions) == sessionizeBatch (typed fold) on events parquet") {
     import spark.implicits._
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
