@@ -11,13 +11,23 @@ import graft.index.{IdDoc, IndexBuilder}
   *     compress -> persist, on a deterministically replicated corpus
   *     (factor x the sfDir documents table — big enough to amortize job
   *     overhead so the scaling measurement reflects the pipeline);
-  *  2. the same build at two parallelism levels: local[N/4] vs local[N]
+  *  2. the same build at two parallelism levels: local[N] vs local[4N]
   *     with spark.sql.shuffle.partitions scaled alike ->
   *     efficiency = throughput(4N) / (4 * throughput(N));
   *  3. query latency p50/p99 over the frozen reference query set
   *     (FIXTURES.md §7 remapped onto the corpus vocabulary) on the warm
   *     engine, plus BM25/WAND latencies.
-  * Prints ONE JSON line.
+  *
+  * STEAL-ROBUST measurement (this VM's host steals CPU in multi-second
+  * bursts — memory/graft-env-gotchas.md): every build trial and every
+  * 5-sample query window records its own /proc/stat steal delta; a
+  * measurement is CLEAN when steal could have inflated it <= ~5%
+  * (isClean). Dirty build trials stay visible in the JSON but are
+  * excluded from the headline pairing, and extra interleaved rounds run
+  * until both core counts have >= 2 clean trials; dirty query windows
+  * are re-sampled up to 3x. If the host never yields a clean window the
+  * JSON says so (clean_pairing=false / dirty_windows>0) instead of
+  * silently publishing a polluted number. Prints ONE JSON line.
   */
 object Bench {
   private def session(cores: Int): SparkSession = {
@@ -69,8 +79,30 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Cumulative host CPU-steal (USER_HZ ticks -> seconds) across all
+    * vCPUs. Idle vCPUs accrue no steal, so the delta across a trial is
+    * (approximately) the CPU-seconds the host denied THIS job — the
+    * per-trial cleanliness signal the round-2 verdict asked for.
+    */
+  private def stealSec(): Double = try {
+    scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu "))
+      .map(_.trim.split("\\s+")(8).toDouble / 100.0).getOrElse(-1.0)
+  } catch { case _: Throwable => -1.0 }
+
+  /** A trial is CLEAN when the steal it absorbed could have inflated its
+    * wall time by at most ~5%: steal <= 0.05 * busyCores * wall (+1 s
+    * floor for counter noise). A c-core job that loses S cpu-seconds to
+    * the host runs ~ (c*t)/(c*t - S) slower, so this bound caps the
+    * distortion of any number derived from the trial.
+    */
+  private def isClean(stealDelta: Double, cores: Int, wallSec: Double): Boolean =
+    stealDelta >= 0 && stealDelta <= math.max(1.0, 0.05 * cores * wallSec)
+
+  private case class Trial(sec: Double, steal: Double, clean: Boolean, out: String)
+
   private def buildOnce(cores: Int, sfDir: String, factor: Int,
-                        chunkDocs: Long): (Double, Long, String) = {
+                        chunkDocs: Long): (Trial, Long) = {
     val spark = session(cores)
     val src = replicated(spark, sfDir, factor)
     // index output on tmpfs for the same reason as spark.local.dir: the
@@ -81,11 +113,15 @@ object Bench {
     // file count = base docs x factor; derived from the (tiny) base table
     // instead of a count() job over the replicated corpus
     val files = spark.read.parquet(s"$sfDir/documents.parquet").count() * factor
+    val strategy = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRATEGY", "bychunk")
+    val s0 = stealSec()
     val (_, dt) = timed {
-      IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = chunkDocs))
+      IndexBuilder.build(spark, src, out,
+        IndexBuilder.BuildConfig(chunkDocs = chunkDocs, strategy = strategy))
     }
+    val sd = { val s1 = stealSec(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
     spark.stop()
-    (dt, files, out)
+    (Trial(dt, sd, isClean(sd, cores, dt), out), files)
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,58 +135,74 @@ object Bench {
     // delta so the noise floor is visible next to the numbers.
     val small = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt)
     val large = small * 4
+    // factor 100 x the 5k-doc base: each copy's docId block lands in its
+    // own chunk (the 10^7 id shift), so the chunk-partitioned reduce
+    // stages see ~100+ units of work — parallelism is never quantized by
+    // the corpus at these core counts
     val factor = sys.env.getOrElse("SPARK_GRAFT_BENCH_FACTOR", "100").toInt
     val chunkDocs = sys.env.getOrElse("SPARK_GRAFT_CHUNK_DOCS", "30000").toLong
-    // every config gets several interleaved trials and the minimum is
-    // taken: single trials regularly absorb multi-second host-steal
-    // windows (observed: a 2-core trial slower than a 1-core one)
+    // every config gets several interleaved trials; trials whose
+    // per-trial /proc/stat steal delta exceeds the clean bound are kept
+    // in the JSON but excluded from the headline pairing, and extra
+    // interleaved rounds run until BOTH configs have >= 2 clean trials
+    // (or the retry cap hits). Single trials regularly absorb
+    // multi-second host-steal windows (observed: a 2-core trial slower
+    // than a 1-core one; round 2: all three 1-core trials polluted).
     val trialsSmall = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS_N", "3").toInt
     val trialsLarge = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS_4N", "4").toInt
+    val maxExtraRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "5").toInt
+    val needClean = 2
     val totalT0 = System.nanoTime()
-
-    // cumulative host CPU-steal (USER_HZ ticks -> seconds), recorded per
-    // bench so the JSON carries the noise evidence alongside the numbers
-    def stealSec(): Double = try {
-      scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu "))
-        .map(_.trim.split("\\s+")(8).toDouble / 100.0).getOrElse(-1.0)
-    } catch { case _: Throwable => -1.0 }
     val steal0 = stealSec()
 
     // --- build throughput at N and 4N cores (same input, same job) ---
-    val warmupOut = buildOnce(large, sfDir, 1, chunkDocs)._3 // JIT/classload warmup, untimed
+    val warmupOut = buildOnce(large, sfDir, 1, chunkDocs)._1.out // JIT/classload warmup, untimed
     var files = 0L
-    var dtSmall = Double.MaxValue
-    var dtLarge = Double.MaxValue
-    var outLarge: String = null
-    val trialsS = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val trialsL = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val allOuts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val trialsS = scala.collection.mutable.ArrayBuffer.empty[Trial]
+    val trialsL = scala.collection.mutable.ArrayBuffer.empty[Trial]
     def rmTree(dir: String): Unit = try {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(dir)
       java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     } catch { case _: Throwable => () }
-    (1 to math.max(trialsSmall, trialsLarge)).foreach { i =>
-      if (i <= trialsSmall) {
-        val (ds, f, o) = buildOnce(small, sfDir, factor, chunkDocs)
+    def cleanCount(ts: Seq[Trial]) = ts.count(_.clean)
+    var round = 1
+    val maxRounds = math.max(trialsSmall, trialsLarge) + maxExtraRounds
+    while (round <= maxRounds &&
+        (round <= math.max(trialsSmall, trialsLarge) ||
+         cleanCount(trialsS.toSeq) < needClean || cleanCount(trialsL.toSeq) < needClean)) {
+      val base = round <= math.max(trialsSmall, trialsLarge)
+      if ((base && round <= trialsSmall) ||
+          (!base && cleanCount(trialsS.toSeq) < needClean)) {
+        val (t, f) = buildOnce(small, sfDir, factor, chunkDocs)
         files = f
-        trialsS += ds
-        allOuts += o
-        if (ds < dtSmall) dtSmall = ds
+        trialsS += t
       }
-      if (i <= trialsLarge) {
-        val (dl, f, ol) = buildOnce(large, sfDir, factor, chunkDocs)
+      if ((base && round <= trialsLarge) ||
+          (!base && cleanCount(trialsL.toSeq) < needClean)) {
+        val (t, f) = buildOnce(large, sfDir, factor, chunkDocs)
         files = f
-        trialsL += dl
-        allOuts += ol
-        if (dl < dtLarge) { dtLarge = dl; outLarge = ol }
+        trialsL += t
       }
+      round += 1
     }
+    // headline pairing from CLEAN trials only; if a side never produced a
+    // clean trial (perpetually noisy host), fall back to min-of-all and
+    // say so in the JSON (clean_pairing=false)
+    def best(ts: Seq[Trial]): (Trial, Boolean) = {
+      val clean = ts.filter(_.clean)
+      if (clean.nonEmpty) (clean.minBy(_.sec), true) else (ts.minBy(_.sec), false)
+    }
+    val (bestS, cleanS) = best(trialsS.toSeq)
+    val (bestL, cleanL) = best(trialsL.toSeq)
+    val cleanPairing = cleanS && cleanL
+    val dtSmall = bestS.sec
+    val dtLarge = bestL.sec
+    val outLarge = bestL.out
     // tmpfs hygiene: every trial (and the warmup) leaves a full index on
     // /dev/shm; keep only the one the query phase uses
-    (allOuts :+ warmupOut).filter(_ != outLarge).foreach(rmTree)
+    ((trialsS ++ trialsL).map(_.out) :+ warmupOut).filter(_ != outLarge).foreach(rmTree)
     val thrSmall = files / dtSmall
     val thrLarge = files / dtLarge
     val efficiency = thrLarge / ((large.toDouble / small) * thrSmall)
@@ -170,17 +222,42 @@ object Bench {
       "spark")                       // common single term
     val bm25Queries = Seq(Seq("spark", "dup"), Seq("spark", "merge", "sort"), Seq("dup"))
 
+    // clean-window protocol for the query phase too (round-2 verdict:
+    // the 5-sample windows had no noise rejection and all landed in one
+    // steal burst): each query's window is re-sampled up to 3 times if
+    // the /proc/stat steal delta across it exceeds the clean bound; the
+    // lowest-steal window wins when none is clean.
     val perQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var queryRetries = 0
+    var dirtyWindows = 0
+    def cleanWindow(run: () => Double): Seq[Double] = {
+      def window(): (Seq[Double], Double) = {
+        val s0 = stealSec()
+        val times = (1 to 5).map(_ => run())
+        val sd = { val s1 = stealSec(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
+        (times, sd)
+      }
+      var bestW = window()
+      var attempt = 1
+      while (attempt < 3 && !isClean(bestW._2, large, bestW._1.sum)) {
+        queryRetries += 1
+        val next = window()
+        if (next._2 >= 0 && (bestW._2 < 0 || next._2 < bestW._2)) bestW = next
+        attempt += 1
+      }
+      if (!isClean(bestW._2, large, bestW._1.sum)) dirtyWindows += 1
+      bestW._1
+    }
     refQueries.foreach { q => engine.search(q) } // warmup
     refQueries.foreach { q =>
-      val times = (1 to 5).map(_ => timed(engine.search(q))._2)
+      val times = cleanWindow(() => timed(engine.search(q))._2)
       samples ++= times
       perQuery(s"ref:$q") = times.sorted.apply(times.size / 2)
     }
     bm25Queries.foreach { t => bm25.searchTerms(t, 30, bm25.Or) }
     bm25Queries.foreach { t =>
-      val times = (1 to 5).map(_ => timed(bm25.searchTerms(t, 30, bm25.Or))._2)
+      val times = cleanWindow(() => timed(bm25.searchTerms(t, 30, bm25.Or))._2)
       samples ++= times
       perQuery(s"bm25:${t.mkString("+")}") = times.sorted.apply(times.size / 2)
     }
@@ -200,13 +277,18 @@ object Bench {
       "\"" + k.replace("\"", "\\\"") + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val stealDelta = { val s1 = stealSec(); if (s1 < 0 || steal0 < 0) -1.0 else s1 - steal0 }
     def arr(xs: Seq[Double]) = xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+    def arrB(xs: Seq[Boolean]) = xs.map(_.toString).mkString("[", ",", "]")
+    def trialJson(ts: Seq[Trial]) =
+      s"""{"sec":${arr(ts.map(_.sec))},"steal_sec":${arr(ts.map(_.steal))},"clean":${arrB(ts.map(_.clean))}}"""
     val extra =
       s""""build":{"files":$files,"sec_n${small}":${f"$dtSmall%.2f"},"sec_n${large}":${f"$dtLarge%.2f"},""" +
       s""""files_per_sec_n${small}":${f"$thrSmall%.1f"},"files_per_sec_n${large}":${f"$thrLarge%.1f"},""" +
-      s""""trials_n${small}":${arr(trialsS.toSeq)},"trials_n${large}":${arr(trialsL.toSeq)}},""" +
-      s""""scaling":{"n_small":$small,"n_large":$large,"efficiency":${f"$efficiency%.4f"}},""" +
+      s""""trials_n${small}":${trialJson(trialsS.toSeq)},"trials_n${large}":${trialJson(trialsL.toSeq)}},""" +
+      s""""scaling":{"n_small":$small,"n_large":$large,"efficiency":${f"$efficiency%.4f"},""" +
+      s""""clean_pairing":$cleanPairing},""" +
       s""""host_steal_sec":${f"$stealDelta%.1f"},""" +
-      s""""query_latency":{"p50_sec":${f"$p50%.4f"},"p99_sec":${f"$p99%.4f"},"samples":${sortedS.size}}"""
+      s""""query_latency":{"p50_sec":${f"$p50%.4f"},"p99_sec":${f"$p99%.4f"},"samples":${sortedS.size},""" +
+      s""""window_retries":$queryRetries,"dirty_windows":$dirtyWindows}"""
     val json = s"""{"metric":"index-build files/sec @ local[$large] + query p50/p99 + N->4N scaling efficiency","value":${f"$thrLarge%.1f"},"unit":"files/sec","queries":$qs,"sf":"$sfDir",$extra,"total_sec":${f"$totalSec%.1f"}}"""
     println(json)
     // belt-and-braces handoff: the JSON also lands in a file (the r01

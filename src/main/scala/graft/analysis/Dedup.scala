@@ -151,9 +151,11 @@ object Dedup {
     */
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.95,
                            nBits: Int = 5): DataFrame = {
+    // bucket is a per-row projection (Similarity.bucketExpr), so no
+    // join-back-by-vec_id: the only shuffle left is the bucket equi-join
     val withBucket = emb
-      .join(Similarity.lshBuckets(emb, nBits), Seq("vec_id"))
-      .select(col("vec_id"), col("bucket"),
+      .select(col("vec_id"),
+        Similarity.bucketExpr(col("embedding"), nBits).as("bucket"),
         transform(col("embedding"), _.cast("double")).as("vd"))
     val dot = aggregate(
       zip_with(col("a.vd"), col("b.vd"), (x, y) => x * y), lit(0.0d), _ + _)

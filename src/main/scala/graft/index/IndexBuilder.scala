@@ -6,13 +6,22 @@ import graft.config.GraftConfig
 import graft.corpus.Corpus
 import graft.tokenizer.Tokenizer
 
-/** Index-build pipeline: tokenize -> per-(chunk, term) typed aggregation
-  * -> compressed posting chunks + document store + per-chunk stats, with
+/** Index-build pipeline: tokenize -> per-(chunk, term) aggregation ->
+  * compressed posting chunks + document store + per-chunk stats, with
   * per-partition lineage for resume (SURVEY.md §3.1, §7).
   *
-  * The one unavoidable wide shuffle is tokenize -> groupBy(chunk, term);
-  * everything downstream is chunk-partitioned and writes with dynamic
-  * partition overwrite so a resumed build only rewrites incomplete chunks.
+  * The one unavoidable wide shuffle routes each doc's data to its chunk.
+  * The default "bychunk" strategy moves the RAW DOCS (shuffle bytes ==
+  * corpus bytes, the floor) and tokenizes+builds reduce-side, holding one
+  * chunk's postings in memory — exactly the reference's per-chunk build
+  * memory model, sized by chunkDocs (config.h:12 caps a chunk at 30k
+  * docs / ~8 MB doc data precisely so this fits). The token-stream
+  * strategies (grouped/sorted/aggregator/salted) keep memory bounded by
+  * one TERM's chunk postings instead — use them (or a smaller chunkDocs)
+  * when documents are so large that a chunk outgrows executor memory,
+  * and the salted path for df≈N skew. Everything downstream is
+  * chunk-partitioned and writes with dynamic partition overwrite so a
+  * resumed build only rewrites incomplete chunks.
   */
 object IndexBuilder {
 
@@ -20,7 +29,11 @@ object IndexBuilder {
     * @param salts      >1 enables the two-level salted aggregation for
     *                   high-df terms: stage 1 aggregates contiguous docId
     *                   range slices, stage 2 concatenates the sorted runs
-    * @param strategy   "grouped" (default): tokenize emits one row per
+    * @param strategy   "bychunk": shuffle the raw docs by chunk (shuffle
+    *                   bytes == corpus bytes) and build each chunk's
+    *                   postings in one reduce-side pass — see
+    *                   [[buildPostingsByChunk]];
+    *                   "grouped": tokenize emits one row per
     *                   (doc, term) carrying all positions (map-side
     *                   grouping is free — every position of the pair is in
     *                   the same input row), then repartition by
@@ -36,7 +49,7 @@ object IndexBuilder {
     *                   token volume because buffers are object-serialized)
     */
   case class BuildConfig(chunkDocs: Long = GraftConfig.ChunkDocs, salts: Int = 1,
-                         strategy: String = "grouped")
+                         strategy: String = "bychunk")
 
   def chunkOf(docId: Long, chunkDocs: Long): Long = docId / chunkDocs
 
@@ -91,11 +104,15 @@ object IndexBuilder {
         val chunk = chunkOf(d.docId, chunkDocs)
         val title = Tokenizer.titleTokens(d.path)
         val body = Tokenizer.bodyTokens(d.content)
-        val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
-        var pos = 1L
+        // Int positions (see TokenGroup): guard the widening invariant
+        // once per doc, not per token
+        require(title.size.toLong + body.size < Int.MaxValue,
+          s"doc ${d.docId} token count overflows Int positions")
+        val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+        var pos = 1
         def add(term: String): Unit = {
           var b = m.get(term)
-          if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofLong; m.put(term, b) }
+          if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt; m.put(term, b) }
           b += pos
           pos += 1
         }
@@ -140,6 +157,15 @@ object IndexBuilder {
           private var pending: TokenGroup = _
           private var nextRow: PostingRow = _
 
+          // widen the Int shuffle positions at the encode boundary so the
+          // codec (and therefore the blob) is untouched
+          private def widen(a: Array[Int]): Array[Long] = {
+            val out = new Array[Long](a.length)
+            var i = 0
+            while (i < a.length) { out(i) = a(i).toLong; i += 1 }
+            out
+          }
+
           private def encodeRun(chunk: Long, term: String): PostingRow = {
             val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(docs)
             docs.clear()
@@ -159,7 +185,7 @@ object IndexBuilder {
                 nextRow = encodeRun(chunk, term)
                 return
               }
-              docs += ((cur.docId, cur.poss))
+              docs += ((cur.docId, widen(cur.poss)))
               cur = if (it.hasNext) it.next() else null
             }
             nextRow = encodeRun(chunk, term)
@@ -172,6 +198,110 @@ object IndexBuilder {
           def next(): PostingRow = {
             if (!hasNext) throw new NoSuchElementException
             val r = nextRow; nextRow = null; r
+          }
+        }
+      }
+  }
+
+  /** "bychunk" strategy: shuffle the RAW DOCS by chunk — so the wide
+    * exchange moves exactly the corpus bytes, the information floor
+    * (~6x less than the per-(doc,term) grouped rows, which repeat the
+    * term string and row overhead for every pair) — then tokenize and
+    * build each chunk's complete posting set in one reduce-side pass:
+    * the reference's per-chunk in-memory index build (index/index.h
+    * build pass) re-expressed as a Spark partition task. Tokenize runs
+    * AFTER the exchange, so the shuffle's bandwidth share shrinks and
+    * the post-shuffle work is CPU-bound (scales with cores — the term
+    * that decides N->4N efficiency on a bandwidth-contended host).
+    * Memory is bounded by ONE chunk's postings, the same bound the
+    * reference's build holds (30k docs/chunk). Output must be
+    * blob-identical to every other strategy (5-way equivalence spec).
+    */
+  def buildPostingsByChunk(docs: Dataset[IdDoc], cfg: BuildConfig): Dataset[PostingRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val chunkDocs = cfg.chunkDocs
+    docs.toDF()
+      .withColumn("chunk", floor(col("docId") / chunkDocs).cast("long"))
+      .repartition(col("chunk"))
+      .sortWithinPartitions(col("chunk"), col("docId"))
+      .select(col("chunk"), col("docId"), col("path"), col("content"))
+      .as[(Long, Long, String, String)]
+      .mapPartitions { it =>
+        new Iterator[PostingRow] {
+          // per-chunk accumulator: insertion-ordered term -> sorted run
+          // of (docId, positions); docs arrive docId-ascending, so each
+          // term's run is ascending by construction
+          private var curChunk = Long.MinValue
+          private val acc = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]]()
+          private var outRows: Iterator[PostingRow] = Iterator.empty
+          private var exhausted = false
+
+          private def addDoc(docId: Long, path: String, content: String): Unit = {
+            val title = Tokenizer.titleTokens(path)
+            val body = Tokenizer.bodyTokens(content)
+            val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
+            var pos = 1L
+            def add(term: String): Unit = {
+              var b = m.get(term)
+              if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofLong; m.put(term, b) }
+              b += pos
+              pos += 1
+            }
+            title.foreach(add)
+            body.foreach(add)
+            val eit = m.entrySet().iterator()
+            while (eit.hasNext) {
+              val e = eit.next()
+              var run = acc.get(e.getKey)
+              if (run == null) {
+                run = new scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]
+                acc.put(e.getKey, run)
+              }
+              run += ((docId, e.getValue.result()))
+            }
+          }
+
+          private def flushChunk(): Iterator[PostingRow] = {
+            if (acc.isEmpty) Iterator.empty
+            else {
+              val chunk = curChunk
+              import scala.jdk.CollectionConverters._
+              // sorted term order for deterministic row/file layout
+              // (matches the grouped strategy's sortWithinPartitions)
+              val rows = acc.entrySet().iterator().asScala.toArray
+                .sortBy(_.getKey)
+                .iterator.map { e =>
+                  val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(e.getValue)
+                  PostingRow(chunk, e.getKey, df, tf, blocks, blob)
+                }
+              acc.clear()
+              rows
+            }
+          }
+
+          private def advance(): Unit = {
+            while (!outRows.hasNext && !exhausted) {
+              if (!it.hasNext) { exhausted = true; outRows = flushChunk() }
+              else {
+                val (chunk, docId, path, content) = it.next()
+                if (chunk != curChunk && curChunk != Long.MinValue) {
+                  val flushed = flushChunk()
+                  curChunk = chunk
+                  addDoc(docId, path, content)
+                  outRows = flushed
+                } else {
+                  curChunk = chunk
+                  addDoc(docId, path, content)
+                }
+              }
+            }
+          }
+
+          def hasNext: Boolean = { advance(); outRows.hasNext }
+          def next(): PostingRow = {
+            if (!hasNext) throw new NoSuchElementException
+            outRows.next()
           }
         }
       }
@@ -244,7 +374,9 @@ object IndexBuilder {
     * else goes through the flat Token stream.
     */
   def buildPostingsFor(docs: Dataset[IdDoc], cfg: BuildConfig): Dataset[PostingRow] =
-    if (cfg.salts <= 1 && cfg.strategy == "grouped")
+    if (cfg.salts <= 1 && cfg.strategy == "bychunk")
+      buildPostingsByChunk(docs, cfg)
+    else if (cfg.salts <= 1 && cfg.strategy == "grouped")
       buildPostingsGrouped(tokenGroups(docs, cfg))
     else buildPostings(tokens(docs, cfg), cfg)
 
@@ -395,14 +527,18 @@ object IndexBuilder {
     // the emptiness probe is itself a job; only pay it on resumed builds
     if (!fresh && pending.isEmpty) return Set.empty
 
-    val grouped = cfg.salts <= 1 && cfg.strategy == "grouped"
-    if (grouped) {
-      // single-pass flow: the chunk-partitioned grouped build writes
-      // straight to the table layout — no cache materialization, no
-      // second shuffle of encoded blobs. Lineage/stats re-derive from the
-      // written tables (pruned parquet reads; the only blob touch is the
-      // byte count).
-      buildPostingsGrouped(tokenGroups(pending, cfg))
+    val singlePass = cfg.salts <= 1 &&
+      (cfg.strategy == "grouped" || cfg.strategy == "bychunk")
+    if (singlePass) {
+      // single-pass flow: the chunk-partitioned build writes straight to
+      // the table layout — no cache materialization, no second shuffle
+      // of encoded blobs. Lineage/stats re-derive from the written
+      // tables (pruned parquet reads; the only blob touch is the byte
+      // count).
+      val postings =
+        if (cfg.strategy == "bychunk") buildPostingsByChunk(pending, cfg)
+        else buildPostingsGrouped(tokenGroups(pending, cfg))
+      postings
         .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
       buildDocs(pending, cfg).repartition(col("chunk"))
         .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))

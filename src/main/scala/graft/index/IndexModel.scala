@@ -18,9 +18,13 @@ case class Token(chunk: Long, term: String, docId: Long, pos: Long)
 
 /** Map-side grouped posting fragment: every position of one (doc, term)
   * pair in ascending order — the shuffle row of the "grouped" build
-  * strategy (IndexBuilder.tokenGroups).
+  * strategy (IndexBuilder.tokenGroups). Positions ride the wide shuffle
+  * as Int (4 bytes instead of 8 — positions are doc-local and bounded by
+  * the per-doc token count, far under 2^31; the chunk-level location
+  * space bound is GraftConfig.LocationMax) and are widened to Long only
+  * at the encode boundary, halving the dominant shuffle payload.
   */
-case class TokenGroup(chunk: Long, term: String, docId: Long, poss: Array[Long])
+case class TokenGroup(chunk: Long, term: String, docId: Long, poss: Array[Int])
 
 /** One (chunk, term) posting list (FIXTURES.md §4 `postings`). */
 case class PostingRow(chunk: Long, term: String, df: Long, tf: Long,

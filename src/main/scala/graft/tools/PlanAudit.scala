@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.analysis.TextAnalysis
+import graft.analysis.{AnnStore, Similarity, TextAnalysis}
 import graft.corpus.Corpus
 import graft.index.{IndexBuilder, IndexStore}
 
@@ -46,6 +46,15 @@ object PlanAudit {
         IndexBuilder.tokenGroups(src, IndexBuilder.BuildConfig(chunkDocs = 200))).toDF()
     }
 
+    section("bychunk posting build (default): ONE exchange of RAW DOCS by chunk") {
+      // the only Exchange in the plan sits directly over the doc scan —
+      // shuffle bytes == corpus bytes; tokenize + posting build are
+      // reduce-side (inside the post-exchange mapPartitions), so nothing
+      // token- or term-shaped ever crosses the wire
+      IndexBuilder.buildPostingsByChunk(
+        src, IndexBuilder.BuildConfig(chunkDocs = 200)).toDF()
+    }
+
     section("term stats aggregation") {
       TextAnalysis.termStats(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
@@ -65,11 +74,31 @@ object PlanAudit {
         .select($"docId", $"url", $"title")
     }
 
-    section("repetition: window partitioning satisfies downstream groupBys") {
-      // hashpartitioning(doc_id) from the shingle window must satisfy both
-      // groupBy(doc_id, shingle) and groupBy(doc_id) -> ONE exchange total
+    section("shingles: per-row projection, no window exchange") {
+      // explode of a per-row sequence + slice of the kept-token array:
+      // the plan must contain NO Exchange and NO Window
+      TextAnalysis.shingles(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
+
+    section("repetition: two partial-agg groupBys over the shingle projection") {
+      // both aggregates show partial/final HashAggregate pairs (map-side
+      // combine); no Window operator anywhere
       TextAnalysis.repetition(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
+
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    section("ANN: lshBuckets is one projection over the scan (no Exchange)") {
+      Similarity.lshBuckets(emb, nBits = 5)
+    }
+
+    val annOut = java.nio.file.Files.createTempDirectory("audit_ann").toString
+    AnnStore.build(emb, annOut, nBits = 5)
+    section("ANN store probe: bucket PartitionFilters (only probe dirs opened)") {
+      val store = AnnStore.load(spark, annOut)
+      val qv = AnnStore.vectorOf(emb, 0L)
+      AnnStore.topK(store, qv, k = 10, nBits = 5, multiProbe = true)
     }
 
     section("stats read is column-pruned (no blob)") {

@@ -59,28 +59,31 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(postings("#doc").df === 4)
   }
 
-  test("sorted, aggregator, and salted builds produce identical postings") {
+  test("sorted, aggregator, salted, grouped, bychunk builds produce identical postings") {
     import spark.implicits._
     val docs = Corpus.synthetic(spark, 2, 30, seed = 7)
     val ids = Corpus.assignDocIds(spark, docs)
+    def canonRows(rows: Array[PostingRow]) = rows
+      .map(p => ((p.chunk, p.term),
+        (p.df, p.tf, PostingCodec.decode(p.df, p.postingsBlob)
+          .map { case (d, ps) => (d, ps.toSeq) }.toSeq)))
+      .toMap
     def canon(cfg: BuildConfig) =
-      IndexBuilder.buildPostings(IndexBuilder.tokens(ids, cfg), cfg)
-        .collect()
-        .map(p => ((p.chunk, p.term),
-          (p.df, p.tf, PostingCodec.decode(p.df, p.postingsBlob)
-            .map { case (d, ps) => (d, ps.toSeq) }.toSeq)))
-        .toMap
+      canonRows(IndexBuilder.buildPostings(IndexBuilder.tokens(ids, cfg), cfg).collect())
     def canonFor(cfg: BuildConfig) =
-      IndexBuilder.buildPostingsFor(ids, cfg)
-        .collect()
-        .map(p => ((p.chunk, p.term),
-          (p.df, p.tf, PostingCodec.decode(p.df, p.postingsBlob)
-            .map { case (d, ps) => (d, ps.toSeq) }.toSeq)))
-        .toMap
+      canonRows(IndexBuilder.buildPostingsFor(ids, cfg).collect())
     val sorted = canon(BuildConfig(chunkDocs = 25, strategy = "sorted"))
     assert(sorted === canon(BuildConfig(chunkDocs = 25, strategy = "aggregator")))
     assert(sorted === canon(BuildConfig(chunkDocs = 25, salts = 4)))
     assert(sorted === canonFor(BuildConfig(chunkDocs = 25, strategy = "grouped")))
+    assert(sorted === canonRows(IndexBuilder.buildPostingsByChunk(
+      ids, BuildConfig(chunkDocs = 25, strategy = "bychunk")).collect()))
+    // blob-level (not just decoded) identity between the two single-pass
+    // strategies, which share the persisted write path
+    def blobs(rows: Array[PostingRow]) =
+      rows.map(p => ((p.chunk, p.term), p.postingsBlob.toSeq)).toMap
+    assert(blobs(IndexBuilder.buildPostingsFor(ids, BuildConfig(chunkDocs = 25)).collect()) ===
+      blobs(IndexBuilder.buildPostingsByChunk(ids, BuildConfig(chunkDocs = 25)).collect()))
     assert(sorted.nonEmpty)
   }
 
