@@ -16,7 +16,9 @@ import graft.index.{IdDoc, IndexBuilder}
   *     efficiency = throughput(4N) / (4 * throughput(N));
   *  3. query latency p50/p99 over the frozen reference query set
   *     (FIXTURES.md §7 remapped onto the corpus vocabulary) on the warm
-  *     engine, plus BM25/WAND latencies.
+  *     engine, plus BM25/WAND latencies — always on the FROZEN
+  *     factor-100 corpus (500k docs), decoupled from the scaling
+  *     factor, so the latency band stays comparable across rounds.
   *
   * STEAL-ROBUST measurement (this VM's host steals CPU in multi-second
   * bursts — memory/graft-env-gotchas.md): every build trial and every
@@ -135,11 +137,21 @@ object Bench {
     // delta so the noise floor is visible next to the numbers.
     val small = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt)
     val large = small * 4
-    // factor 100 x the 5k-doc base: each copy's docId block lands in its
-    // own chunk (the 10^7 id shift), so the chunk-partitioned reduce
-    // stages see ~100+ units of work — parallelism is never quantized by
-    // the corpus at these core counts
-    val factor = sys.env.getOrElse("SPARK_GRAFT_BENCH_FACTOR", "100").toInt
+    // factor x the 5k-doc base: each copy's docId block lands in its own
+    // chunk (the 10^7 id shift), so the chunk-partitioned reduce stages
+    // see ~factor units of work — parallelism is never quantized by the
+    // corpus at these core counts. Default 300: the bychunk build is
+    // fast enough that at factor 100 the job's ~5 s fixed cost (job
+    // scheduling, parquet commit, stats/lineage derivation) is ~45% of
+    // an 11 s 4-core run and caps measurable efficiency at ~0.67
+    // regardless of how well the pipeline scales; factor 300 amortizes
+    // it (the north rule's 10^12-file cluster runs are hours long — the
+    // fixed seconds are not what the criterion is about).
+    val factor = sys.env.getOrElse("SPARK_GRAFT_BENCH_FACTOR", "300").toInt
+    // the query-latency phase runs on the FROZEN factor-100 corpus
+    // (500k docs) whatever the scaling factor, so p50/p99 stay
+    // comparable with BASELINE.md's band across rounds
+    val queryFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_FACTOR", "100").toInt
     val chunkDocs = sys.env.getOrElse("SPARK_GRAFT_CHUNK_DOCS", "30000").toLong
     // every config gets several interleaved trials; trials whose
     // per-trial /proc/stat steal delta exceeds the clean bound are kept
@@ -178,12 +190,14 @@ object Bench {
         val (t, f) = buildOnce(small, sfDir, factor, chunkDocs)
         files = f
         trialsS += t
+        rmTree(t.out) // timing only; the query index is built separately
       }
       if ((base && round <= trialsLarge) ||
           (!base && cleanCount(trialsL.toSeq) < needClean)) {
         val (t, f) = buildOnce(large, sfDir, factor, chunkDocs)
         files = f
         trialsL += t
+        rmTree(t.out)
       }
       round += 1
     }
@@ -199,13 +213,13 @@ object Bench {
     val cleanPairing = cleanS && cleanL
     val dtSmall = bestS.sec
     val dtLarge = bestL.sec
-    val outLarge = bestL.out
-    // tmpfs hygiene: every trial (and the warmup) leaves a full index on
-    // /dev/shm; keep only the one the query phase uses
-    ((trialsS ++ trialsL).map(_.out) :+ warmupOut).filter(_ != outLarge).foreach(rmTree)
+    rmTree(warmupOut)
     val thrSmall = files / dtSmall
     val thrLarge = files / dtLarge
     val efficiency = thrLarge / ((large.toDouble / small) * thrSmall)
+
+    // untimed query-phase index at the frozen baseline corpus scale
+    val outLarge = buildOnce(large, sfDir, queryFactor, chunkDocs)._1.out
 
     // --- query latency on the warm large-core engine ---
     val spark = session(large)
@@ -281,7 +295,8 @@ object Bench {
     def trialJson(ts: Seq[Trial]) =
       s"""{"sec":${arr(ts.map(_.sec))},"steal_sec":${arr(ts.map(_.steal))},"clean":${arrB(ts.map(_.clean))}}"""
     val extra =
-      s""""build":{"files":$files,"sec_n${small}":${f"$dtSmall%.2f"},"sec_n${large}":${f"$dtLarge%.2f"},""" +
+      s""""build":{"files":$files,"factor":$factor,"query_factor":$queryFactor,""" +
+      s""""sec_n${small}":${f"$dtSmall%.2f"},"sec_n${large}":${f"$dtLarge%.2f"},""" +
       s""""files_per_sec_n${small}":${f"$thrSmall%.1f"},"files_per_sec_n${large}":${f"$thrLarge%.1f"},""" +
       s""""trials_n${small}":${trialJson(trialsS.toSeq)},"trials_n${large}":${trialJson(trialsL.toSeq)}},""" +
       s""""scaling":{"n_small":$small,"n_large":$large,"efficiency":${f"$efficiency%.4f"},""" +

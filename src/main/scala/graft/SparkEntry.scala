@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.analysis.{AnnStore, Clustering, Decontamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
 import graft.index.IndexBuilder
@@ -44,6 +44,39 @@ object SparkEntry {
       |         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle
       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       |), sh AS (SELECT doc_id, pos, shingle FROM sh0 WHERE shingle IS NOT NULL)""".stripMargin
+
+  /** 5-grams by the same lead-window construction as [[duckShingles]]
+    * (NULL concat truncates the tail windows, so only full 5-grams
+    * survive — identical to TextAnalysis.shingles(_, 5)).
+    */
+  private val duckGrams5 =
+    """, g0 AS (
+      |  SELECT doc_id, pos,
+      |         term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w
+      |              || ' ' || lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w AS gram
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), grams AS (SELECT doc_id, pos, gram FROM g0 WHERE gram IS NOT NULL)""".stripMargin
+
+  /** k-means assignment over `parts` (from [[duckEmbParts]]): seeds are
+    * the 8 smallest vec_ids ranked in vec_id order; each vector joins
+    * every centroid's dims, dist2 = sum of squared diffs, argmin via
+    * row_number with (dist2, cid) ordering — exact ties to the lowest
+    * cluster id, matching Clustering.assign's strict-< ascending fold.
+    */
+  private val duckKmeansAssign =
+    """, seed AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |cents AS (
+      |  SELECT s.cid, p.dim, p.v AS cv FROM parts p JOIN seed s USING (vec_id)),
+      |d2 AS (
+      |  SELECT p.vec_id, c.cid, sum((p.v - c.cv) * (p.v - c.cv)) AS dist2
+      |  FROM parts p JOIN cents c USING (dim) GROUP BY 1, 2),
+      |best AS (
+      |  SELECT vec_id, cid, dist2,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+      |  FROM d2),
+      |asg AS (SELECT vec_id, cid AS cluster, dist2 FROM best WHERE rn = 1)""".stripMargin
 
   private def duckMinhashSig: String = {
     val hs = (0 until 8).map(i => s"min(md5('$i' || '|' || shingle)) AS h$i").mkString(", ")
@@ -422,7 +455,29 @@ object SparkEntry {
         .sessionizeEventTimeReplay(s, ev, gapSeconds = 1800, latenessSeconds = 600)
         .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
           round(col("total_value"), 4).as("total_value"))
-    })
+    }),
+
+    // ---- benchmark decontamination: docs sharing any probe 5-gram are
+    // flagged (hits) / dropped (clean); probe set = first 5 grams of
+    // every doc_id % 37 == 0 doc (deterministic pseudo-benchmark) ----
+    "q_decontam_hits" -> ((s, dir) => {
+      val d = docsDf(s, dir)
+      Decontamination.hits(d, Decontamination.probeGrams(d, 5), 5)
+    }),
+    "q_decontam_clean" -> ((s, dir) => {
+      val d = docsDf(s, dir)
+      Decontamination.clean(d, Decontamination.probeGrams(d, 5), 5)
+    }),
+
+    // ---- sequence packing: concat-and-split into 4096-token bins via
+    // the scalable two-pass prefix sum (no global window) ----
+    "q_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(docsDf(s, dir), budget = 4096)),
+
+    // ---- k-means over embeddings: deterministic seeds (k smallest
+    // vec_ids), per-row argmin assignment, one Lloyd update digest ----
+    "q_kmeans_assign" -> ((s, dir) => Clustering.assign(embDf(s, dir), k = 8)),
+    "q_kmeans_update" -> ((s, dir) => Clustering.updateStats(embDf(s, dir), k = 8))
   )
 
   def oracleSql: Map[String, String] = {
@@ -914,7 +969,58 @@ object SparkEntry {
         |            ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         |SELECT user_id, min(t) AS start_ts, max(t) AS end_ts,
         |       count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM sess GROUP BY user_id, sid""".stripMargin
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+      // decontamination: 5-grams via the lead-window construction (the
+      // proven 3-shingle pattern widened); probe set re-derived in SQL
+      "q_decontam_hits" -> (duckToks + duckGrams5 + """
+        |, probes AS (
+        |  SELECT DISTINCT gram FROM grams
+        |  WHERE doc_id % 37 = 0 AND pos <= 5)
+        |SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+        |FROM grams g JOIN probes USING (gram)
+        |GROUP BY 1""".stripMargin),
+      "q_decontam_clean" -> (duckToks + duckGrams5 + """
+        |, probes AS (
+        |  SELECT DISTINCT gram FROM grams
+        |  WHERE doc_id % 37 = 0 AND pos <= 5),
+        |dirty AS (SELECT DISTINCT g.doc_id FROM grams g JOIN probes USING (gram))
+        |SELECT d.doc_id FROM documents d
+        |LEFT JOIN dirty USING (doc_id)
+        |WHERE dirty.doc_id IS NULL""".stripMargin),
+
+      // sequence packing: exclusive prefix sum over doc_id order;
+      // // is DuckDB integer floor division (offsets are non-negative,
+      // matching Spark's Long truncation)
+      "q_pack_sequences" -> (duckToks + """
+        |, kept AS (
+        |  SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+        |  FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) c
+        |    USING (doc_id)),
+        |pre AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS start_offset
+        |  FROM kept)
+        |SELECT doc_id, n_tokens, start_offset,
+        |       start_offset // 4096 AS pack_bin
+        |FROM pre""".stripMargin),
+
+      // k-means: seeds = k smallest vec_ids ranked in vec_id order;
+      // assignment ties break to the lowest cluster id (row_number
+      // ORDER BY dist2, cid == Spark's strict-< ascending fold)
+      "q_kmeans_assign" -> (duckEmbParts + duckKmeansAssign + """
+        |SELECT vec_id, cluster, round(dist2, 6) AS dist2
+        |FROM asg""".stripMargin),
+      "q_kmeans_update" -> (duckEmbParts + duckKmeansAssign + """
+        |, dims AS (
+        |  SELECT a.cluster, p.dim, avg(p.v) AS m, count(*) AS n
+        |  FROM parts p JOIN asg a USING (vec_id) GROUP BY 1, 2)
+        |SELECT cluster, max(n) AS n_vecs,
+        |       round(sqrt(sum(m * m)), 6) AS centroid_norm
+        |FROM dims GROUP BY 1""".stripMargin)
     )
   }
 }

@@ -61,12 +61,18 @@ object Corpus {
     }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val bcOffsets = spark.sparkContext.broadcast(offsets)
-    sorted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // mapPartitionsWithIndex on the RDD, NOT TaskContext.getPartitionId
+    // inside Dataset.mapPartitions: the RDD index is the parent
+    // partition's own, so the ids stay correct even if a consumer
+    // coalesce(1)s the result (which merges parents into one task and
+    // makes TaskContext report the merged id — a silent off-by-offsets
+    // corruption the Packing operator actually hit).
+    val withIds = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
       var next = bcOffsets.value(pid)
       it.map { d => val id = next; next += 1
         IdDoc(id, d.repo, d.path, d.commit, d.lang, d.content) }
     }
+    spark.createDataset(withIds)
   }
 
   /** Seeded synthetic corpus (FIXTURES.md §1). Generated on the driver —

@@ -42,6 +42,17 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(IndexBuilder.tokens(ids, cfg).count() > 0)
   }
 
+  test("assignDocIds: dense ids survive a downstream coalesce(1)") {
+    import spark.implicits._
+    // regression guard (same class of bug as Packing's): the id pass uses
+    // rdd.mapPartitionsWithIndex, whose index is the parent partition's
+    // own — a consumer coalesce(1) must not collapse the offsets
+    val docs = Corpus.synthetic(spark, 3, 40, seed = 5)
+    val ids = Corpus.assignDocIds(spark, docs, numPartitions = 7)
+      .coalesce(1).collect().map(_.docId).sorted
+    assert(ids.toSeq === (0L until docs.count()).toSeq)
+  }
+
   test("postings aggregation: df/tf exact, positions sorted, round-trips") {
     import spark.implicits._
     val cfg = BuildConfig(chunkDocs = 100)
