@@ -101,6 +101,25 @@ object PlanAudit {
       AnnStore.topK(store, qv, k = 10, nBits = 5, multiProbe = true)
     }
 
+    val docsTbl = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    section("decontamination hits: probe grams BROADCAST, corpus side never wide-shuffled") {
+      // must show BroadcastHashJoin (probes side) and no Exchange below
+      // the doc-gram projection; the hit agg's exchange carries matched
+      // rows only
+      graft.analysis.Decontamination.hits(docsTbl,
+        graft.analysis.Decontamination.probeGrams(docsTbl, 5), 5)
+    }
+
+    section("sequence packing: window partitioned by BUCKET, no global-order window") {
+      // the Window's partitioning must be [bucket], never empty (a global
+      // ORDER BY window would be a single-partition bottleneck)
+      graft.analysis.Packing.packSequences(docsTbl, budget = 4096)
+    }
+
+    section("k-means assign: one projection over the scan (no Exchange)") {
+      graft.analysis.Clustering.assign(emb, k = 8)
+    }
+
     section("stats read is column-pruned (no blob)") {
       IndexStore.readPostings(spark, out).toDF().groupBy($"chunk")
         .agg(count(lit(1)).as("uniqueTerms"))
