@@ -32,7 +32,7 @@ import graft.index.{IdDoc, IndexBuilder}
   * silently publishing a polluted number. Prints ONE JSON line.
   */
 object Bench {
-  private def session(cores: Int): SparkSession = {
+  private[graft] def session(cores: Int): SparkSession = {
     // shuffle/spill on tmpfs: this VM has ONE shared disk, so shuffle IO
     // is a serial term that a real N-vs-4N executor fleet (with 4x local
     // SSDs) would not have; RAM-backed local dirs restore the
@@ -101,10 +101,10 @@ object Bench {
   private def isClean(stealDelta: Double, cores: Int, wallSec: Double): Boolean =
     stealDelta >= 0 && stealDelta <= math.max(1.0, 0.05 * cores * wallSec)
 
-  private case class Trial(sec: Double, steal: Double, clean: Boolean, out: String)
+  private[graft] case class Trial(sec: Double, steal: Double, clean: Boolean, out: String)
 
-  private def buildOnce(cores: Int, sfDir: String, factor: Int,
-                        chunkDocs: Long): (Trial, Long) = {
+  private[graft] def buildOnce(cores: Int, sfDir: String, factor: Int,
+                               chunkDocs: Long): (Trial, Long) = {
     val spark = session(cores)
     val src = replicated(spark, sfDir, factor)
     // index output on tmpfs for the same reason as spark.local.dir: the

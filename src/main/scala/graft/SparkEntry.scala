@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Clustering, Decontamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.analysis.{AnnStore, Clustering, Decontamination, Dedup, IvfStore, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
 import graft.index.IndexBuilder
@@ -269,6 +269,18 @@ object SparkEntry {
     })
   }
 
+  /** One persisted centroid-partitioned IVF store per scale dir (k=8, in
+    * lockstep with the duckKmeansAssign oracle CTEs), built on first use.
+    */
+  private val ivfCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def ivfDir(s: SparkSession, sfDir: String): String = synchronized {
+    ivfCache.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+      IvfStore.build(embDf(s, sfDir), out, k = 8)
+      out
+    })
+  }
+
   /** Flagship: index build + reference-scored search, end to end. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -477,7 +489,30 @@ object SparkEntry {
     // ---- k-means over embeddings: deterministic seeds (k smallest
     // vec_ids), per-row argmin assignment, one Lloyd update digest ----
     "q_kmeans_assign" -> ((s, dir) => Clustering.assign(embDf(s, dir), k = 8)),
-    "q_kmeans_update" -> ((s, dir) => Clustering.updateStats(embDf(s, dir), k = 8))
+    "q_kmeans_update" -> ((s, dir) => Clustering.updateStats(embDf(s, dir), k = 8)),
+
+    // ---- persisted IVF ANN: the centroid-cell sibling of the SRP
+    // AnnStore — cells ranked against the query on the driver, only the
+    // nprobe nearest cell PARTITIONS read (PartitionFilters) ----
+    "q_ivf_topk" -> ((s, dir) => {
+      val store = IvfStore.load(s, ivfDir(s, dir))
+      val cents = IvfStore.loadCentroids(s, ivfDir(s, dir))
+      val qv = AnnStore.vectorOf(embDf(s, dir), 0L)
+      IvfStore.topK(store, cents, qv, k = 10, nprobe = 3, excludeVecId = 0L)
+    }),
+
+    // ---- semantic near-dup: candidate pairs only within a k-means
+    // cell (SemDeDup shape; threshold 0.35 for the same synthetic-
+    // embedding reason as q_embed_neardup) ----
+    "q_semantic_neardup" -> ((s, dir) =>
+      Dedup.semanticNearDupsKmeans(embDf(s, dir), threshold = 0.35, k = 8)),
+
+    // ---- STREAMING exact dedup (dropDuplicatesWithinWatermark) through
+    // a bounded deterministic replay with injected duplicates (dropped)
+    // and injected new events (emitted) ----
+    "q_dedup_stream" -> ((s, dir) =>
+      graft.streaming.StreamingIngest.dedupEventsReplay(
+        s, s.read.parquet(s"$dir/events.parquet"), latenessSeconds = 600))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1020,7 +1055,58 @@ object SparkEntry {
         |  FROM parts p JOIN asg a USING (vec_id) GROUP BY 1, 2)
         |SELECT cluster, max(n) AS n_vecs,
         |       round(sqrt(sum(m * m)), 6) AS centroid_norm
-        |FROM dims GROUP BY 1""".stripMargin)
+        |FROM dims GROUP BY 1""".stripMargin),
+
+      // IVF ANN over the persisted store: probe cells = the 3 centroids
+      // nearest to the query vector (ties to the lowest cluster id, like
+      // IvfStore.probeClusters' (dist2, cluster) sort), candidates = the
+      // vectors ASSIGNED to those cells, then the shared cosine top-k
+      "q_ivf_topk" -> (duckEmbParts + duckKmeansAssign + """
+        |, qd AS (SELECT cid, dist2 FROM d2 WHERE vec_id = 0),
+        |probes AS (SELECT cid FROM qd ORDER BY dist2, cid LIMIT 3),
+        |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cluster = p.cid),
+        |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+        |  FROM parts p JOIN cand USING (vec_id) JOIN q USING (dim) GROUP BY 1),
+        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+        |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
+        |FROM cos CROSS JOIN nq WHERE vec_id <> 0
+        |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
+      // semantic near-dup: pairs within one k-means cell, exact cosine
+      "q_semantic_neardup" -> (duckEmbParts + duckKmeansAssign + """
+        |, pair AS (
+        |  SELECT a1.vec_id AS vec_a, a2.vec_id AS vec_b
+        |  FROM asg a1 JOIN asg a2
+        |    ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id),
+        |cos AS (
+        |  SELECT pr.vec_a, pr.vec_b, sum(x.v * y.v) AS dot,
+        |         sqrt(sum(x.v * x.v)) AS na, sqrt(sum(y.v * y.v)) AS nb
+        |  FROM pair pr JOIN parts x ON x.vec_id = pr.vec_a
+        |       JOIN parts y ON y.vec_id = pr.vec_b AND y.dim = x.dim
+        |  GROUP BY 1, 2)
+        |SELECT vec_a, vec_b, round(dot / (na * nb), 6) AS cosine
+        |FROM cos WHERE round(dot / (na * nb), 6) >= 0.35""".stripMargin),
+
+      // streaming dedup replay twin (StreamingIngest.dedupEventsReplay,
+      // L = 600): emitted rows = DISTINCT floored events ∪ the injected
+      // NEW events (user_id % 5 == 0 at G - L/2, above the watermark);
+      // the injected duplicate copies (user_id % 3 == 0) are absent
+      "q_dedup_stream" -> """
+        |WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         coalesce(event_type, 'e') AS event_type, value
+        |  FROM events),
+        |d AS (SELECT DISTINCT user_id, t, event_type, value FROM e),
+        |g AS (SELECT max(t) AS gm FROM e),
+        |inj AS (
+        |  SELECT DISTINCT user_id, g.gm - 300 AS t, 'inj' AS event_type,
+        |         0.0 AS value
+        |  FROM e CROSS JOIN g WHERE user_id % 5 = 0)
+        |SELECT user_id, t, event_type, round(value, 4) AS value FROM d
+        |UNION ALL
+        |SELECT user_id, t, event_type, round(value, 4) AS value FROM inj""".stripMargin
     )
   }
 }

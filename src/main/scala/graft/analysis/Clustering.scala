@@ -55,7 +55,7 @@ object Clustering {
     * exact ties toward the LOWEST cluster id — mirrored by the oracle's
     * `ORDER BY dist2, cid` row_number.
     */
-  private def bestStruct(embedding: Column, cents: Array[Array[Double]]): Column = {
+  private[analysis] def bestStruct(embedding: Column, cents: Array[Array[Double]]): Column = {
     val candidates = array(cents.zipWithIndex.map { case (c, j) =>
       struct(dist2Col(embedding, c).as("d"), lit(j.toLong).as("j"))
     }: _*)

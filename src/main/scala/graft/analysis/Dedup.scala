@@ -169,4 +169,35 @@ object Dedup {
         round(dot / (na * nb), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Semantic near-duplicate pairs pre-grouped by k-means cell — the
+    * clustering-flavored sibling of [[embeddingNearDupsLsh]] (SemDeDup-
+    * style: candidate pairs only within a semantic cluster). The cell id
+    * is a per-row argmin projection over the k deterministic seed
+    * centroids ([[Clustering.bestStruct]] — zero shuffles to derive), so
+    * the only shuffle is the cluster equi-join; pair volume is
+    * sum(cell_size^2)/2 instead of N^2/2, and the cosine is one
+    * zip_with/aggregate over the two carried vectors. LSH buckets bound
+    * the geometric radius per bucket; k-means cells follow the corpus
+    * density instead — with iterated centroids this is exactly the
+    * IVF-partitioned dedup a curation pipeline runs at scale.
+    */
+  def semanticNearDupsKmeans(emb: DataFrame, threshold: Double = 0.95,
+                             k: Int = 8): DataFrame = {
+    val cents = Clustering.seedCentroids(emb, k)
+    val withCell = emb.select(col("vec_id"),
+      Clustering.bestStruct(col("embedding"), cents).getField("j").as("cluster"),
+      transform(col("embedding"), _.cast("double")).as("vd"))
+    val dot = aggregate(
+      zip_with(col("a.vd"), col("b.vd"), (x, y) => x * y), lit(0.0d), _ + _)
+    val na = sqrt(aggregate(
+      transform(col("a.vd"), x => x * x), lit(0.0d), _ + _))
+    val nb = sqrt(aggregate(
+      transform(col("b.vd"), x => x * x), lit(0.0d), _ + _))
+    withCell.as("a").join(withCell.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot / (na * nb), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -233,6 +233,76 @@ object StreamingIngest {
     } finally q.stop()
   }
 
+  /** Streaming exact dedup with watermark-bounded state: duplicate
+    * events (same user/ts/type/value) arriving within `lateness` of the
+    * watermark are dropped; the first arrival is emitted immediately and
+    * its key's state is EVICTED once the watermark passes ts + lateness
+    * — so state size is bounded by the event rate x the lateness window,
+    * not the stream's lifetime (the property that makes streaming dedup
+    * viable at all at 100 TB/day: an unbounded `dropDuplicates` state
+    * grows forever). Late input below the watermark is discarded by the
+    * operator's pre-filter, so an ancient replayed duplicate can neither
+    * re-emit nor resurrect state.
+    */
+  def dedupEvents(events: Dataset[Event], latenessSeconds: Long = 600): Dataset[Event] =
+    events.withWatermark("ts", s"$latenessSeconds seconds")
+      .dropDuplicatesWithinWatermark("user_id", "ts", "event_type", "value")
+
+  /** Bounded deterministic replay of [[dedupEvents]] — the driver-oracle
+    * harness for the streaming dedup path (same shape as
+    * [[sessionizeEventTimeReplay]]). Timestamps are floored to whole
+    * seconds first so the stream's dedup key matches the SQL oracle's
+    * floor(epoch(ts)) convention. Two micro-batches:
+    *
+    *  1. every event of the table — intra-batch exact duplicates
+    *     collapse to one emitted row;
+    *  2. injected rows, derived by rules a SQL oracle re-derives: with
+    *     G = max floor-second and L = lateness, (a) every user with
+    *     user_id % 3 == 0 re-feeds exact COPIES of their latest events —
+    *     dropped (dedup state if ts is within [watermark - L, ∞), the
+    *     late-input filter below it — either way absent from the
+    *     output); (b) every user with user_id % 5 == 0 feeds one NEW
+    *     event ('inj', G - L/2) above the watermark G - L — emitted.
+    *
+    * Returns the emitted rows as (user_id, t, event_type, value):
+    * exactly DISTINCT(events) ∪ the injected-new rule.
+    */
+  def dedupEventsReplay(spark: SparkSession, events: DataFrame,
+                        latenessSeconds: Long = 600): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val onTime = events
+      .select(col("user_id").cast("long").as("user_id"),
+        to_timestamp(floor(col("ts").cast("timestamp").cast("double"))).as("ts"),
+        coalesce(col("event_type"), lit("e")).as("event_type"),
+        col("value").cast("double").as("value"))
+      .as[Event].collect().toSeq
+    require(onTime.nonEmpty, "dedupEventsReplay needs a non-empty events table")
+    def floorSec(e: Event): Long = e.ts.getTime / 1000
+    def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val g = onTime.map(floorSec).max
+    val lastByUser = onTime.groupBy(_.user_id).view.mapValues(_.map(floorSec).max).toMap
+    val dupes = onTime.filter(e => e.user_id % 3 == 0 && floorSec(e) == lastByUser(e.user_id))
+    val newbies = onTime.map(_.user_id).distinct.sorted.filter(_ % 5 == 0)
+      .map(u => Event(u, at(g - latenessSeconds / 2), "inj", 0.0))
+
+    val input = MemoryStream[Event]
+    val qname = s"graft_dedupreplay_${replaySeq.incrementAndGet()}"
+    val q = dedupEvents(input.toDS(), latenessSeconds)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(qname).start()
+    try {
+      input.addData(onTime); q.processAllAvailable()
+      input.addData(dupes ++ newbies); q.processAllAvailable()
+      val out = spark.table(qname).as[Event].collect().toSeq
+      spark.createDataset(out)
+        .select(col("user_id"), (col("ts").cast("double")).cast("long").as("t"),
+          col("event_type"), round(col("value"), 4).as("value"))
+    } finally q.stop()
+  }
+
   /** Scale-path batch sessionization: pure window functions (gap flag ->
     * running session id -> per-session aggregate). Unlike the
     * flatMapGroups twin below, nothing materializes a user's whole event

@@ -120,6 +120,21 @@ object PlanAudit {
       graft.analysis.Clustering.assign(emb, k = 8)
     }
 
+    val ivfOut = java.nio.file.Files.createTempDirectory("audit_ivf").toString
+    graft.analysis.IvfStore.build(emb, ivfOut, k = 8)
+    section("IVF store probe: cluster PartitionFilters (only nprobe cell dirs opened)") {
+      val store = graft.analysis.IvfStore.load(spark, ivfOut)
+      val cents = graft.analysis.IvfStore.loadCentroids(spark, ivfOut)
+      graft.analysis.IvfStore.topK(store, cents,
+        AnnStore.vectorOf(emb, 0L), k = 10, nprobe = 3)
+    }
+
+    section("semantic near-dup: per-row cell projection, ONE equi-join shuffle on cluster") {
+      // cell assignment must be a projection (no join-back-by-vec_id);
+      // the only wide exchange is the cluster equi-join's
+      graft.analysis.Dedup.semanticNearDupsKmeans(emb, threshold = 0.35, k = 8)
+    }
+
     section("stats read is column-pruned (no blob)") {
       IndexStore.readPostings(spark, out).toDF().groupBy($"chunk")
         .agg(count(lit(1)).as("uniqueTerms"))
