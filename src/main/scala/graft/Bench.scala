@@ -47,6 +47,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // task-side commit (v2): v1's driver-side rename loop is a serial
+      // term proportional to the chunk count (~600 dirs x 2 tables at
+      // factor 300) — exactly what the N->4N criterion punishes
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -490,6 +490,13 @@ object SparkEntry {
     // vec_ids), per-row argmin assignment, one Lloyd update digest ----
     "q_kmeans_assign" -> ((s, dir) => Clustering.assign(embDf(s, dir), k = 8)),
     "q_kmeans_update" -> ((s, dir) => Clustering.updateStats(embDf(s, dir), k = 8)),
+    // full Lloyd ITERATION: one update step (assign -> re-center), then
+    // assignment against the updated centroids — the loop a production
+    // fit runs until convergence, pinned at iters=1 for the oracle
+    "q_kmeans_iter2" -> ((s, dir) => {
+      val e = embDf(s, dir)
+      Clustering.assignWith(e, Clustering.iteratedCentroids(e, k = 8, iters = 1))
+    }),
 
     // ---- persisted IVF ANN: the centroid-cell sibling of the SRP
     // AnnStore — cells ranked against the query on the driver, only the
@@ -1056,6 +1063,24 @@ object SparkEntry {
         |SELECT cluster, max(n) AS n_vecs,
         |       round(sqrt(sum(m * m)), 6) AS centroid_norm
         |FROM dims GROUP BY 1""".stripMargin),
+
+      // Lloyd iteration 2: re-centered centroids = per-(cluster, dim)
+      // means of the seed assignment (clusters that lost every member
+      // simply have no mean rows — both engines drop them); then the
+      // same argmin with ties to the lowest surviving cluster id
+      "q_kmeans_iter2" -> (duckEmbParts + duckKmeansAssign + """
+        |, cents2 AS (
+        |  SELECT a.cluster AS cid, p.dim, avg(p.v) AS cv
+        |  FROM parts p JOIN asg a USING (vec_id) GROUP BY 1, 2),
+        |d2b AS (
+        |  SELECT p.vec_id, c.cid, sum((p.v - c.cv) * (p.v - c.cv)) AS dist2
+        |  FROM parts p JOIN cents2 c USING (dim) GROUP BY 1, 2),
+        |bestb AS (
+        |  SELECT vec_id, cid, dist2,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |  FROM d2b)
+        |SELECT vec_id, cid AS cluster, round(dist2, 6) AS dist2
+        |FROM bestb WHERE rn = 1""".stripMargin),
 
       // IVF ANN over the persisted store: probe cells = the 3 centroids
       // nearest to the query vector (ties to the lowest cluster id, like

@@ -75,6 +75,61 @@ object Clustering {
       round(best.getField("d"), 6).as("dist2"))
   }
 
+  /** (argmin cluster, min dist2) over EXPLICIT (id, centroid) pairs —
+    * the generalization of [[bestStruct]] used after update steps, where
+    * clusters that lost every member disappear (both engines drop them:
+    * the SQL oracle's mean CTE simply has no rows for them).
+    */
+  private[analysis] def bestStructIds(embedding: Column,
+                                      cents: Seq[(Long, Array[Double])]): Column = {
+    val candidates = array(cents.map { case (id, c) =>
+      struct(dist2Col(embedding, c).as("d"), lit(id).as("j"))
+    }: _*)
+    aggregate(candidates,
+      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("j")),
+      (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
+  }
+
+  /** `iters` full Lloyd update steps from the deterministic seeds: each
+    * step assigns every vector to its nearest current centroid (per-row
+    * argmin projection — zero shuffles) and re-centers each non-empty
+    * cluster at its member mean (partial-agg (cluster, dim) means — a
+    * k x d driver collect per step, independent of N). Clusters that
+    * lose all members drop out, mirroring the SQL oracle's mean CTE.
+    * Returns (cluster_id, centroid) sorted by id; ids are stable across
+    * steps (a surviving cluster keeps its seed id).
+    */
+  def iteratedCentroids(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    var cents: Seq[(Long, Array[Double])] =
+      seedCentroids(emb, k).zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq
+    (1 to iters).foreach { _ =>
+      val best = bestStructIds(col("embedding"), cents)
+      val means = emb.select(best.getField("j").as("cluster"), col("embedding"))
+        .select(col("cluster"), posexplode(col("embedding")))
+        .select(col("cluster"), col("pos"), col("col").cast("double").as("v"))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("v")).as("m"))
+        .collect()
+      cents = means.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map { case (cid, rows) =>
+        val c = new Array[Double](dim)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2))
+        (cid, c)
+      }
+    }
+    cents
+  }
+
+  /** Assignment against explicit centroids (e.g. from
+    * [[iteratedCentroids]]): (vec_id, cluster, dist2 rounded to 6), the
+    * same zero-shuffle projection shape as [[assign]].
+    */
+  def assignWith(emb: DataFrame, cents: Seq[(Long, Array[Double])]): DataFrame = {
+    val best = bestStructIds(col("embedding"), cents)
+    emb.select(col("vec_id"),
+      best.getField("j").as("cluster"),
+      round(best.getField("d"), 6).as("dist2"))
+  }
+
   /** One Lloyd update step, digested per cluster: membership count and
     * the L2 norm of the new (mean) centroid — a scalar the SQL oracle
     * can compare without array equality. Exchange volume:

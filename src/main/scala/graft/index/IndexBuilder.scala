@@ -511,13 +511,33 @@ object IndexBuilder {
     * with dynamic partition overwrite so a re-run only touches the chunks
     * it rebuilt. Returns the set of chunks built in this invocation.
     */
+  /** Wall-clock phase logging for scaling diagnostics; enabled by
+    * SPARK_GRAFT_BUILD_PHASES=1 (stderr, one line per phase).
+    */
+  private def phased[T](name: String)(f: => T): T =
+    if (!sys.env.contains("SPARK_GRAFT_BUILD_PHASES")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      Console.err.println(f"[build-phase] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
   def build(spark: SparkSession, src: Dataset[IdDoc], outDir: String,
             cfg: BuildConfig = BuildConfig()): Set[Long] = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-    val done = completedChunks(spark, outDir, "postings")
+    // dynamic partition overwrite exists for RESUME (only rebuilt chunks
+    // are replaced) but its commit is a DRIVER-SIDE per-partition
+    // directory move — a serial term proportional to the chunk count. A
+    // fresh build into an empty/new table gets identical semantics from
+    // static overwrite, whose task-side commit (v2 algorithm) keeps the
+    // driver out of the per-chunk file shuffling.
+    val done0 = completedChunks(spark, outDir, "postings")
       .intersect(completedChunks(spark, outDir, "docs"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+      if (done0.isEmpty) "static" else "dynamic")
+
+    val done = done0
     val chunkDocs = cfg.chunkDocs
     val fresh = done.isEmpty
     val pending = if (fresh) src else {
@@ -538,10 +558,14 @@ object IndexBuilder {
       val postings =
         if (cfg.strategy == "bychunk") buildPostingsByChunk(pending, cfg)
         else buildPostingsGrouped(tokenGroups(pending, cfg))
-      postings
-        .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
-      buildDocs(pending, cfg).repartition(col("chunk"))
-        .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))
+      phased("postings write") {
+        postings
+          .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
+      }
+      phased("docs write") {
+        buildDocs(pending, cfg).repartition(col("chunk"))
+          .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(docsDir(outDir))
+      }
     } else {
       // stats/lineage re-derive from the written tables (below), so each
       // dataset feeds exactly one action — no persist needed. The
@@ -560,8 +584,10 @@ object IndexBuilder {
     // posting blobs
     val postingsR = IndexStore.readPostings(spark, outDir)
     val docsR = IndexStore.readDocs(spark, outDir)
-    buildStats(docsR, postingsR, cfg)
-      .write.mode(SaveMode.Overwrite).parquet(statsDir(outDir))
+    phased("stats") {
+      buildStats(docsR, postingsR, cfg)
+        .write.mode(SaveMode.Overwrite).parquet(statsDir(outDir))
+    }
 
     // lineage covers the chunks built THIS invocation: the read-back also
     // contains previously-completed chunks on a resume, so exclude `done`
@@ -588,9 +614,13 @@ object IndexBuilder {
         lit("complete").as("status"))
     // one job: collect the (tiny) lineage rows, derive builtChunks from
     // them, then persist
-    val lineageRows = postingLineage.unionByName(docLineage).as[LineageRow].collect()
-    spark.createDataset(lineageRows.toIndexedSeq)
-      .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+    val lineageRows = phased("lineage collect") {
+      postingLineage.unionByName(docLineage).as[LineageRow].collect()
+    }
+    phased("lineage write") {
+      spark.createDataset(lineageRows.toIndexedSeq)
+        .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+    }
     lineageRows.filter(_.stage == "docs").map(_.chunk).toSet
   }
 }

@@ -1,42 +1,135 @@
 package graft.tools
 
+import org.apache.spark.sql.SparkSession
+import graft.index.IndexBuilder
+
 /** Minimal N-vs-4N scaling experiment: interleaved bychunk build trials
-  * at two core counts with per-trial /proc/stat steal, WITHOUT the bench
-  * JSON machinery or the query phase — for A/B-ing JVM/Spark settings
-  * (heap size, GC, shuffle partitions) against the scaling-efficiency
-  * criterion cheaply.
+  * at two parallelism levels with per-trial /proc/stat steal, process-CPU
+  * and GC accounting, WITHOUT the bench JSON machinery or the query phase
+  * — for A/B-ing measurement models and JVM/Spark settings against the
+  * scaling-efficiency criterion cheaply.
   *
-  *   SPARK_DRIVER_MEM=24g sbt -batch \
-  *     "runMain graft.tools.ScalingProbe <sfDir> <factor> <trials> <nSmall>"
+  * Modes:
+  *  - `local`   — local[N] vs local[4N]: one shared JVM (task threads
+  *    scale, but JIT/GC/IO/compression helper threads are shared, so the
+  *    N=1 run silently borrows extra cores — see the cpu= column);
+  *  - `cluster` — local-cluster[N,1,mem] vs local-cluster[4N,1,mem]:
+  *    real separate executor JVMs (own heap, GC, helper threads), the
+  *    faithful sandbox analog of the north rule's N vs 4N EXECUTORS.
+  *    Needs SPARK_HOME=/opt/spark so the standalone worker can launch
+  *    executor processes.
+  *
+  *   SPARK_HOME=/opt/spark sbt -batch \
+  *     "runMain graft.tools.ScalingProbe <sfDir> <factor> <trials> <nSmall> <mode>"
   */
 object ScalingProbe {
+
+  private def session(n: Int, mode: String): SparkSession = {
+    val localDir = s"/dev/shm/graft-probe-$n"
+    new java.io.File(localDir).mkdirs()
+    val master =
+      if (mode == "cluster") s"local-cluster[$n,1,4096]" else s"local[$n]"
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(s"graft-probe-$n")
+      .config("spark.sql.shuffle.partitions", math.max(n * 4, 8).toString)
+      .config("spark.local.dir", localDir)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      // task-side commit (v2): the v1 driver-side rename loop is a serial
+      // term that grows with the chunk count (~20 ms/chunk measured)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_COMMITTER_V", "2"))
+    if (mode == "cluster") {
+      // executor JVMs need the app classes and the JDK17 module opens
+      // (spark-submit injects them for the driver only)
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      b.config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.extraJavaOptions", addOpens)
+    }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def stealSec(): Double = try {
+    scala.io.Source.fromFile("/proc/stat").getLines()
+      .find(_.startsWith("cpu "))
+      .map(_.trim.split("\\s+")(8).toDouble / 100.0).getOrElse(-1.0)
+  } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(300)
     val trials = args.lift(2).map(_.toInt).getOrElse(2)
     val small = args.lift(3).map(_.toInt).getOrElse(1)
+    val mode = args.lift(4).getOrElse("local")
     val large = small * 4
     val chunkDocs = 30000L
 
-    println(s"[probe] heap=${Runtime.getRuntime.maxMemory() / (1 << 20)} MiB " +
-      s"factor=$factor trials=$trials cores=$small/$large")
-    // untimed JIT/classload warmup (same as Bench)
-    val warm = graft.Bench.buildOnce(large, sfDir, 1, chunkDocs)._1
-    def report(tag: String, t: graft.Bench.Trial): Unit =
-      println(f"[probe] $tag%-4s wall=${t.sec}%7.2f s steal=${t.steal}%7.2f s clean=${t.clean}")
-    val ts = Seq.newBuilder[graft.Bench.Trial]
-    val tl = Seq.newBuilder[graft.Bench.Trial]
-    (1 to trials).foreach { _ =>
-      val a = graft.Bench.buildOnce(small, sfDir, factor, chunkDocs)._1
-      report(s"n$small", a); ts += a
-      val b = graft.Bench.buildOnce(large, sfDir, factor, chunkDocs)._1
-      report(s"n$large", b); tl += b
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def procCpuSec(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+      case _ => -1.0
     }
-    val bs = ts.result().minBy(_.sec)
-    val bl = tl.result().minBy(_.sec)
-    val eff = bs.sec / (4.0 * bl.sec)
-    println(f"[probe] best n$small=${bs.sec}%.2f s (clean=${bs.clean}) " +
-      f"n$large=${bl.sec}%.2f s (clean=${bl.clean}) efficiency=$eff%.4f")
-    val _ = warm
+
+    case class T(wall: Double, steal: Double, gc: Double, cpu: Double)
+    def rmTree(dir: String): Unit = try {
+      val root = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
+
+    def buildIn(spark: SparkSession, tag: String): T = {
+      val src = graft.Bench.replicated(spark, sfDir, factor)
+      val out = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), s"graft_probe_$tag").toString
+      val (s0, g0, c0) = (stealSec(), gcMillis(), procCpuSec())
+      val t0 = System.nanoTime()
+      IndexBuilder.build(spark, src, out,
+        IndexBuilder.BuildConfig(chunkDocs = chunkDocs, strategy = "bychunk"))
+      val wall = (System.nanoTime() - t0) / 1e9
+      val t = T(wall, stealSec() - s0, (gcMillis() - g0) / 1000.0, procCpuSec() - c0)
+      rmTree(out)
+      t
+    }
+
+    println(s"[probe] mode=$mode heap=${Runtime.getRuntime.maxMemory() / (1 << 20)} MiB " +
+      s"factor=$factor trials=$trials n=$small/$large")
+    def report(tag: String, t: T): Unit =
+      println(f"[probe] $tag%-4s wall=${t.wall}%7.2f s steal=${t.steal}%7.2f s " +
+        f"gc=${t.gc}%6.2f s driverCpu=${t.cpu}%7.2f s")
+
+    // one long-lived session per core count: executor JVMs stay warm
+    // across the timed trials (JIT amortized, like real long-running
+    // executors), warmup build untimed inside each
+    def runLevel(n: Int): Seq[T] = {
+      val spark = session(n, mode)
+      buildIn(spark, s"warm$n")
+      val out = (1 to trials).map { _ =>
+        val t = buildIn(spark, s"n$n"); report(s"n$n", t); t
+      }
+      spark.stop()
+      out
+    }
+    val ts = runLevel(small)
+    val tl = runLevel(large)
+    val bs = ts.minBy(_.wall)
+    val bl = tl.minBy(_.wall)
+    val eff = bs.wall / (4.0 * bl.wall)
+    println(f"[probe] best n$small=${bs.wall}%.2f s n$large=${bl.wall}%.2f s " +
+      f"efficiency=$eff%.4f")
   }
 }
