@@ -105,6 +105,29 @@ object Bench {
   private def isClean(stealDelta: Double, cores: Int, wallSec: Double): Boolean =
     stealDelta >= 0 && stealDelta <= math.max(1.0, 0.05 * cores * wallSec)
 
+  /** Steal storms on this host are bursty over minutes and strike even
+    * an IDLE guest. Sampling steal while idle is therefore a free
+    * pre-flight: wait (bounded) for a quiet window before burning a
+    * multi-minute trial into a storm. Returns the seconds waited.
+    */
+  private def waitForQuiet(maxWaitSec: Int, label: String): Double = {
+    val t0 = System.nanoTime()
+    var waited = 0.0
+    var quiet = false
+    while (!quiet && waited < maxWaitSec) {
+      val s0 = stealSec()
+      Thread.sleep(4000)
+      val d = stealSec() - s0
+      quiet = s0 < 0 || d <= 0.5 // <= 0.5 s stolen in 4 s idle
+      if (!quiet) {
+        Console.err.println(f"[bench] steal storm ($d%.1f s/4 s) — backing off ($label)")
+        Thread.sleep(21000)
+      }
+      waited = (System.nanoTime() - t0) / 1e9
+    }
+    waited
+  }
+
   private[graft] case class Trial(sec: Double, steal: Double, clean: Boolean, out: String)
 
   private[graft] def buildOnce(cores: Int, sfDir: String, factor: Int,
@@ -170,8 +193,12 @@ object Bench {
     val needClean = 2
     val totalT0 = System.nanoTime()
     val steal0 = stealSec()
+    // shared storm-backoff budget across all retry points (pre-flight is
+    // separate): bounds the worst-case bench runtime
+    var quietBudget = 420.0
 
     // --- build throughput at N and 4N cores (same input, same job) ---
+    waitForQuiet(maxWaitSec = 300, label = "pre-flight")
     val warmupOut = buildOnce(large, sfDir, 1, chunkDocs)._1.out // JIT/classload warmup, untimed
     var files = 0L
     val trialsS = scala.collection.mutable.ArrayBuffer.empty[Trial]
@@ -189,6 +216,13 @@ object Bench {
         (round <= math.max(trialsSmall, trialsLarge) ||
          cleanCount(trialsS.toSeq) < needClean || cleanCount(trialsL.toSeq) < needClean)) {
       val base = round <= math.max(trialsSmall, trialsLarge)
+      // retry rounds exist because earlier trials were dirty: don't fire
+      // the retry straight back into the same storm (shared budget keeps
+      // the whole bench bounded)
+      if (!base && quietBudget > 0) {
+        quietBudget -= waitForQuiet(math.min(120, quietBudget).toInt,
+          s"build retry round $round")
+      }
       if ((base && round <= trialsSmall) ||
           (!base && cleanCount(trialsS.toSeq) < needClean)) {
         val (t, f) = buildOnce(small, sfDir, factor, chunkDocs)
@@ -258,8 +292,12 @@ object Bench {
       }
       var bestW = window()
       var attempt = 1
-      while (attempt < 3 && !isClean(bestW._2, large, bestW._1.sum)) {
+      while (attempt < 4 && !isClean(bestW._2, large, bestW._1.sum)) {
         queryRetries += 1
+        if (quietBudget > 0) {
+          quietBudget -= waitForQuiet(math.min(45, quietBudget).toInt,
+            "query window retry")
+        }
         val next = window()
         if (next._2 >= 0 && (bestW._2 < 0 || next._2 < bestW._2)) bestW = next
         attempt += 1
