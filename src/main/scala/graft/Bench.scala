@@ -32,17 +32,30 @@ import graft.index.{IdDoc, IndexBuilder}
   * silently publishing a polluted number. Prints ONE JSON line.
   */
 object Bench {
-  private[graft] def session(cores: Int): SparkSession = {
+  private[graft] def session(cores: Int, forBuild: Boolean = false): SparkSession = {
     // shuffle/spill on tmpfs: this VM has ONE shared disk, so shuffle IO
     // is a serial term that a real N-vs-4N executor fleet (with 4x local
     // SSDs) would not have; RAM-backed local dirs restore the
     // per-executor-scaling IO model the north rule's cluster runs assume
     val localDir = s"/dev/shm/graft-bench-$cores"
     new java.io.File(localDir).mkdirs()
+    // BUILD sessions: the chunk exchange is the granularity determinant
+    // of the whole build, and at bench scale its compressed payload is
+    // small enough that AQE's 64 MB advisory target coalesces it to
+    // FEWER reduce tasks than cores x waves — measured 82% -> 97% core
+    // utilization and ~22% faster 4-core builds with cores*16 pinned
+    // partitions and coalescing off (ScalingProbe A/B, BASELINE.md). At
+    // production scale the same shuffle yields ample partitions and AQE
+    // coalescing is the right default, so this stays a bench-session
+    // setting, not an operator property. Query sessions keep the
+    // production-like conf (per-query jobs are tiny; more partitions
+    // would only add task overhead to the latency numbers).
+    val shufflePartitions = if (forBuild) cores * 16 else math.max(cores * 4, 8)
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", math.max(cores * 4, 8).toString)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", (!forBuild).toString)
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -132,7 +145,7 @@ object Bench {
 
   private[graft] def buildOnce(cores: Int, sfDir: String, factor: Int,
                                chunkDocs: Long): (Trial, Long) = {
-    val spark = session(cores)
+    val spark = session(cores, forBuild = true)
     val src = replicated(spark, sfDir, factor)
     // index output on tmpfs for the same reason as spark.local.dir: the
     // sink in a real fleet is HDFS/S3 whose aggregate bandwidth scales

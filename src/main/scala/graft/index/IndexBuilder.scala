@@ -219,27 +219,43 @@ object IndexBuilder {
     */
   def buildPostingsByChunk(docs: Dataset[IdDoc], cfg: BuildConfig): Dataset[PostingRow] = {
     import docs.sparkSession.implicits._
+    buildCombinedByChunk(docs, cfg).filter(_.kind == "p").map(IndexRow.toPosting)
+  }
+
+  /** The bychunk reduce pass proper, emitting BOTH tables' rows: each
+    * shuffled doc is tokenized exactly once ([[Tokenizer.tokenizeAll]]),
+    * feeding the chunk's in-memory posting accumulation AND its DocRow
+    * (title/summary/docLength/sha) — so a combined-layout build
+    * generates, tokenizes, shuffles, and writes the corpus once, where
+    * the two-table flow paid a second full generate+tokenize+shuffle
+    * for the docs table (measured ~40% of build wall at factor 300).
+    * Doc rows are emitted ahead of the chunk's term-sorted posting rows.
+    */
+  def buildCombinedByChunk(docs: Dataset[IdDoc], cfg: BuildConfig): Dataset[IndexRow] = {
+    import docs.sparkSession.implicits._
     import org.apache.spark.sql.functions._
     val chunkDocs = cfg.chunkDocs
     docs.toDF()
       .withColumn("chunk", floor(col("docId") / chunkDocs).cast("long"))
       .repartition(col("chunk"))
       .sortWithinPartitions(col("chunk"), col("docId"))
-      .select(col("chunk"), col("docId"), col("path"), col("content"))
-      .as[(Long, Long, String, String)]
+      .select(col("chunk"), col("docId"), col("repo"), col("path"),
+        col("commit"), col("content"))
+      .as[(Long, Long, String, String, String, String)]
       .mapPartitions { it =>
-        new Iterator[PostingRow] {
+        new Iterator[IndexRow] {
           // per-chunk accumulator: insertion-ordered term -> sorted run
           // of (docId, positions); docs arrive docId-ascending, so each
           // term's run is ascending by construction
           private var curChunk = Long.MinValue
           private val acc = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[(Long, Array[Long])]]()
-          private var outRows: Iterator[PostingRow] = Iterator.empty
+          private val docRows = new scala.collection.mutable.ArrayBuffer[IndexRow]
+          private var outRows: Iterator[IndexRow] = Iterator.empty
           private var exhausted = false
 
-          private def addDoc(docId: Long, path: String, content: String): Unit = {
-            val title = Tokenizer.titleTokens(path)
-            val body = Tokenizer.bodyTokens(content)
+          private def addDoc(chunk: Long, docId: Long, repo: String,
+                             path: String, commit: String, content: String): Unit = {
+            val t = Tokenizer.tokenizeAll(path, content)
             val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofLong]()
             var pos = 1L
             def add(term: String): Unit = {
@@ -248,8 +264,8 @@ object IndexBuilder {
               b += pos
               pos += 1
             }
-            title.foreach(add)
-            body.foreach(add)
+            t.titleToks.foreach(add)
+            t.bodyToks.foreach(add)
             val eit = m.entrySet().iterator()
             while (eit.hasNext) {
               val e = eit.next()
@@ -260,46 +276,54 @@ object IndexBuilder {
               }
               run += ((docId, e.getValue.result()))
             }
+            docRows += IndexRow.ofDoc(DocRow(chunk, docId,
+              Corpus.url(repo, path, commit), t.title, t.summary,
+              t.numTitleWords,
+              (t.titleToks.length + t.bodyToks.length).toLong,
+              Sha.hex256(if (content == null) "" else content)))
           }
 
-          private def flushChunk(): Iterator[PostingRow] = {
-            if (acc.isEmpty) Iterator.empty
-            else {
-              val chunk = curChunk
-              import scala.jdk.CollectionConverters._
-              // sorted term order for deterministic row/file layout
-              // (matches the grouped strategy's sortWithinPartitions)
-              val rows = acc.entrySet().iterator().asScala.toArray
-                .sortBy(_.getKey)
-                .iterator.map { e =>
+          private def flushChunk(): Iterator[IndexRow] = {
+            val chunk = curChunk
+            val dr = docRows.toArray
+            docRows.clear()
+            val pr: Iterator[IndexRow] =
+              if (acc.isEmpty) Iterator.empty
+              else {
+                import scala.jdk.CollectionConverters._
+                // sorted term order for deterministic row/file layout
+                // (matches the grouped strategy's sortWithinPartitions)
+                val entries = acc.entrySet().iterator().asScala.toArray
+                  .sortBy(_.getKey)
+                acc.clear()
+                entries.iterator.map { e =>
                   val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(e.getValue)
-                  PostingRow(chunk, e.getKey, df, tf, blocks, blob)
+                  IndexRow.ofPosting(PostingRow(chunk, e.getKey, df, tf, blocks, blob))
                 }
-              acc.clear()
-              rows
-            }
+              }
+            dr.iterator ++ pr
           }
 
           private def advance(): Unit = {
             while (!outRows.hasNext && !exhausted) {
               if (!it.hasNext) { exhausted = true; outRows = flushChunk() }
               else {
-                val (chunk, docId, path, content) = it.next()
+                val (chunk, docId, repo, path, commit, content) = it.next()
                 if (chunk != curChunk && curChunk != Long.MinValue) {
                   val flushed = flushChunk()
                   curChunk = chunk
-                  addDoc(docId, path, content)
+                  addDoc(chunk, docId, repo, path, commit, content)
                   outRows = flushed
                 } else {
                   curChunk = chunk
-                  addDoc(docId, path, content)
+                  addDoc(chunk, docId, repo, path, commit, content)
                 }
               }
             }
           }
 
           def hasNext: Boolean = { advance(); outRows.hasNext }
-          def next(): PostingRow = {
+          def next(): IndexRow = {
             if (!hasNext) throw new NoSuchElementException
             outRows.next()
           }
@@ -549,12 +573,49 @@ object IndexBuilder {
 
     val singlePass = cfg.salts <= 1 &&
       (cfg.strategy == "grouped" || cfg.strategy == "bychunk")
-    if (singlePass) {
-      // single-pass flow: the chunk-partitioned build writes straight to
-      // the table layout — no cache materialization, no second shuffle
-      // of encoded blobs. Lineage/stats re-derive from the written
-      // tables (pruned parquet reads; the only blob touch is the byte
-      // count).
+    // which physical layout this index uses: a fresh bychunk build gets
+    // the combined one-table layout; a resumed build keeps whatever
+    // layout the existing index has (mixing schemas inside one
+    // partitioned table would corrupt it), detected by the docs table's
+    // presence. Fresh grouped/sorted/aggregator/salted keep two tables.
+    val combinedLayout =
+      if (fresh) cfg.salts <= 1 && cfg.strategy == "bychunk"
+      else !new java.io.File(docsDir(outDir)).exists()
+    if (combinedLayout) {
+      // combined single-pass flow: ONE job generates, tokenizes,
+      // shuffles, and writes both tables' rows (kind-discriminated) —
+      // see buildCombinedByChunk. A cross-strategy resume onto a
+      // combined index routes the strategy's posting rows + a docs pass
+      // through the same union schema so partitions stay homogeneous.
+      val combined =
+        if (cfg.salts <= 1 && cfg.strategy == "bychunk")
+          buildCombinedByChunk(pending, cfg)
+        else {
+          val p = buildPostingsFor(pending, cfg).map(IndexRow.ofPosting)
+          val d = buildDocs(pending, cfg).map(IndexRow.ofDoc)
+          p.unionByName(d).repartition(col("chunk")).as[IndexRow]
+        }
+      phased("combined write") {
+        combined
+          .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
+      }
+      // a fresh combined build over a legacy index replaces postingsDir
+      // wholesale (static overwrite) but would leave the old two-table
+      // docs dir behind — and readDocs dispatches on its presence
+      if (fresh) {
+        val legacyDocs = new java.io.File(docsDir(outDir))
+        if (legacyDocs.exists()) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(legacyDocs.toPath).iterator().asScala
+            .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    } else if (singlePass) {
+      // single-pass two-table flow (grouped; bychunk resuming a legacy
+      // index): the chunk-partitioned build writes straight to the
+      // table layout — no cache materialization, no second shuffle of
+      // encoded blobs. Lineage/stats re-derive from the written tables
+      // (pruned parquet reads; the only blob touch is the byte count).
       val postings =
         if (cfg.strategy == "bychunk") buildPostingsByChunk(pending, cfg)
         else buildPostingsGrouped(tokenGroups(pending, cfg))
@@ -661,7 +722,12 @@ object IndexStore {
 
   def readPostings(spark: SparkSession, outDir: String): Dataset[PostingRow] = {
     import spark.implicits._
-    spark.read.parquet(IndexBuilder.postingsDir(outDir))
+    val raw = spark.read.parquet(IndexBuilder.postingsDir(outDir))
+    // combined layout (kind column): posting rows cohabit with doc rows;
+    // the filter rides the scan (parquet predicate) and doc rows'
+    // posting columns are RLE nulls, so the extra IO is negligible
+    val onlyP = if (raw.columns.contains("kind")) raw.filter(col("kind") === "p") else raw
+    onlyP
       .withColumn("chunk", col("chunk").cast("long"))
       .select("chunk", "term", "df", "tf", "blocks", "postingsBlob")
       .as[PostingRow]
@@ -669,7 +735,15 @@ object IndexStore {
 
   def readDocs(spark: SparkSession, outDir: String): Dataset[DocRow] = {
     import spark.implicits._
-    spark.read.parquet(IndexBuilder.docsDir(outDir))
+    // legacy two-table layout keeps its own docs dir; the combined
+    // layout stores doc rows (kind = "d") inside the postings table
+    val src =
+      if (new java.io.File(IndexBuilder.docsDir(outDir)).exists())
+        spark.read.parquet(IndexBuilder.docsDir(outDir))
+      else
+        spark.read.parquet(IndexBuilder.postingsDir(outDir))
+          .filter(col("kind") === "d")
+    src
       .withColumn("chunk", col("chunk").cast("long"))
       .select("chunk", "docId", "url", "title", "summary", "numTitleWords",
         "docLength", "contentSha")

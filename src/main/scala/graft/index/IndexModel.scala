@@ -37,6 +37,39 @@ case class DocRow(chunk: Long, docId: Long, url: String, title: String,
                   summary: String, numTitleWords: Long, docLength: Long,
                   contentSha: String)
 
+/** Union row of the combined single-pass store layout (bychunk builds):
+  * one chunk-partitioned table carrying both posting rows (kind = "p",
+  * doc fields null/-1) and document rows (kind = "d", posting fields
+  * null/-1), written in the same reduce pass that tokenized the docs —
+  * the corpus is generated, tokenized, shuffled, and written exactly
+  * once per build. IndexStore hides the layout: readPostings /
+  * readDocs filter on kind and project, so engines and specs see the
+  * same PostingRow / DocRow rows as the legacy two-table layout
+  * (grouped/sorted/aggregator/salted still write that one). Parquet
+  * column pruning makes the cohabitation cheap: a postings read decodes
+  * only posting columns (doc rows contribute RLE nulls), and vice
+  * versa.
+  */
+case class IndexRow(chunk: Long, kind: String, term: String, df: Long,
+                    tf: Long, blocks: Array[PostingBlock],
+                    postingsBlob: Array[Byte], docId: Long, url: String,
+                    title: String, summary: String, numTitleWords: Long,
+                    docLength: Long, contentSha: String)
+
+object IndexRow {
+  def ofPosting(p: PostingRow): IndexRow =
+    IndexRow(p.chunk, "p", p.term, p.df, p.tf, p.blocks, p.postingsBlob,
+      -1L, null, null, null, -1L, -1L, null)
+  def ofDoc(d: DocRow): IndexRow =
+    IndexRow(d.chunk, "d", null, -1L, -1L, null, null, d.docId, d.url,
+      d.title, d.summary, d.numTitleWords, d.docLength, d.contentSha)
+  def toPosting(r: IndexRow): PostingRow =
+    PostingRow(r.chunk, r.term, r.df, r.tf, r.blocks, r.postingsBlob)
+  def toDoc(r: IndexRow): DocRow =
+    DocRow(r.chunk, r.docId, r.url, r.title, r.summary, r.numTitleWords,
+      r.docLength, r.contentSha)
+}
+
 /** Per-chunk corpus statistics (HashBlob header analogs,
   * index/HashBlob.h:202-206). totalPosts includes one ##EndDoc posting per
   * document because the reference's NumberOfPosts sums numberOfPosts over

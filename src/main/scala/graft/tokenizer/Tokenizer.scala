@@ -143,6 +143,70 @@ object Tokenizer {
     sb.toString
   }
 
+  /** Everything the index build needs from one document, computed in ONE
+    * sweep over the path and ONE sweep over the content: the kept token
+    * streams ([[titleTokens]]/[[bodyTokens]]), the display title
+    * ([[titleString]]), the abstract and raw-title count ([[docMeta]]).
+    * docLength == titleToks.length + bodyToks.length (the kept counts).
+    *
+    * This exists so the combined bychunk build pass tokenizes each doc
+    * exactly once; TokenizerSpec pins field-for-field equality with the
+    * frozen single-purpose functions, which stay the definition of the
+    * rules.
+    */
+  case class TokenizedDoc(titleToks: Array[String], bodyToks: Array[String],
+                          title: String, summary: String, numTitleWords: Long)
+
+  def tokenizeAll(path: String, content: String): TokenizedDoc = {
+    // title sweep (rules of titleWordsRaw/titleTokens/titleString)
+    val titleRaw = titleWordsRaw(path)
+    val titleToks = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+    val tsb = new StringBuilder
+    var tCanAdd = true
+    var i = 0
+    while (i < titleRaw.length) {
+      val w = titleRaw(i)
+      if (1 + w.length < GraftConfig.TokenMaxSize) {
+        titleToks += ("#" + w)
+        if (tCanAdd) {
+          if (tsb.length + w.length < GraftConfig.MaxTitleSize) {
+            tsb.append(w).append(' ')
+          } else tCanAdd = false
+        }
+      }
+      i += 1
+    }
+    if (tsb.nonEmpty) tsb.setLength(tsb.length - 1)
+    // body sweep (rules of bodyTokens + docMeta's abstract loop: the
+    // abstract index counts raw all-alpha words incl. the >=20-char ones)
+    val raw = if (content == null) Array.empty[String] else content.split("\\s+")
+    val bodyToks = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+    val sb = new StringBuilder
+    var canAdd = true
+    var curLen = 0
+    var rawIdx = 0
+    var j = 0
+    while (j < raw.length) {
+      val w = raw(j)
+      if (isAllAlpha(w)) {
+        val tok = w.toLowerCase
+        if (tok.length < GraftConfig.TokenMaxSize) {
+          bodyToks += tok
+          if (canAdd) {
+            if (curLen + tok.length < GraftConfig.MaxAbstractSize) {
+              if (rawIdx >= 5) { sb.append(tok).append(' '); curLen += tok.length + 1 }
+            } else canAdd = false
+          }
+        }
+        rawIdx += 1
+      }
+      j += 1
+    }
+    if (sb.nonEmpty) sb.setLength(sb.length - 1)
+    TokenizedDoc(titleToks.result(), bodyToks.result(), tsb.toString,
+      sb.toString, titleRaw.length.toLong)
+  }
+
   /** All-alpha (pre-length-filter) body words, lowercased. These are the
     * "lines" the reference's InputReader iterates: the crawler's parser
     * only emits all-alpha words, but words >= 20 chars still occupy a line

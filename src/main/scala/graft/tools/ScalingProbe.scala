@@ -29,10 +29,16 @@ object ScalingProbe {
     new java.io.File(localDir).mkdirs()
     val master =
       if (mode == "cluster") s"local-cluster[$n,1,4096]" else s"local[$n]"
+    // A/B knobs for scaling experiments (defaults match graft.Bench):
+    //  SPARK_GRAFT_PROBE_SHUFFLE_MULT — shuffle partitions = n * mult
+    //  SPARK_GRAFT_PROBE_COALESCE    — AQE partition coalescing on/off
+    val shuffleMult = sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUFFLE_MULT", "4").toInt
     val b = SparkSession.builder()
       .master(master)
       .appName(s"graft-probe-$n")
-      .config("spark.sql.shuffle.partitions", math.max(n * 4, 8).toString)
+      .config("spark.sql.shuffle.partitions", math.max(n * shuffleMult, 8).toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_COALESCE", "true"))
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -124,7 +130,13 @@ object ScalingProbe {
       spark.stop()
       out
     }
+    // SPARK_GRAFT_PROBE_ONLY_SMALL=1: just the small level (cheap A/B of
+    // conf knobs on one core count, no efficiency pairing)
     val ts = runLevel(small)
+    if (sys.env.contains("SPARK_GRAFT_PROBE_ONLY_SMALL")) {
+      println(f"[probe] best n$small=${ts.minBy(_.wall).wall}%.2f s (only-small mode)")
+      return
+    }
     val tl = runLevel(large)
     val bs = ts.minBy(_.wall)
     val bl = tl.minBy(_.wall)

@@ -157,4 +157,52 @@ class IndexBuilderSpec extends AnyFunSuite {
       assert(d.contentSha === srcSha(d.docId))
     }
   }
+
+  test("combined layout: one table, doc rows identical to buildDocs") {
+    import spark.implicits._
+    val out = SparkTestBase.tempDir("graft-combined")
+    val docs = Corpus.synthetic(spark, 2, 25, seed = 13)
+    val ids = Corpus.assignDocIds(spark, docs).cache()
+    val cfg = BuildConfig(chunkDocs = 10) // default strategy = bychunk
+    IndexBuilder.build(spark, ids, out, cfg)
+    // physical layout: no separate docs dir; postings table carries kind
+    assert(!new java.io.File(IndexBuilder.docsDir(out)).exists())
+    val raw = spark.read.parquet(IndexBuilder.postingsDir(out))
+    assert(raw.columns.contains("kind"))
+    // the reader-projected docs equal the two-table flow's buildDocs
+    def canonD(rows: Array[DocRow]) = rows.map(d => (d.docId, d)).toMap
+    assert(canonD(IndexStore.readDocs(spark, out).collect()) ===
+      canonD(IndexBuilder.buildDocs(ids, cfg).collect()))
+    // and the reader-projected postings equal the legacy strategies'
+    def canonP(rows: Array[PostingRow]) = rows
+      .map(p => ((p.chunk, p.term), (p.df, p.tf, p.postingsBlob.toSeq))).toMap
+    assert(canonP(IndexStore.readPostings(spark, out).collect()) ===
+      canonP(IndexBuilder.buildPostingsGrouped(
+        IndexBuilder.tokenGroups(ids, cfg)).collect()))
+  }
+
+  test("cross-strategy resume onto a combined index keeps the layout homogeneous") {
+    import spark.implicits._
+    val out = SparkTestBase.tempDir("graft-combined-resume")
+    val docs = Corpus.synthetic(spark, 2, 20, seed = 17)
+    val ids = Corpus.assignDocIds(spark, docs).cache()
+    // fresh bychunk build of chunks 0,1 -> combined layout
+    IndexBuilder.build(spark, ids.filter(_.docId < 20), out, BuildConfig(chunkDocs = 10))
+    assert(!new java.io.File(IndexBuilder.docsDir(out)).exists())
+    // resume the rest with the GROUPED strategy: rows must land in the
+    // same union schema (not a second layout inside one table)
+    val built = IndexBuilder.build(spark, ids, out,
+      BuildConfig(chunkDocs = 10, strategy = "grouped"))
+    assert(built === Set(2L, 3L))
+    assert(!new java.io.File(IndexBuilder.docsDir(out)).exists())
+    // full index readable and equal to a from-scratch build
+    val out2 = SparkTestBase.tempDir("graft-combined-resume2")
+    IndexBuilder.build(spark, ids, out2, BuildConfig(chunkDocs = 10))
+    def canonP(dir: String) = IndexStore.readPostings(spark, dir).collect()
+      .map(p => ((p.chunk, p.term), (p.df, p.tf, p.postingsBlob.toSeq))).toMap
+    def canonD(dir: String) = IndexStore.readDocs(spark, dir).collect()
+      .map(d => (d.docId, d)).toMap
+    assert(canonP(out) === canonP(out2))
+    assert(canonD(out) === canonD(out2))
+  }
 }

@@ -70,4 +70,26 @@ class TokenizerSpec extends AnyFunSuite {
     assert(ps.length === 5)
     assert(ps.last._2 === 5L)
   }
+
+  test("tokenizeAll == the frozen single-purpose functions, field for field") {
+    val long = "z" * 25
+    val cases = Seq(
+      ("a/doc.txt", "quick brown fox jumps the fence"),
+      ("x/y", "one two three"),
+      (s"$long/path.with-many_segments/AndCamelCase99", s"$long b c d e f g h42 i J K"),
+      ("", ""),
+      ("nopath", null),
+      ((1 to 12).map(i => "word" + ('a' + i % 3).toChar.toString).mkString("/"),
+        (0 until 40).map(i => s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}x").mkString(" ")))
+    cases.foreach { case (path, content) =>
+      val t = Tokenizer.tokenizeAll(path, content)
+      val m = Tokenizer.docMeta(path, content)
+      assert(t.titleToks.toSeq === Tokenizer.titleTokens(path).toSeq, s"titleToks($path)")
+      assert(t.bodyToks.toSeq === Tokenizer.bodyTokens(content).toSeq, s"bodyToks($path)")
+      assert(t.title === m.title, s"title($path)")
+      assert(t.summary === m.summary, s"summary($path)")
+      assert(t.numTitleWords === m.numTitleWords, s"numTitleWords($path)")
+      assert((t.titleToks.length + t.bodyToks.length).toLong === m.docLength, s"docLength($path)")
+    }
+  }
 }
