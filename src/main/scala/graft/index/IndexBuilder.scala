@@ -654,9 +654,20 @@ object IndexBuilder {
     // contains previously-completed chunks on a resume, so exclude `done`
     // (columnar partition filter — resumes carry modest chunk lists; a
     // broadcast anti-join would replace isin if they ever grew huge)
+    // lineage reads the RAW postings frame: the combined layout persists
+    // the encode-time blobBytes column, so the bytes aggregate never
+    // re-reads the blob column itself (index-sized IO after every
+    // build); legacy two-table indexes fall back to length(blob)
+    val rawPost = spark.read.parquet(postingsDir(outDir))
+    val postBase =
+      (if (rawPost.columns.contains("kind")) rawPost.filter($"kind" === "p")
+       else rawPost).withColumn("chunk", $"chunk".cast("long"))
+    val bytesExpr =
+      if (rawPost.columns.contains("blobBytes")) sum($"blobBytes")
+      else sum(length($"postingsBlob").cast("long"))
     val postingsNew =
-      if (done.isEmpty) postingsR.toDF()
-      else postingsR.toDF().filter(!$"chunk".isin(done.toSeq: _*))
+      if (done.isEmpty) postBase
+      else postBase.filter(!$"chunk".isin(done.toSeq: _*))
     val docsNew =
       if (done.isEmpty) docsR.toDF()
       else docsR.toDF().filter(!$"chunk".isin(done.toSeq: _*))
@@ -664,7 +675,7 @@ object IndexBuilder {
       min($"term").as("termMin"), max($"term").as("termMax"),
       min(element_at($"blocks", 1).getField("firstDocId")).as("docMin"),
       max(element_at($"blocks", -1).getField("lastDocId")).as("docMax"),
-      count(lit(1)).as("rows"), sum(length($"postingsBlob")).as("bytes"))
+      count(lit(1)).as("rows"), bytesExpr.as("bytes"))
       .select(lit("postings").as("stage"), $"chunk", $"termMin", $"termMax",
         $"docMin", $"docMax", $"rows", $"bytes", lit("complete").as("status"))
     val docLineage = docsNew.groupBy($"chunk").agg(

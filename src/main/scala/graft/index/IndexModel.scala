@@ -52,16 +52,18 @@ case class DocRow(chunk: Long, docId: Long, url: String, title: String,
   */
 case class IndexRow(chunk: Long, kind: String, term: String, df: Long,
                     tf: Long, blocks: Array[PostingBlock],
-                    postingsBlob: Array[Byte], docId: Long, url: String,
+                    postingsBlob: Array[Byte], blobBytes: Long,
+                    docId: Long, url: String,
                     title: String, summary: String, numTitleWords: Long,
                     docLength: Long, contentSha: String)
 
 object IndexRow {
   def ofPosting(p: PostingRow): IndexRow =
     IndexRow(p.chunk, "p", p.term, p.df, p.tf, p.blocks, p.postingsBlob,
+      p.postingsBlob.length.toLong,
       -1L, null, null, null, -1L, -1L, null)
   def ofDoc(d: DocRow): IndexRow =
-    IndexRow(d.chunk, "d", null, -1L, -1L, null, null, d.docId, d.url,
+    IndexRow(d.chunk, "d", null, -1L, -1L, null, null, -1L, d.docId, d.url,
       d.title, d.summary, d.numTitleWords, d.docLength, d.contentSha)
   def toPosting(r: IndexRow): PostingRow =
     PostingRow(r.chunk, r.term, r.df, r.tf, r.blocks, r.postingsBlob)

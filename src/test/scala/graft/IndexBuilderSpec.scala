@@ -179,6 +179,14 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(canonP(IndexStore.readPostings(spark, out).collect()) ===
       canonP(IndexBuilder.buildPostingsGrouped(
         IndexBuilder.tokenGroups(ids, cfg)).collect()))
+    // lineage bytes come from the persisted blobBytes column (no blob
+    // re-read) and must equal the actual blob lengths per chunk
+    val blobSums = IndexStore.readPostings(spark, out).collect()
+      .groupBy(_.chunk).view.mapValues(_.map(_.postingsBlob.length.toLong).sum).toMap
+    val lineage = spark.read.parquet(IndexBuilder.lineageDir(out))
+      .filter($"stage" === "postings").select($"chunk", $"bytes")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lineage === blobSums)
   }
 
   test("cross-strategy resume onto a combined index keeps the layout homogeneous") {
