@@ -384,6 +384,9 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashSignatures(docsDf(s, dir))),
     "q_dedup_lsh" -> ((s, dir) =>
       Dedup.jaccard(docsDf(s, dir), Dedup.lshCandidatePairs(docsDf(s, dir)))),
+    // exact set-similarity join (prefix filtering): every pair with
+    // 3-shingle Jaccard >= 0.7, no LSH candidate loss
+    "q_dedup_exactjoin" -> ((s, dir) => Dedup.nearDuplicatesExact(docsDf(s, dir), 0.7)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash16(docsDf(s, dir))),
     // threshold 0.35: the synthetic embeddings top out at cosine ~0.51,
     // so a production-style 0.95 would make the check vacuous
@@ -782,6 +785,45 @@ object SparkEntry {
 
       "q_dedup_minhash" -> (duckToks + duckShingles + duckMinhashSig + """
         |SELECT * FROM sig""".stripMargin),
+
+      // prefix-filtered EXACT set-similarity join: rank each doc's
+      // distinct shingles by (df asc, shingle), keep the first
+      // sz - ceil(t*sz) + 1 as the join prefix (AllPairs principle: a
+      // qualifying pair must collide inside both prefixes), then verify
+      // exact jaccard and filter. 0.7 stays below its double value, so
+      // ceil agrees between DuckDB decimals and Spark doubles.
+      "q_dedup_exactjoin" -> (duckToks + duckShingles + """
+        |, sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |freq AS (SELECT shingle, count(*) AS df FROM sets GROUP BY 1),
+        |ranked AS (
+        |  SELECT s.doc_id, s.shingle,
+        |         row_number() OVER (PARTITION BY s.doc_id
+        |                            ORDER BY f.df, s.shingle) AS rnk,
+        |         count(*) OVER (PARTITION BY s.doc_id) AS sz
+        |  FROM sets s JOIN freq f ON f.shingle = s.shingle
+        |), pfx AS (
+        |  SELECT doc_id, shingle FROM ranked
+        |  WHERE rnk <= sz - ceil(CAST(0.7 AS DOUBLE) * sz) + 1
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pfx a JOIN pfx b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |), szs AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM pairs p
+        |  JOIN sets sa ON sa.doc_id = p.doc_a
+        |  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT p.doc_a, p.doc_b,
+        |         round(coalesce(i.i, 0) * 1.0 /
+        |               (sa.sz + sb.sz - coalesce(i.i, 0)), 6) AS jaccard
+        |  FROM pairs p
+        |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |  JOIN szs sa ON sa.doc_id = p.doc_a
+        |  JOIN szs sb ON sb.doc_id = p.doc_b)
+        |WHERE jaccard >= 0.7""".stripMargin),
 
       "q_dedup_lsh" -> (duckToks + duckShingles + duckMinhashSig + """
         |, bands AS (

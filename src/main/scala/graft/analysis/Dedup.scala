@@ -80,6 +80,48 @@ object Dedup {
     jaccard(docs, lshCandidatePairs(docs, k, bands))
       .filter(col("jaccard") >= threshold)
 
+  /** Prefix-filtered candidate pairs for an EXACT set-similarity join
+    * (AllPairs/PPJoin prefix principle, Bayardo et al. WWW'07 / Xiao et
+    * al. WWW'08): under any global total order on shingles, two sets
+    * with Jaccard >= t MUST share an element within the first
+    * |S| - ceil(t*|S|) + 1 elements of each — so only those prefixes
+    * enter the equi-self-join, and no qualifying pair can be missed
+    * (unlike LSH's probabilistic bands). The canonical order is
+    * ascending document frequency (rarest first, the classic choice —
+    * prefixes then hit the smallest join buckets) with lexicographic
+    * tiebreak, both deterministic and SQL-mirrorable. Shuffle shape:
+    * df aggregate + rank window (linear in distinct (doc, shingle)
+    * rows) + the prefix equi-join, whose bucket sizes follow the
+    * rarest-shingle frequencies rather than the corpus size.
+    */
+  def prefixCandidatePairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = TextAnalysis.shingles(docs)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val freq = sets.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = sets.join(freq, Seq("shingle"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val prefix = ranked
+      .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** EXACT near-duplicate pairs: prefix-filtered candidates verified by
+    * exact 3-shingle Jaccard — the deterministic sibling of
+    * [[nearDuplicates]] for pipelines that cannot tolerate LSH's missed
+    * pairs (DedupScaleSpec pins equality with the brute-force all-pairs
+    * join at the same threshold).
+    */
+  def nearDuplicatesExact(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    jaccard(docs, prefixCandidatePairs(docs, threshold))
+      .filter(col("jaccard") >= threshold)
+
   /** Scale-guarded near-dup: collapse exact-duplicate content FIRST (one
     * hash groupBy), then LSH only the representatives. A mega-cluster of
     * M identical docs (the common web-corpus pathology) otherwise lands in

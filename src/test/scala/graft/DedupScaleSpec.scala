@@ -83,4 +83,35 @@ class DedupScaleSpec extends AnyFunSuite {
       .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).as[Long].head()
     assert(pairVolume < 42L * 41 / 2, s"buckets degenerate: $pairVolume pairs")
   }
+
+  test("prefix-filtered exact join: complete vs brute force, fewer candidates") {
+    import spark.implicits._
+    // varied-overlap corpus: near-dups at several similarity levels plus
+    // unrelated docs; threshold 0.5 so some pairs pass and some don't
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val docs = (0 until 20).map { i =>
+      // doc i shares a sliding window of the vocabulary with neighbors
+      val body = (0 until 8).map(j => words((i + j) % words.length)).mkString(" ")
+      (i.toLong, body)
+    }.toDF("doc_id", "text")
+    val t = 0.5
+
+    val exact = Dedup.nearDuplicatesExact(docs, t)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    // brute force: every (a < b) pair through the same exact jaccard
+    val ids = docs.select(col("doc_id"))
+    val allPairs = ids.as("x").join(ids.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val brute = Dedup.jaccard(docs, allPairs).filter(col("jaccard") >= t)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+    assert(exact === brute, s"prefix join lost/invented pairs: ${exact.keySet} vs ${brute.keySet}")
+    assert(brute.nonEmpty, "degenerate test: no qualifying pairs")
+
+    // pruning evidence: the candidate set is strictly smaller than all pairs
+    val cands = Dedup.prefixCandidatePairs(docs, t).count()
+    assert(cands < 20L * 19 / 2, s"prefix filter pruned nothing: $cands candidates")
+    assert(cands >= brute.size, "candidates must cover all qualifying pairs")
+  }
 }
