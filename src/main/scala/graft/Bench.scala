@@ -98,16 +98,10 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Cumulative host CPU-steal (USER_HZ ticks -> seconds) across all
-    * vCPUs. Idle vCPUs accrue no steal, so the delta across a trial is
-    * (approximately) the CPU-seconds the host denied THIS job — the
-    * per-trial cleanliness signal the round-2 verdict asked for.
+  /** Cumulative host CPU-steal — the per-trial cleanliness signal the
+    * round-2 verdict asked for (shared: graft.util.Host).
     */
-  private def stealSec(): Double = try {
-    scala.io.Source.fromFile("/proc/stat").getLines()
-      .find(_.startsWith("cpu "))
-      .map(_.trim.split("\\s+")(8).toDouble / 100.0).getOrElse(-1.0)
-  } catch { case _: Throwable => -1.0 }
+  private def stealSec(): Double = graft.util.Host.stealSec()
 
   /** A trial is CLEAN when the steal it absorbed could have inflated its
     * wall time by at most ~5%: steal <= 0.05 * busyCores * wall (+1 s
@@ -216,12 +210,7 @@ object Bench {
     var files = 0L
     val trialsS = scala.collection.mutable.ArrayBuffer.empty[Trial]
     val trialsL = scala.collection.mutable.ArrayBuffer.empty[Trial]
-    def rmTree(dir: String): Unit = try {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: Throwable => () }
+    def rmTree(dir: String): Unit = graft.util.Host.rmTree(dir)
     def cleanCount(ts: Seq[Trial]) = ts.count(_.clean)
     var round = 1
     val maxRounds = math.max(trialsSmall, trialsLarge) + maxExtraRounds

@@ -790,8 +790,10 @@ object SparkEntry {
       // distinct shingles by (df asc, shingle), keep the first
       // sz - ceil(t*sz) + 1 as the join prefix (AllPairs principle: a
       // qualifying pair must collide inside both prefixes), then verify
-      // exact jaccard and filter. 0.7 stays below its double value, so
-      // ceil agrees between DuckDB decimals and Spark doubles.
+      // exact jaccard and filter. The ceil takes t*sz - 1e-9, mirroring
+      // Dedup.prefixBound: doubles can represent t*sz a hair above the
+      // true product (0.07*100 -> 7.000000000000001), which would
+      // shorten the prefix below the completeness bound.
       "q_dedup_exactjoin" -> (duckToks + duckShingles + """
         |, sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
         |freq AS (SELECT shingle, count(*) AS df FROM sets GROUP BY 1),
@@ -803,7 +805,7 @@ object SparkEntry {
         |  FROM sets s JOIN freq f ON f.shingle = s.shingle
         |), pfx AS (
         |  SELECT doc_id, shingle FROM ranked
-        |  WHERE rnk <= sz - ceil(CAST(0.7 AS DOUBLE) * sz) + 1
+        |  WHERE rnk <= sz - ceil(CAST(0.7 AS DOUBLE) * sz - 1e-9) + 1
         |), pairs AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM pfx a JOIN pfx b

@@ -25,7 +25,8 @@ object AnnStore {
     * file set per bucket directory instead of tasks x buckets fragments.
     */
   def build(emb: DataFrame, outDir: String, nBits: Int = 8): Unit =
-    emb.select(col("vec_id"), col("embedding"),
+    Similarity.nonDegenerate(emb)
+      .select(col("vec_id"), col("embedding"),
         Similarity.bucketExpr(col("embedding"), nBits).as("bucket"))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)

@@ -50,30 +50,23 @@ object Clustering {
       zip_with(Similarity.vecD(embedding), typedLit(c), (x, y) => (x - y) * (x - y)),
       lit(0.0d), _ + _)
 
-  /** (argmin cluster, min dist2) over the k centroids as one struct
-    * column. Strict `<` while folding in ascending cluster order breaks
-    * exact ties toward the LOWEST cluster id — mirrored by the oracle's
-    * `ORDER BY dist2, cid` row_number.
+  /** (argmin cluster, min dist2) over the k seed centroids, with
+    * cluster id = seed rank — a thin wrapper over [[bestStructIds]] so
+    * the tie-breaking argmin fold (strict `<` in ascending id order ->
+    * ties go to the LOWEST id, mirrored by the oracle's
+    * `ORDER BY dist2, cid` row_number) lives in exactly one place.
     */
-  private[analysis] def bestStruct(embedding: Column, cents: Array[Array[Double]]): Column = {
-    val candidates = array(cents.zipWithIndex.map { case (c, j) =>
-      struct(dist2Col(embedding, c).as("d"), lit(j.toLong).as("j"))
-    }: _*)
-    aggregate(candidates,
-      struct(lit(Double.MaxValue).as("d"), lit(-1L).as("j")),
-      (acc, x) => when(x.getField("d") < acc.getField("d"), x).otherwise(acc))
-  }
+  private[analysis] def bestStruct(embedding: Column, cents: Array[Array[Double]]): Column =
+    bestStructIds(embedding,
+      cents.zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq)
 
   /** Assign every vector to its nearest seed centroid:
     * (vec_id, cluster, dist2 rounded to 6). Zero shuffles — one
     * projection over the scan.
     */
-  def assign(emb: DataFrame, k: Int): DataFrame = {
-    val best = bestStruct(col("embedding"), seedCentroids(emb, k))
-    emb.select(col("vec_id"),
-      best.getField("j").as("cluster"),
-      round(best.getField("d"), 6).as("dist2"))
-  }
+  def assign(emb: DataFrame, k: Int): DataFrame =
+    assignWith(emb,
+      seedCentroids(emb, k).zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq)
 
   /** (argmin cluster, min dist2) over EXPLICIT (id, centroid) pairs —
     * the generalization of [[bestStruct]] used after update steps, where
@@ -100,9 +93,10 @@ object Clustering {
     * steps (a surviving cluster keeps its seed id).
     */
   def iteratedCentroids(emb: DataFrame, k: Int, iters: Int): Seq[(Long, Array[Double])] = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     var cents: Seq[(Long, Array[Double])] =
       seedCentroids(emb, k).zipWithIndex.map { case (c, j) => (j.toLong, c) }.toSeq
+    // the vector dimension comes free with the seeds (no extra Spark job)
+    val dim = cents.head._2.length
     (1 to iters).foreach { _ =>
       val best = bestStructIds(col("embedding"), cents)
       val means = emb.select(best.getField("j").as("cluster"), col("embedding"))

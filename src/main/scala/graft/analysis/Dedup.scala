@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -94,6 +94,19 @@ object Dedup {
     * rows) + the prefix equi-join, whose bucket sizes follow the
     * rarest-shingle frequencies rather than the corpus size.
     */
+  /** Prefix length sz - ceil(t*sz) + 1 with an epsilon inside the ceil:
+    * binary doubles can represent t*sz a hair ABOVE the true product
+    * (0.07*100 = 7.000000000000001 -> ceil 8), which would shorten the
+    * prefix below the AllPairs completeness bound and silently drop
+    * qualifying pairs. ceil(x - 1e-9) restores the true ceiling for
+    * exact-integer products while leaving every non-integer product's
+    * ceiling unchanged (an over-long prefix would only add candidates;
+    * a short one loses pairs — so the epsilon errs on the safe side).
+    * The DuckDB oracle mirrors the same epsilon.
+    */
+  private[graft] def prefixBound(sz: Column, threshold: Double): Column =
+    sz - ceil(lit(threshold) * sz - lit(1e-9)) + 1
+
   def prefixCandidatePairs(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = TextAnalysis.shingles(docs)
@@ -104,7 +117,7 @@ object Dedup {
     val prefix = ranked
       .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("shingle"))))
       .withColumn("sz", count(lit(1)).over(byDoc))
-      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .filter(col("rnk") <= prefixBound(col("sz"), threshold))
       .select(col("doc_id"), col("shingle"))
     prefix.as("a").join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -191,25 +204,35 @@ object Dedup {
     * SRP collision bound; raise nBits for bigger corpora and multi-probe
     * for recall (same trade-off as Similarity.lshTopK).
     */
+  /** Qualifying cosine pairs within equal `key` over rows of
+    * (vec_id, key, vd, nrm): shared by the LSH-bucket and k-means-cell
+    * paths. The L2 norm arrives as a PER-ROW column computed before the
+    * self-join — a group of M vectors yields M(M-1)/2 pairs, and
+    * recomputing two d-element norm folds per pair (the previous
+    * inlined form) wasted O(pairs x d) work that is O(N x d) this way.
+    * The dot product is the shared [[Similarity.dotCol]] fold over the
+    * two carried vectors (same left-to-right summation, so round(…, 6)
+    * values are unchanged).
+    */
+  private def cosinePairsWithin(rows: DataFrame, key: String,
+                                threshold: Double): DataFrame =
+    rows.as("a").join(rows.as("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Similarity.dotCol(col("a.vd"), col("b.vd")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.95,
                            nBits: Int = 5): DataFrame = {
     // bucket is a per-row projection (Similarity.bucketExpr), so no
     // join-back-by-vec_id: the only shuffle left is the bucket equi-join
-    val withBucket = emb
+    val withBucket = Similarity.nonDegenerate(emb)
       .select(col("vec_id"),
         Similarity.bucketExpr(col("embedding"), nBits).as("bucket"),
-        transform(col("embedding"), _.cast("double")).as("vd"))
-    val dot = aggregate(
-      zip_with(col("a.vd"), col("b.vd"), (x, y) => x * y), lit(0.0d), _ + _)
-    val na = sqrt(aggregate(
-      transform(col("a.vd"), x => x * x), lit(0.0d), _ + _))
-    val nb = sqrt(aggregate(
-      transform(col("b.vd"), x => x * x), lit(0.0d), _ + _))
-    withBucket.as("a").join(withBucket.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot / (na * nb), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        Similarity.vecD(col("embedding")).as("vd"))
+      .withColumn("nrm", Similarity.normCol(col("vd")))
+    cosinePairsWithin(withBucket, "bucket", threshold)
   }
 
   /** Semantic near-duplicate pairs pre-grouped by k-means cell — the
@@ -227,19 +250,10 @@ object Dedup {
   def semanticNearDupsKmeans(emb: DataFrame, threshold: Double = 0.95,
                              k: Int = 8): DataFrame = {
     val cents = Clustering.seedCentroids(emb, k)
-    val withCell = emb.select(col("vec_id"),
-      Clustering.bestStruct(col("embedding"), cents).getField("j").as("cluster"),
-      transform(col("embedding"), _.cast("double")).as("vd"))
-    val dot = aggregate(
-      zip_with(col("a.vd"), col("b.vd"), (x, y) => x * y), lit(0.0d), _ + _)
-    val na = sqrt(aggregate(
-      transform(col("a.vd"), x => x * x), lit(0.0d), _ + _))
-    val nb = sqrt(aggregate(
-      transform(col("b.vd"), x => x * x), lit(0.0d), _ + _))
-    withCell.as("a").join(withCell.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot / (na * nb), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+    val withCell = Similarity.nonDegenerate(emb).select(col("vec_id"),
+        Clustering.bestStruct(col("embedding"), cents).getField("j").as("cluster"),
+        Similarity.vecD(col("embedding")).as("vd"))
+      .withColumn("nrm", Similarity.normCol(col("vd")))
+    cosinePairsWithin(withCell, "cluster", threshold)
   }
 }

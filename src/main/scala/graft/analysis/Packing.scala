@@ -38,9 +38,7 @@ object Packing {
     val spark = docs.sparkSession
     val counts = docs.select(
       col("doc_id").cast("long").as("doc_id"),
-      size(filter(split(col("text"), "\\s+"),
-        t => t.rlike("^[A-Za-z]+$") && length(t) < 20))
-        .cast("long").as("n_tokens"))
+      size(TextAnalysis.keptTokens(col("text"))).cast("long").as("n_tokens"))
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
 

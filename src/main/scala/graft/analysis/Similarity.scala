@@ -44,6 +44,18 @@ object Similarity {
   private[analysis] def normCol(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), _ + _))
 
+  /** Rows with a usable embedding (non-null, non-empty; size(null) is
+    * null so one predicate covers both). A degenerate vector has no
+    * direction: every SRP projection over it is an empty (or null) sum,
+    * so the naive bucket expression would park ALL of them in bucket 0
+    * — while the dimension-exploding formulation this replaced, and the
+    * generate_subscripts SQL oracles, emit NO row for them. Every
+    * bucket/cosine entry point routes through this guard so degenerate
+    * rows keep dropping out instead of polluting bucket 0.
+    */
+  private[analysis] def nonDegenerate(emb: DataFrame): DataFrame =
+    emb.filter(size(col("embedding")) > 0)
+
   /** Cosine of every vector against the vector `queryId`: the single-row
     * query vector is broadcast and the cosine is one projection per row
     * (dot/norms via zip_with/aggregate). The plan is scan -> broadcast
@@ -53,7 +65,7 @@ object Similarity {
   def cosineToQuery(emb: DataFrame, queryId: Long): DataFrame = {
     val q = emb.filter(col("vec_id") === queryId)
       .select(vecD(col("embedding")).as("qv"))
-    emb.crossJoin(broadcast(q))
+    nonDegenerate(emb).crossJoin(broadcast(q))
       .select(col("vec_id"),
         dotCol(vecD(col("embedding")), col("qv")).as("dot"),
         normCol(vecD(col("embedding"))).as("nv"),
@@ -95,10 +107,11 @@ object Similarity {
     * bucket in [0, 2^nBits). One projection over the scan — no shuffle.
     */
   def lshBuckets(emb: DataFrame, nBits: Int = 8): DataFrame =
-    emb.select(col("vec_id"), bucketExpr(col("embedding"), nBits).as("bucket"))
+    nonDegenerate(emb)
+      .select(col("vec_id"), bucketExpr(col("embedding"), nBits).as("bucket"))
 
   private def bucketed(emb: DataFrame, nBits: Int): DataFrame =
-    emb.select(col("vec_id"), col("embedding"),
+    nonDegenerate(emb).select(col("vec_id"), col("embedding"),
       bucketExpr(col("embedding"), nBits).as("bucket"))
 
   /** Candidate-restricted cosine top-k: vectors whose bucket is in the

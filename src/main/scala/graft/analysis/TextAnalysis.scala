@@ -11,14 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The frozen kept-token rule over a raw text column as ONE shared
+    * expression: split on whitespace, keep all-alpha tokens shorter
+    * than 20 chars (graft.tokenizer.Tokenizer body rules, original
+    * case). Every operator that counts, shingles, or packs by kept
+    * tokens builds on this single definition — re-typing it would let
+    * cross-operator identities (shingle dedup vs packing budgets vs
+    * quality counts) silently drift apart.
+    */
+  private[graft] def keptTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t.rlike("^[A-Za-z]+$") && length(t) < 20)
+
   /** The frozen body-token rules as Column expressions: split on
     * whitespace, keep all-alpha tokens shorter than 20 chars, lowercase;
     * pos is 1-based over kept tokens (graft.tokenizer.Tokenizer rules).
     */
   def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        posexplode(filter(split(col("text"), "\\s+"),
-          t => t.rlike("^[A-Za-z]+$") && length(t) < 20)))
+        posexplode(keptTokens(col("text"))))
       .select(col("doc_id"), lower(col("col")).as("term"),
         (col("pos") + 1).cast("long").as("pos"))
 
@@ -75,8 +85,7 @@ object TextAnalysis {
   def quality(docs: DataFrame): DataFrame = {
     val allStops = stopwords.values.flatten.toSeq.distinct
     val raw = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val kept = filter(split(col("text"), "\\s+"),
-      t => t.rlike("^[A-Za-z]+$") && length(t) < 20)
+    val kept = keptTokens(col("text"))
     val keptLower = transform(kept, lower(_))
     docs.select(
       col("doc_id"),
@@ -114,10 +123,7 @@ object TextAnalysis {
     * shingle (explode of the empty sequence), exactly as before.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val kept = transform(
-      filter(split(col("text"), "\\s+"),
-        t => t.rlike("^[A-Za-z]+$") && length(t) < 20),
-      lower(_))
+    val kept = transform(keptTokens(col("text")), lower(_))
     docs.select(col("doc_id"), kept.as("kt"))
       .select(col("doc_id"), col("kt"),
         explode(when(size(col("kt")) >= n,

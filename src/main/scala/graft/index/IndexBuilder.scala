@@ -519,10 +519,31 @@ object IndexBuilder {
   def statsDir(out: String) = s"$out/stats"
   def lineageDir(out: String) = s"$out/lineage"
 
+  /** Existence probe through the path's OWN FileSystem (Hadoop conf):
+    * layout/resume dispatch must behave identically on hdfs://, s3a://
+    * and file:// — a java.io.File probe reports every non-local URI as
+    * missing, which here would misread a legacy two-table index as
+    * combined-layout and write union-schema rows into it (the
+    * mixed-schema corruption CLAUDE.md warns about).
+    */
+  private[index] def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Recursive delete through the path's own FileSystem (see
+    * [[pathExists]] for why java.io/java.nio must not be used here).
+    */
+  private[index] def deleteTree(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Chunks already marked complete for `stage` in the lineage table. */
   def completedChunks(spark: SparkSession, outDir: String, stage: String): Set[Long] = {
     import spark.implicits._
-    if (!new java.io.File(lineageDir(outDir)).exists()) return Set.empty
+    if (!pathExists(spark, lineageDir(outDir))) return Set.empty
     try {
       spark.read.parquet(lineageDir(outDir))
         .filter($"stage" === stage && $"status" === "complete")
@@ -580,7 +601,7 @@ object IndexBuilder {
     // presence. Fresh grouped/sorted/aggregator/salted keep two tables.
     val combinedLayout =
       if (fresh) cfg.salts <= 1 && cfg.strategy == "bychunk"
-      else !new java.io.File(docsDir(outDir)).exists()
+      else !pathExists(spark, docsDir(outDir))
     if (combinedLayout) {
       // combined single-pass flow: ONE job generates, tokenizes,
       // shuffles, and writes both tables' rows (kind-discriminated) —
@@ -602,14 +623,7 @@ object IndexBuilder {
       // a fresh combined build over a legacy index replaces postingsDir
       // wholesale (static overwrite) but would leave the old two-table
       // docs dir behind — and readDocs dispatches on its presence
-      if (fresh) {
-        val legacyDocs = new java.io.File(docsDir(outDir))
-        if (legacyDocs.exists()) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(legacyDocs.toPath).iterator().asScala
-            .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
+      if (fresh) deleteTree(spark, docsDir(outDir))
     } else if (singlePass) {
       // single-pass two-table flow (grouped; bychunk resuming a legacy
       // index): the chunk-partitioned build writes straight to the
@@ -749,7 +763,7 @@ object IndexStore {
     // legacy two-table layout keeps its own docs dir; the combined
     // layout stores doc rows (kind = "d") inside the postings table
     val src =
-      if (new java.io.File(IndexBuilder.docsDir(outDir)).exists())
+      if (IndexBuilder.pathExists(spark, IndexBuilder.docsDir(outDir)))
         spark.read.parquet(IndexBuilder.docsDir(outDir))
       else
         spark.read.parquet(IndexBuilder.postingsDir(outDir))

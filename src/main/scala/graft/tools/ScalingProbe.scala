@@ -67,11 +67,7 @@ object ScalingProbe {
     s
   }
 
-  private def stealSec(): Double = try {
-    scala.io.Source.fromFile("/proc/stat").getLines()
-      .find(_.startsWith("cpu "))
-      .map(_.trim.split("\\s+")(8).toDouble / 100.0).getOrElse(-1.0)
-  } catch { case _: Throwable => -1.0 }
+  private def stealSec(): Double = graft.util.Host.stealSec()
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -92,11 +88,7 @@ object ScalingProbe {
     }
 
     case class T(wall: Double, steal: Double, gc: Double, cpu: Double)
-    def rmTree(dir: String): Unit = try {
-      val root = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: Throwable => () }
+    def rmTree(dir: String): Unit = graft.util.Host.rmTree(dir)
 
     def buildIn(spark: SparkSession, tag: String): T = {
       val src = graft.Bench.replicated(spark, sfDir, factor)

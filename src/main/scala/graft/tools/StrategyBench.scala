@@ -8,11 +8,7 @@ import graft.index.IndexBuilder
   * (runMain graft.tools.StrategyBench [sfDir] [factor] [rounds]).
   */
 object StrategyBench {
-  private def stealSec(): Double = try {
-    scala.io.Source.fromFile("/proc/stat").getLines()
-      .find(_.startsWith("cpu "))
-      .map(_.trim.split("\\s+")(8).toDouble / 100.0).getOrElse(-1.0)
-  } catch { case _: Throwable => -1.0 }
+  private def stealSec(): Double = graft.util.Host.stealSec()
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -33,12 +29,7 @@ object StrategyBench {
       s.sparkContext.setLogLevel("WARN")
       s
     }
-    def rmTree(dir: String): Unit = try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: Throwable => () }
+    def rmTree(dir: String): Unit = graft.util.Host.rmTree(dir)
 
     def once(cores: Int, strategy: String): (Double, Double) = {
       val spark = session(cores)

@@ -114,4 +114,24 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(cands < 20L * 19 / 2, s"prefix filter pruned nothing: $cands candidates")
     assert(cands >= brute.size, "candidates must cover all qualifying pairs")
   }
+
+  test("prefix bound survives FP-poisoned ceil (0.07*100 = 7.000000000000001)") {
+    import spark.implicits._
+    // doubles represent some t*sz a hair ABOVE the true product; a naive
+    // ceil then shortens the prefix below the AllPairs completeness bound
+    // (sz - ceil(t*sz) + 1 = 93 instead of 94 here) and drops qualifying
+    // pairs. prefixBound's epsilon restores the true ceiling; exact and
+    // non-integer products must be unaffected.
+    assert(math.ceil(0.07 * 100) == 8.0, "FP premise changed?") // the poison
+    val cases = Seq(
+      (100L, 0.07, 94L), // poisoned exact-integer product: true ceil is 7
+      (100L, 0.70, 31L), // exact-in-binary threshold, integer product
+      (10L, 0.07, 10L),  // non-integer product 0.7 -> ceil 1
+      (7L, 0.50, 4L))    // non-integer product 3.5 -> ceil 4
+    for ((sz, t, want) <- cases) {
+      val got = spark.range(1)
+        .select(Dedup.prefixBound(lit(sz), t).cast("long")).as[Long].head()
+      assert(got == want, s"prefixBound($sz, $t) = $got, want $want")
+    }
+  }
 }
