@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Similarity, TextAnalysis}
+import graft.analysis.{AnnStore, Dedup, Similarity, TextAnalysis}
 import graft.corpus.Corpus
 import graft.index.{IndexBuilder, IndexStore}
 
@@ -86,6 +86,16 @@ object PlanAudit {
       // combine); no Window operator anywhere
       TextAnalysis.repetition(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
+
+    section("exact set-similarity join: prefix filter BEFORE the self-join") {
+      // the rank+size windows share ONE doc_id-keyed exchange (never a
+      // global order), the df aggregate shows partial/final HashAggregate
+      // pairs, and the rnk <= sz - ceil(...) + 1 Filter sits UNDER the
+      // self-join — only prefix rows enter the candidate join (AQE picks
+      // broadcast at audit scale; same filter-below-join shape either way)
+      Dedup.prefixCandidatePairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 0.7)
     }
 
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
