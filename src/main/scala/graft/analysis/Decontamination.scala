@@ -36,18 +36,31 @@ object Decontamination {
   /** Contamination accounting: (doc_id, n_hits) for every document
     * containing at least one probe gram; n_hits counts DISTINCT probe
     * grams present (a doc repeating one leaked gram scores 1).
+    *
+    * `broadcastProbes = false` is the corpus-vs-corpus escape hatch for
+    * probe sets too large to broadcast (decontaminating against another
+    * training corpus rather than a benchmark): the same equi-join runs
+    * as a shuffle join — the corpus side pays its one wide exchange by
+    * gram. The probe side is distinct (one row per gram) so any hot key
+    * comes from corpus-side df skew (stopword grams), which AQE's
+    * skew-join splitting absorbs; results are identical by construction
+    * (spec-pinned).
     */
-  def hits(docs: DataFrame, probes: DataFrame, n: Int): DataFrame =
+  def hits(docs: DataFrame, probes: DataFrame, n: Int,
+           broadcastProbes: Boolean = true): DataFrame = {
+    val p = probes.select(col("gram")).distinct()
     TextAnalysis.shingles(docs, n)
-      .join(broadcast(probes.select(col("gram")).distinct()),
+      .join(if (broadcastProbes) broadcast(p) else p,
         col("shingle") === col("gram"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("shingle")).as("n_hits"))
+  }
 
   /** The decontaminated corpus: doc_ids with zero probe-gram
     * collisions.
     */
-  def clean(docs: DataFrame, probes: DataFrame, n: Int): DataFrame =
-    docs.join(hits(docs, probes, n), Seq("doc_id"), "left_anti")
+  def clean(docs: DataFrame, probes: DataFrame, n: Int,
+            broadcastProbes: Boolean = true): DataFrame =
+    docs.join(hits(docs, probes, n, broadcastProbes), Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
 }

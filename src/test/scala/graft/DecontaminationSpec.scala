@@ -43,6 +43,31 @@ class DecontaminationSpec extends AnyFunSuite {
     assert(got === Set(2L, 3L))
   }
 
+  test("shuffle-join variant (broadcastProbes=false) is result-identical, no broadcast of probes") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001/documents.parquet"
+    val corpus = spark.read.parquet(sf)
+    val probes = Decontamination.probeGrams(corpus, n = 3)
+    val bc = Decontamination.hits(corpus, probes, 3)
+      .as[(Long, Long)].collect().toMap
+    val sj = Decontamination.hits(corpus, probes, 3, broadcastProbes = false)
+      .as[(Long, Long)].collect().toMap
+    assert(sj === bc, "shuffle-join decontamination diverged from broadcast path")
+    val cleanSj = Decontamination.clean(corpus, probes, 3, broadcastProbes = false)
+      .as[Long].collect().toSet
+    val cleanBc = Decontamination.clean(corpus, probes, 3).as[Long].collect().toSet
+    assert(cleanSj === cleanBc)
+    // plan shape: no broadcast HINT on the probe side (AQE may still pick
+    // a broadcast join at this tiny scale — the point is the API no longer
+    // forces one when the probe set is corpus-sized)
+    val planSj = Decontamination.hits(corpus, probes, 3, broadcastProbes = false)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    val planBc = Decontamination.hits(corpus, probes, 3)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!planSj.contains("strategy=broadcast"), s"unexpected broadcast hint:\n$planSj")
+    assert(planBc.contains("strategy=broadcast"), "premise: default path carries the hint")
+  }
+
   test("a repeated leaked gram counts once (DISTINCT semantics)") {
     import spark.implicits._
     val d = Seq(
