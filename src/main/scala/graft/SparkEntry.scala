@@ -460,6 +460,18 @@ object SparkEntry {
           round($"total_value", 4).as("total_value"))
     }),
 
+    // merge-capable session windows (Spark session_window), batch mode:
+    // must be row-identical to the window-function sessionizer — same
+    // gap-session oracle
+    "q_sessionize_window" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select($"user_id", $"ts".cast("timestamp").as("ts"), $"value")
+      graft.streaming.StreamingIngest.sessionizeSessionWindow(ev, gapSeconds = 1800)
+        .select($"user_id", $"start_ts", $"end_ts", $"n_events",
+          round($"total_value", 4).as("total_value"))
+    }),
+
     // ---- events: the STREAMING sessionizer itself (event-time timeout +
     // watermark) through a bounded deterministic replay with injected
     // late events — accepted ones widen/extend sessions, dropped ones
@@ -1014,6 +1026,24 @@ object SparkEntry {
       // session id = running count of >30min gaps per user; same-second
       // ties are interchangeable (gap 0) so the tie order is immaterial
       "q_sessionize" -> """
+        |WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |            THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |            ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(t) AS start_ts, max(t) AS end_ts,
+        |       count(*) AS n_events, round(sum(value), 4) AS total_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+      // session_window twin: merge-capable sessions over integer seconds
+      // are exactly the gap sessions (see StreamingIngest's gap+1 note),
+      // so the oracle is the same window-function CTE
+      "q_sessionize_window" -> """
         |WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
         |  FROM events),

@@ -115,9 +115,10 @@ object StreamingIngest {
     // and also join the current one — the batch fold would merge the two,
     // while append-mode streaming has irrevocably split them (the emitted
     // end is gone from state, so the bridge is undetectable here). True
-    // merge semantics need merge-capable session windows
-    // (session_window / a compaction pass over the sink), not
-    // flatMapGroupsWithState append. The bound is kept as a sanity rail:
+    // merge semantics need merge-capable session windows —
+    // [[sessionizeSessionWindow]] provides exactly that (spec-pinned on
+    // the bridge case) — not flatMapGroupsWithState append. The bound is
+    // kept as a sanity rail:
     // with lateness > gap even the no-regress property gets hard to
     // reason about, and sessionizeEventTimeReplay's oracle construction
     // depends on it.
@@ -163,6 +164,48 @@ object StreamingIngest {
             closed.result().iterator
           }
       }
+  }
+
+  /** Merge-capable sessionization via Spark's built-in session windows —
+    * the operator that CLOSES the append-mode divergence documented in
+    * [[sessionizeEventTime]]: an accepted late event that lands within
+    * `gap` of two neighboring sessions MERGES them (the session-window
+    * state store keeps every session until the watermark passes its end,
+    * so nothing is irrevocably emitted while a bridge is still
+    * admissible), exactly like the batch fold. flatMapGroupsWithState
+    * append emits a session the moment a later event exceeds the gap and
+    * cannot take it back; session_window's aggregation buffer can.
+    *
+    * Works identically over a BATCH DataFrame (the watermark is a no-op
+    * there) and a streaming one (append mode: a session emits once the
+    * watermark passes its window end).
+    *
+    * One convention reconciles it with the frozen fold semantics
+    * ([[sessionizeBatch]]/[[sessionizeSql]], both spec-pinned equal):
+    * timestamps are floored to whole seconds first (the fold's
+    * `getTime / 1000`). Spark merges session windows on an INCLUSIVE
+    * boundary (a new event at exactly the previous window's end joins
+    * it — verified against a natural delta == gap + 1 split and a
+    * delta == gap merge in the specs), so session_window(gap) merges
+    * iff next - last <= gap: exactly the fold's rule, no gap
+    * adjustment. end_ts converts back from the exclusive window end
+    * (last + gap).
+    */
+  def sessionizeSessionWindow(events: DataFrame, gapSeconds: Long = 1800,
+                              latenessSeconds: Long = 600): DataFrame = {
+    val floored = events.select(
+      col("user_id").cast("long").as("user_id"),
+      to_timestamp(floor(col("ts").cast("timestamp").cast("double"))).as("ts"),
+      col("value").cast("double").as("value"))
+    floored
+      .withWatermark("ts", s"$latenessSeconds seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("w.start").cast("double").cast("long").as("start_ts"),
+        (col("w.end").cast("double").cast("long") - gapSeconds).as("end_ts"),
+        col("n_events"), col("total_value"))
   }
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)

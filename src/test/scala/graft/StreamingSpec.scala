@@ -185,6 +185,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaSql.nonEmpty)
   }
 
+  test("session_window (batch) == sessionizeSql on events parquet") {
+    import spark.implicits._
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_type", $"value")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"start_ts", $"end_ts", $"n_events",
+        round($"total_value", 6).as("tv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaWindow = norm(StreamingIngest.sessionizeSessionWindow(raw, 1800))
+    val viaSql = norm(StreamingIngest.sessionizeSql(raw, 1800))
+    assert(viaWindow === viaSql)
+    assert(viaWindow.nonEmpty)
+
+    // the exact boundary (caught live at sf0.01: a natural 1801 s delta):
+    // Spark merges session windows INCLUSIVELY, so delta == gap must
+    // merge and delta == gap + 1 must split — same as the fold
+    val b = Seq((1L, 10000L, 1.0), (1L, 11800L, 2.0),   // delta 1800: merge
+                (2L, 10000L, 1.0), (2L, 11801L, 2.0))   // delta 1801: split
+      .toDF("user_id", "tsec", "value")
+      .select($"user_id", to_timestamp($"tsec").as("ts"), $"value")
+    val gotB = norm(StreamingIngest.sessionizeSessionWindow(b, 1800))
+    assert(gotB === Seq((1L, 10000L, 11800L, 2L, 3.0),
+      (2L, 10000L, 10000L, 1L, 1.0), (2L, 11801L, 11801L, 1L, 2.0)))
+    assert(gotB === norm(StreamingIngest.sessionizeSql(b, 1800)))
+  }
+
+  test("session_window MERGES the bridge case that append-mode streaming must split") {
+    // The divergence documented in sessionizeEventTime: events at t0 and
+    // t0+2000 close session [t0,t0] inside the fold (gap 1800 exceeded);
+    // a late event at t0+1500 (accepted: above watermark t0+1400) then
+    // bridges it to the current session. flatMapGroupsWithState has
+    // already emitted [t0,t0] and can only split; session_window still
+    // holds both sessions in state (watermark t0+1400 < first window's
+    // end t0+1801) and must emit the ONE merged session the batch fold
+    // produces over {t0, t0+1500, t0+2000}.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 10000L
+    def ev(t: Long, v: Double) =
+      StreamingIngest.Event(1L, new java.sql.Timestamp(t * 1000), "click", v)
+
+    def run(name: String, mk: org.apache.spark.sql.Dataset[StreamingIngest.Event] =>
+        org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, Double)] = {
+      val input = MemoryStream[StreamingIngest.Event]
+      val q = mk(input.toDS()).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(ev(t0, 1.0)); q.processAllAvailable()
+        input.addData(ev(t0 + 2000, 2.0)); q.processAllAvailable() // wm -> t0+1400
+        input.addData(ev(t0 + 1500, 4.0)); q.processAllAvailable() // accepted late bridge
+        // clock ticks push the watermark past every window/timeout
+        input.addData(StreamingIngest.Event(99L, new java.sql.Timestamp((t0 + 100000) * 1000), "c", 0.0))
+        q.processAllAvailable()
+        input.addData(StreamingIngest.Event(99L, new java.sql.Timestamp((t0 + 100001) * 1000), "c", 0.0))
+        q.processAllAvailable()
+        spark.sql(s"SELECT user_id, start_ts, end_ts, n_events, total_value FROM $name")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+          .filter(_._1 == 1L).sortBy(t => (t._1, t._2)).toSeq
+      } finally q.stop()
+    }
+
+    val merged = run("swbridge",
+      ds => StreamingIngest.sessionizeSessionWindow(ds.toDF(), 1800, 600))
+    assert(merged === Seq((1L, t0, t0 + 2000, 3L, 7.0)),
+      s"session_window failed to merge the bridge: $merged")
+
+    val split = run("fmgbridge",
+      ds => StreamingIngest.sessionizeEventTime(ds, 1800, 600).toDF())
+    assert(split === Seq((1L, t0, t0, 1L, 1.0), (1L, t0 + 1500, t0 + 2000, 2L, 6.0)),
+      s"premise changed: append-mode path no longer splits the bridge: $split")
+
+    // and the batch fold agrees with session_window, not the split
+    val fold = StreamingIngest.sessionizeBatch(
+      Seq(ev(t0, 1.0), ev(t0 + 2000, 2.0), ev(t0 + 1500, 4.0)).toDS(), 1800)
+      .collect().map(s => (s.user_id, s.start_ts, s.end_ts, s.n_events, s.total_value)).toSeq
+    assert(fold === Seq((1L, t0, t0 + 2000, 3L, 7.0)))
+  }
+
   test("streaming windowed aggregation over events parquet (memory sink)") {
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val srcDir = SparkTestBase.tempDir("stream-ev")
