@@ -425,6 +425,18 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextAnalysis.quality(docsDf(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docsDf(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docsDf(s, dir))),
+    // PII scrub: the synthetic corpus carries no natural PII (checked),
+    // so the wiring plants one deterministic email/IP/long-number per doc
+    // (derived from doc_id; the oracle re-derives the same suffix) —
+    // the redactor must strip exactly those plus anything natural
+    "q_redact_pii" -> ((s, dir) => {
+      import s.implicits._
+      val planted = docsDf(s, dir).select($"doc_id", concat($"text",
+        lit(" contact user"), $"doc_id", lit("@example.com via 10.0."),
+        $"doc_id" % 256, lit("."), ($"doc_id" / 256).cast("long") % 256,
+        lit(" acct "), lit(7700000000L) + $"doc_id").as("text"))
+      TextAnalysis.redactPii(planted)
+    }),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docsDf(s, dir))),
     // data mixing: downsample en, keep most of the rest (permille rates)
     "q_sample_stratified" -> ((s, dir) =>
@@ -968,6 +980,36 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN (SELECT doc_id, min(md5(shingle)) AS fp FROM sh GROUP BY 1) f
         |  USING (doc_id)""".stripMargin),
+
+      // PII scrub twin: same planted suffix, same three patterns in the
+      // same order, counts per stage (each pattern counted on the text
+      // as the previous replacement left it)
+      "q_redact_pii" -> """
+        |WITH planted AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@example.com via 10.0.'
+        |              || (doc_id % 256) || '.' || ((doc_id // 256) % 256)
+        |              || ' acct ' || (7700000000 + doc_id) AS text
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, text AS t0,
+        |         regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g') AS t1
+        |  FROM planted),
+        |r2 AS (
+        |  SELECT *, regexp_replace(t1,
+        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM r1)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t0,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(t1,
+        |            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |       CAST(len(regexp_extract_all(t2, '\b\d{10,}\b')) AS BIGINT) AS n_nums,
+        |       regexp_replace(t2, '\b\d{10,}\b', '<NUM>', 'g') AS clean_text
+        |FROM r2""".stripMargin,
 
       "q_repetition" -> (duckToks + duckShingles + """
         |, per AS (

@@ -144,6 +144,34 @@ object TextAnalysis {
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("fp"), md5(lit(""))).as("fingerprint"))
 
+  /** PII redaction — the C4/Dolma-style scrub every public-web training
+    * corpus runs: emails, IPv4 addresses, and long digit runs (account/
+    * phone-shaped, >= 10 digits) are replaced with typed placeholder
+    * tags, in that fixed order (an address or id inside an email dies
+    * with the email; the later patterns never see it). Counts are per
+    * STAGE — each pattern is counted on the text as the previous stage
+    * left it — so the three columns sum exactly to the tags present in
+    * clean_text. One codegen'd projection over the scan (zero shuffles);
+    * the patterns avoid constructs whose semantics differ between Java
+    * regex and RE2 so the DuckDB oracle replays them verbatim.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, PiiEmail, "<EMAIL>")
+    val t2 = regexp_replace(t1, PiiIpv4, "<IP>")
+    val t3 = regexp_replace(t2, PiiLongNum, "<NUM>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t0, lit(PiiEmail), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t1, lit(PiiIpv4), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t2, lit(PiiLongNum), lit(0))).cast("long").as("n_nums"),
+      t3.as("clean_text"))
+  }
+
+  /** The shared Java/RE2 PII patterns (see [[redactPii]]). */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiLongNum = "\\b\\d{10,}\\b"
+
   /** Deterministic hash-based stratified sampling — the data-mixing
     * primitive of a training pipeline (per-language/source sampling
     * weights). A doc is kept iff its hash bucket (0..999) falls below its

@@ -10,6 +10,27 @@ class AnalysisSpec extends AnyFunSuite {
   def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
   def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("redactPii: staged email/IP/long-number scrub with per-stage counts") {
+    import spark.implicits._
+    val fx = Seq(
+      // email whose local part is a 10-digit run and host has digits: the
+      // digits die WITH the email (stage order), so n_nums stays 0
+      (1L, "mail 1234567890@host99.example.com then ip 10.20.30.40 acct 98765432109 done"),
+      // two emails, two ips, no long number (9 digits is below threshold)
+      (2L, "a@b.co c.d@e-f.org 1.2.3.4 255.255.255.255 num 123456789"),
+      // nothing to redact
+      (3L, "plain text only"),
+      // digit run glued to letters has no word boundary -> kept
+      (4L, "id12345678901x and bare 12345678901"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(fx).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) === ((1L, 1L, 1L, "mail <EMAIL> then ip <IP> acct <NUM> done")))
+    assert(got(2L) === ((2L, 2L, 0L, "<EMAIL> <EMAIL> <IP> <IP> num 123456789")))
+    assert(got(3L) === ((0L, 0L, 0L, "plain text only")))
+    assert(got(4L) === ((0L, 0L, 1L, "id12345678901x and bare <NUM>")))
+  }
+
   test("multimodal: typed batch extraction with stubbed decoder") {
     val meta = Multimodal.extractMeta(Multimodal.syntheticBinary(docs)).collect()
     assert(meta.length === 500)
