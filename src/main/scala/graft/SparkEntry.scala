@@ -426,15 +426,30 @@ object SparkEntry {
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docsDf(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docsDf(s, dir))),
     // PII scrub: the synthetic corpus carries no natural PII (checked),
-    // so the wiring plants one deterministic email/IP/long-number per doc
-    // (derived from doc_id; the oracle re-derives the same suffix) —
-    // the redactor must strip exactly those plus anything natural
+    // so the wiring plants deterministic PII derived from doc_id (the
+    // oracle re-derives the same suffix). The plantings DISCRIMINATE the
+    // per-stage counting rule, not just the replacements: docs with
+    // doc_id % 3 == 0 get a second email whose local part is a 10-digit
+    // run AND whose host embeds an IP-shaped prefix — if n_ips or n_nums
+    // were (wrongly) counted on the pre-email text, those docs' counts
+    // shift and the row hash breaks; % 5 and % 7 residues vary the
+    // ip/num counts so no column is constant
     "q_redact_pii" -> ((s, dir) => {
       import s.implicits._
-      val planted = docsDf(s, dir).select($"doc_id", concat($"text",
+      val base = concat($"text",
         lit(" contact user"), $"doc_id", lit("@example.com via 10.0."),
         $"doc_id" % 256, lit("."), ($"doc_id" / 256).cast("long") % 256,
-        lit(" acct "), lit(7700000000L) + $"doc_id").as("text"))
+        lit(" acct "), lit(7700000000L) + $"doc_id")
+      val altEmail = when($"doc_id" % 3 === 0,
+        concat(lit(" alt "), lit(8800000000L) + $"doc_id",
+          lit("@10.2."), $"doc_id" % 9, lit(".4.example.org"))).otherwise(lit(""))
+      val altIp = when($"doc_id" % 5 === 0,
+        concat(lit(" ip2 10.1."), $"doc_id" % 256, lit("."), $"doc_id" % 100))
+        .otherwise(lit(""))
+      val altNum = when($"doc_id" % 7 === 0,
+        concat(lit(" ref "), lit(9900000000L) + $"doc_id")).otherwise(lit(""))
+      val planted = docsDf(s, dir).select($"doc_id",
+        concat(base, altEmail, altIp, altNum).as("text"))
       TextAnalysis.redactPii(planted)
     }),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetition(docsDf(s, dir))),
@@ -981,34 +996,42 @@ object SparkEntry {
         |LEFT JOIN (SELECT doc_id, min(md5(shingle)) AS fp FROM sh GROUP BY 1) f
         |  USING (doc_id)""".stripMargin),
 
-      // PII scrub twin: same planted suffix, same three patterns in the
-      // same order, counts per stage (each pattern counted on the text
-      // as the previous replacement left it)
-      "q_redact_pii" -> """
+      // PII scrub twin: same planted suffix (incl. the residue-keyed
+      // discriminators), and the patterns are INTERPOLATED from the same
+      // TextAnalysis.Pii* vals the Spark side compiles — the
+      // verbatim-replay property is structural, not duplicated text
+      "q_redact_pii" -> s"""
         |WITH planted AS (
         |  SELECT doc_id,
         |         text || ' contact user' || doc_id || '@example.com via 10.0.'
         |              || (doc_id % 256) || '.' || ((doc_id // 256) % 256)
-        |              || ' acct ' || (7700000000 + doc_id) AS text
+        |              || ' acct ' || (7700000000 + doc_id)
+        |              || CASE WHEN doc_id % 3 = 0 THEN
+        |                   ' alt ' || (8800000000 + doc_id) || '@10.2.'
+        |                           || (doc_id % 9) || '.4.example.org'
+        |                 ELSE '' END
+        |              || CASE WHEN doc_id % 5 = 0 THEN
+        |                   ' ip2 10.1.' || (doc_id % 256) || '.' || (doc_id % 100)
+        |                 ELSE '' END
+        |              || CASE WHEN doc_id % 7 = 0 THEN
+        |                   ' ref ' || (9900000000 + doc_id)
+        |                 ELSE '' END AS text
         |  FROM documents),
         |r1 AS (
         |  SELECT doc_id, text AS t0,
-        |         regexp_replace(text,
-        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-        |           '<EMAIL>', 'g') AS t1
+        |         regexp_replace(text, '${TextAnalysis.PiiEmail}', '<EMAIL>', 'g') AS t1
         |  FROM planted),
         |r2 AS (
-        |  SELECT *, regexp_replace(t1,
-        |           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  SELECT *, regexp_replace(t1, '${TextAnalysis.PiiIpv4}', '<IP>', 'g') AS t2
         |  FROM r1)
         |SELECT doc_id,
-        |       CAST(len(regexp_extract_all(t0,
-        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |       CAST(len(regexp_extract_all(t0, '${TextAnalysis.PiiEmail}')) AS BIGINT)
         |         AS n_emails,
-        |       CAST(len(regexp_extract_all(t1,
-        |            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |       CAST(len(regexp_extract_all(t2, '\b\d{10,}\b')) AS BIGINT) AS n_nums,
-        |       regexp_replace(t2, '\b\d{10,}\b', '<NUM>', 'g') AS clean_text
+        |       CAST(len(regexp_extract_all(t1, '${TextAnalysis.PiiIpv4}')) AS BIGINT)
+        |         AS n_ips,
+        |       CAST(len(regexp_extract_all(t2, '${TextAnalysis.PiiLongNum}')) AS BIGINT)
+        |         AS n_nums,
+        |       regexp_replace(t2, '${TextAnalysis.PiiLongNum}', '<NUM>', 'g') AS clean_text
         |FROM r2""".stripMargin,
 
       "q_repetition" -> (duckToks + duckShingles + """

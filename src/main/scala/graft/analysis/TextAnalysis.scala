@@ -151,9 +151,18 @@ object TextAnalysis {
     * with the email; the later patterns never see it). Counts are per
     * STAGE — each pattern is counted on the text as the previous stage
     * left it — so the three columns sum exactly to the tags present in
-    * clean_text. One codegen'd projection over the scan (zero shuffles);
-    * the patterns avoid constructs whose semantics differ between Java
-    * regex and RE2 so the DuckDB oracle replays them verbatim.
+    * clean_text. One codegen'd projection over the scan (zero shuffles).
+    *
+    * The patterns avoid constructs whose semantics differ between Java
+    * regex and RE2 so the DuckDB oracle replays them verbatim — in
+    * particular NO `\b`: Java's word boundary is Unicode-aware
+    * (`é1234567890` has no boundary) while RE2's is ASCII-only (it
+    * does), so the two engines would desync on the first non-ASCII
+    * corpus. The scrub is therefore deliberately aggressive: a
+    * qualifying run is redacted wherever it appears, including inside a
+    * larger token (`id12345678901x` -> `id<NUM>x`) — the
+    * privacy-conservative choice. Both engines use leftmost-first match
+    * semantics, so the staged output is identical.
     */
   def redactPii(docs: DataFrame): DataFrame = {
     val t0 = col("text")
@@ -167,10 +176,13 @@ object TextAnalysis {
       t3.as("clean_text"))
   }
 
-  /** The shared Java/RE2 PII patterns (see [[redactPii]]). */
+  /** The shared Java/RE2 PII patterns (see [[redactPii]]); the oracle
+    * SQL interpolates these SAME vals, so the verbatim-replay property
+    * is structural, not duplicated text.
+    */
   val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PiiIpv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PiiLongNum = "\\b\\d{10,}\\b"
+  val PiiIpv4 = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val PiiLongNum = "\\d{10,}"
 
   /** Deterministic hash-based stratified sampling — the data-mixing
     * primitive of a training pipeline (per-language/source sampling

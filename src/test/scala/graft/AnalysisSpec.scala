@@ -20,15 +20,18 @@ class AnalysisSpec extends AnyFunSuite {
       (2L, "a@b.co c.d@e-f.org 1.2.3.4 255.255.255.255 num 123456789"),
       // nothing to redact
       (3L, "plain text only"),
-      // digit run glued to letters has no word boundary -> kept
-      (4L, "id12345678901x and bare 12345678901"))
+      // aggressive boundary-free scrub: digit runs inside tokens are
+      // redacted too, and non-ASCII adjacency behaves the same in Java
+      // and RE2 BECAUSE no \b is used (Java's \b is Unicode-aware,
+      // RE2's is ASCII-only — the one construct this operator bans)
+      (4L, "id12345678901x bare 12345678901 unicode é98765432100"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.redactPii(fx).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
     assert(got(1L) === ((1L, 1L, 1L, "mail <EMAIL> then ip <IP> acct <NUM> done")))
     assert(got(2L) === ((2L, 2L, 0L, "<EMAIL> <EMAIL> <IP> <IP> num 123456789")))
     assert(got(3L) === ((0L, 0L, 0L, "plain text only")))
-    assert(got(4L) === ((0L, 0L, 1L, "id12345678901x and bare <NUM>")))
+    assert(got(4L) === ((0L, 0L, 3L, "id<NUM>x bare <NUM> unicode é<NUM>")))
   }
 
   test("multimodal: typed batch extraction with stubbed decoder") {
