@@ -388,6 +388,9 @@ object SparkEntry {
     // 3-shingle Jaccard >= 0.7, no LSH candidate loss
     "q_dedup_exactjoin" -> ((s, dir) => Dedup.nearDuplicatesExact(docsDf(s, dir), 0.7)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash16(docsDf(s, dir))),
+    // sub-document dedup: every 8-token span appearing in >= 2 docs is
+    // scrubbed from all of them (C4-style duplicated-span removal)
+    "q_dedup_spans" -> ((s, dir) => Dedup.removeDuplicatedSpans(docsDf(s, dir))),
     // threshold 0.35: the synthetic embeddings top out at cosine ~0.51,
     // so a production-style 0.95 would make the check vacuous
     "q_embed_neardup" -> ((s, dir) =>
@@ -891,6 +894,37 @@ object SparkEntry {
         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
         |JOIN szs sa ON sa.doc_id = p.doc_a
         |JOIN szs sb ON sb.doc_id = p.doc_b""".stripMargin),
+
+      // duplicated-span removal twin: 8-gram slices over the lowered
+      // kept-token array (same construction as Spark's shingles(n=8)),
+      // cross-doc dup set, covered positions, indexed-lambda rebuild
+      // (zi is 1-based like Spark's i+1); empty rebuilds hash md5('')
+      "q_dedup_spans" -> """
+        |WITH d AS (
+        |  SELECT doc_id,
+        |         list_transform(list_filter(string_split_regex(text, '\s+'),
+        |           x -> regexp_matches(x, '^[A-Za-z]+$') AND length(x) < 20),
+        |           zz -> lower(zz)) AS kt
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         array_to_string(kt[i:i+7], ' ') AS shingle
+        |  FROM d, UNNEST(range(1, greatest(len(kt) - 6, 1))) u(i)),
+        |dup AS (
+        |  SELECT shingle FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT s.doc_id, s.pos + x.j AS p
+        |  FROM sh s JOIN dup USING (shingle), UNNEST(range(0, 8)) x(j)),
+        |cl AS (
+        |  SELECT d.doc_id, len(d.kt) AS n0,
+        |         list_filter(d.kt, (zz, zi) ->
+        |           c.ps IS NULL OR NOT list_contains(c.ps, CAST(zi AS BIGINT))) AS clean
+        |  FROM d LEFT JOIN (SELECT doc_id, list(p) AS ps FROM cov GROUP BY 1) c
+        |    USING (doc_id))
+        |SELECT doc_id, CAST(n0 AS BIGINT) AS n_tokens,
+        |       CAST(n0 - len(clean) AS BIGINT) AS n_removed,
+        |       md5(coalesce(array_to_string(clean, ' '), '')) AS clean_sha
+        |FROM cl""".stripMargin,
 
       "q_dedup_simhash" -> (duckToks + """
         |SELECT doc_id,

@@ -135,6 +135,50 @@ object Dedup {
     jaccard(docs, prefixCandidatePairs(docs, threshold))
       .filter(col("jaccard") >= threshold)
 
+  /** Sub-document dedup: C4/RefinedWeb-style duplicated-span REMOVAL.
+    * Any n-token span (8 by default, C4's three-sentence analog) that
+    * appears in >= minDocs distinct documents is scrubbed from every
+    * document containing it: the kept-token positions covered by any
+    * duplicated span are dropped and the document re-joined from the
+    * survivors. Returns (doc_id, n_tokens, n_removed, clean_sha) — the
+    * digest stands in for the rebuilt text so the result is
+    * hash-comparable.
+    *
+    * Shuffle shape, corpus-linear: shingles are the per-row projection
+    * (no window), the df aggregate is one partial-agg shuffle on the
+    * shingle, the join back materializes only rows whose span IS
+    * duplicated (rare by definition), and the covered-position set is
+    * collected per doc — bounded by the doc's own length — then joined
+    * to the doc row for a per-row array rebuild.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, n: Int = 8,
+                            minDocs: Long = 2): DataFrame = {
+    val sh = TextAnalysis.shingles(docs, n)
+    val dup = sh.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("shingle"))
+    val covered = sh.join(dup, Seq("shingle"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("cov"))
+    val kt = transform(TextAnalysis.keptTokens(col("text")), lower(_))
+    val base = docs.select(col("doc_id"), kt.as("kt"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), array().cast("array<long>")))
+    val clean = filter(
+      transform(col("kt"), (t, i) =>
+        when(array_contains(col("cov"), (i + 1).cast("long")), lit(null))
+          .otherwise(t)),
+      _.isNotNull)
+    base.select(col("doc_id"),
+        size(col("kt")).cast("long").as("n_tokens"),
+        clean.as("clean"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("clean"))).as("n_removed"),
+        md5(concat_ws(" ", col("clean"))).as("clean_sha"))
+  }
+
   /** Scale-guarded near-dup: collapse exact-duplicate content FIRST (one
     * hash groupBy), then LSH only the representatives. A mega-cluster of
     * M identical docs (the common web-corpus pathology) otherwise lands in

@@ -115,6 +115,31 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(cands >= brute.size, "candidates must cover all qualifying pairs")
   }
 
+  test("duplicated-span removal: shared 8-gram scrubbed from both docs, unique text kept") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight" // the shared 8-gram
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"$span omega"),
+      (3L, "no shared content here at all kappa lambda mu nu xi"))
+      .toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedSpans(docs, n = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def sha(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    // doc 1: the span sits at positions 3..10; overlapping 8-grams that
+    // include 'alpha beta'/'gamma delta' are unique to doc 1, so exactly
+    // the span's 8 tokens vanish
+    assert(got(1L) === ((12L, 8L, sha("alpha beta gamma delta"))))
+    // doc 2: span + 'omega'; the span covers positions 1..8
+    assert(got(2L) === ((9L, 8L, sha("omega"))))
+    // doc 3: untouched
+    assert(got(3L) === ((11L, 0L, sha("no shared content here at all kappa lambda mu nu xi"))))
+  }
+
   test("prefix bound survives FP-poisoned ceil (0.07*100 = 7.000000000000001)") {
     import spark.implicits._
     // doubles represent some t*sz a hair ABOVE the true product; a naive
