@@ -391,6 +391,9 @@ object SparkEntry {
     // sub-document dedup: every 8-token span appearing in >= 2 docs is
     // scrubbed from all of them (C4-style duplicated-span removal)
     "q_dedup_spans" -> ((s, dir) => Dedup.removeDuplicatedSpans(docsDf(s, dir))),
+    // pairs -> clusters: connected components over the LSH near-dup
+    // pairs (min-label propagation to the fixpoint), keep = min doc_id
+    "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docsDf(s, dir), 0.7)),
     // threshold 0.35: the synthetic embeddings top out at cosine ~0.51,
     // so a production-style 0.95 would make the check vacuous
     "q_embed_neardup" -> ((s, dir) =>
@@ -894,6 +897,49 @@ object SparkEntry {
         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
         |JOIN szs sa ON sa.doc_id = p.doc_a
         |JOIN szs sb ON sb.doc_id = p.doc_b""".stripMargin),
+
+      // clusters twin: the q_dedup_lsh pipeline filtered at 0.7, then a
+      // recursive-CTE transitive closure — component = min reachable id,
+      // the same engine-independent fixpoint the Spark min-label loop
+      // converges to (the WITH needs RECURSIVE for the walk CTE)
+      "q_dedup_clusters" -> (duckToks.replaceFirst("^WITH ", "WITH RECURSIVE ")
+          + duckShingles + duckMinhashSig + """
+        |, bands AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_sig FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |), sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM cand p
+        |  JOIN sets sa ON sa.doc_id = p.doc_a
+        |  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.doc_a, p.doc_b
+        |  FROM cand p
+        |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |  JOIN szs sa ON sa.doc_id = p.doc_a
+        |  JOIN szs sb ON sb.doc_id = p.doc_b
+        |  WHERE round(coalesce(i.i, 0) * 1.0 /
+        |        (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.7
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r)
+        |SELECT id AS doc_id, min(r) AS component,
+        |       CAST(id = min(r) AS BIGINT) AS keep
+        |FROM walk GROUP BY id""".stripMargin),
 
       // duplicated-span removal twin: 8-gram slices over the lowered
       // kept-token array (same construction as Spark's shingles(n=8)),

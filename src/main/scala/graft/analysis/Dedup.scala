@@ -135,6 +135,71 @@ object Dedup {
     jaccard(docs, prefixCandidatePairs(docs, threshold))
       .filter(col("jaccard") >= threshold)
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-duplicate PAIRS into duplicate CLUSTERS (the production
+    * dedup unit: one representative survives per component). Iterative
+    * min-label propagation: every round each node's label becomes the
+    * min of its own and its neighbors' labels, reaching the fixpoint
+    * (label = min reachable id, a value independent of execution order,
+    * partitioning, or engine) in O(component diameter) rounds. Each
+    * round is ONE shuffle (labels joined to the edge list + a min
+    * aggregate); the round's result is persisted, the previous round
+    * unpersisted, and the logical plan CUT at the persisted rows
+    * (createDataFrame over the cached RDD) so neither lineage depth nor
+    * optimizer time grows with the iteration count — the standard
+    * iterative-DataFrame hygiene that lets the loop run to deep
+    * diameters. Convergence = zero changed labels (one count per
+    * round); near-dup clusters are shallow in practice, `maxIter`
+    * merely bounds the pathological chain.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val half = pairs.select(col("doc_a").cast("long").as("src"),
+      col("doc_b").cast("long").as("dst"))
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component")).persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nmin = edges
+        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("component")).as("nmin"))
+      val step = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"),
+          col("component").as("prev"))
+        .persist()
+      changed = step.filter(col("component") =!= col("prev")).count()
+      val next = spark.createDataFrame(
+        step.select(col("id"), col("component")).rdd,
+        labels.schema).persist()
+      next.count()
+      step.unpersist()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-duplicate clusters with a deterministic keep-list: LSH
+    * near-dup pairs at `threshold` -> connected components -> the
+    * representative (min doc_id) of each cluster is kept, the rest are
+    * the dedup victims. Docs in no pair are implicitly their own
+    * singleton cluster and are omitted (nothing to drop).
+    */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.7,
+                    k: Int = 8, bands: Int = 4): DataFrame =
+    connectedComponents(nearDuplicates(docs, threshold, k, bands)
+        .select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("component"),
+        (col("id") === col("component")).cast("long").as("keep"))
+
   /** Sub-document dedup: C4/RefinedWeb-style duplicated-span REMOVAL.
     * Any n-token span (8 by default, C4's three-sentence analog) that
     * appears in >= minDocs distinct documents is scrubbed from every

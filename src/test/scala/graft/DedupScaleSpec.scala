@@ -115,6 +115,22 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(cands >= brute.size, "candidates must cover all qualifying pairs")
   }
 
+  test("connected components: transitivity, disjoint clusters, deep-chain convergence") {
+    import spark.implicits._
+    // chain 1-2-3 (no 1-3 edge: label must propagate transitively),
+    // disjoint pair 10-11, and a 12-node path 100..111 whose diameter
+    // forces ~11 propagation rounds
+    val chain = (100L until 111L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ chain)
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 3L).forall(got(_) == 1L), s"triangle chain broken: $got")
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert((100L to 111L).forall(got(_) == 100L), s"deep chain unconverged: $got")
+    assert(got.size === 3 + 2 + 12)
+  }
+
   test("duplicated-span removal: shared 8-gram scrubbed from both docs, unique text kept") {
     import spark.implicits._
     val span = "one two three four five six seven eight" // the shared 8-gram
