@@ -104,13 +104,17 @@ object Bench {
   private def stealSec(): Double = graft.util.Host.stealSec()
 
   /** A trial is CLEAN when the steal it absorbed could have inflated its
-    * wall time by at most ~5%: steal <= 0.05 * busyCores * wall (+1 s
+    * wall time by at most ~5%: steal <= 0.05 * busyCores * wall (+ a
     * floor for counter noise). A c-core job that loses S cpu-seconds to
     * the host runs ~ (c*t)/(c*t - S) slower, so this bound caps the
-    * distortion of any number derived from the trial.
+    * distortion of any number derived from the trial. The floor is
+    * sized to the measurement: 1 s for multi-minute build trials, but
+    * sub-second query windows pass 0.1 s (10 /proc/stat ticks) — a 1 s
+    * floor would let ~100%-inflated query windows through as "clean".
     */
-  private def isClean(stealDelta: Double, cores: Int, wallSec: Double): Boolean =
-    stealDelta >= 0 && stealDelta <= math.max(1.0, 0.05 * cores * wallSec)
+  private def isClean(stealDelta: Double, cores: Int, wallSec: Double,
+                      floorSec: Double = 1.0): Boolean =
+    stealDelta >= 0 && stealDelta <= math.max(floorSec, 0.05 * cores * wallSec)
 
   /** Steal storms on this host are bursty over minutes and strike even
     * an IDLE guest. Sampling steal while idle is therefore a free
@@ -138,7 +142,8 @@ object Bench {
   private[graft] case class Trial(sec: Double, steal: Double, clean: Boolean, out: String)
 
   private[graft] def buildOnce(cores: Int, sfDir: String, factor: Int,
-                               chunkDocs: Long): (Trial, Long) = {
+                               chunkDocs: Long,
+                               baseDocs: Long = -1L): (Trial, Long) = {
     val spark = session(cores, forBuild = true)
     val src = replicated(spark, sfDir, factor)
     // index output on tmpfs for the same reason as spark.local.dir: the
@@ -146,9 +151,11 @@ object Bench {
     // with the cluster, unlike this VM's single disk
     val out = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), s"graft_bench_$cores").toString
-    // file count = base docs x factor; derived from the (tiny) base table
-    // instead of a count() job over the replicated corpus
-    val files = spark.read.parquet(s"$sfDir/documents.parquet").count() * factor
+    // file count = base docs x factor; the base count is constant across
+    // trials, so callers pass the warmup's measurement instead of paying
+    // a count() job per trial
+    val files = (if (baseDocs >= 0) baseDocs
+                 else spark.read.parquet(s"$sfDir/documents.parquet").count()) * factor
     val strategy = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRATEGY", "bychunk")
     val s0 = stealSec()
     val (_, dt) = timed {
@@ -162,7 +169,6 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // This sandbox VM shows heavy, bursty CPU steal under full load
     // (cumulative steal > user in /proc/stat), so the scaling pair stays
     // under-subscribed (N=2 vs 8 of the 32 advertised cores) and each
@@ -206,7 +212,10 @@ object Bench {
 
     // --- build throughput at N and 4N cores (same input, same job) ---
     waitForQuiet(maxWaitSec = 300, label = "pre-flight")
-    val warmupOut = buildOnce(large, sfDir, 1, chunkDocs)._1.out // JIT/classload warmup, untimed
+    // JIT/classload warmup, untimed; factor 1 means its files count IS
+    // the base-doc count every later trial derives `files` from
+    val (warmupTrial, baseDocs) = buildOnce(large, sfDir, 1, chunkDocs)
+    val warmupOut = warmupTrial.out
     var files = 0L
     val trialsS = scala.collection.mutable.ArrayBuffer.empty[Trial]
     val trialsL = scala.collection.mutable.ArrayBuffer.empty[Trial]
@@ -227,14 +236,14 @@ object Bench {
       }
       if ((base && round <= trialsSmall) ||
           (!base && cleanCount(trialsS.toSeq) < needClean)) {
-        val (t, f) = buildOnce(small, sfDir, factor, chunkDocs)
+        val (t, f) = buildOnce(small, sfDir, factor, chunkDocs, baseDocs)
         files = f
         trialsS += t
         rmTree(t.out) // timing only; the query index is built separately
       }
       if ((base && round <= trialsLarge) ||
           (!base && cleanCount(trialsL.toSeq) < needClean)) {
-        val (t, f) = buildOnce(large, sfDir, factor, chunkDocs)
+        val (t, f) = buildOnce(large, sfDir, factor, chunkDocs, baseDocs)
         files = f
         trialsL += t
         rmTree(t.out)
@@ -245,6 +254,8 @@ object Bench {
     // clean trial (perpetually noisy host), fall back to min-of-all and
     // say so in the JSON (clean_pairing=false)
     def best(ts: Seq[Trial]): (Trial, Boolean) = {
+      require(ts.nonEmpty,
+        "no build trials ran — SPARK_GRAFT_BENCH_TRIALS_N/_4N must be >= 1")
       val clean = ts.filter(_.clean)
       if (clean.nonEmpty) (clean.minBy(_.sec), true) else (ts.minBy(_.sec), false)
     }
@@ -285,6 +296,10 @@ object Bench {
     val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
     var queryRetries = 0
     var dirtyWindows = 0
+    // sub-second windows use the 0.1 s noise floor: the 1 s build floor
+    // would wave through ~100%-inflated query samples as "clean"
+    def windowClean(w: (Seq[Double], Double)): Boolean =
+      isClean(w._2, large, w._1.sum, floorSec = 0.1)
     def cleanWindow(run: () => Double): Seq[Double] = {
       def window(): (Seq[Double], Double) = {
         val s0 = stealSec()
@@ -294,17 +309,21 @@ object Bench {
       }
       var bestW = window()
       var attempt = 1
-      while (attempt < 4 && !isClean(bestW._2, large, bestW._1.sum)) {
+      while (attempt < 4 && !windowClean(bestW)) {
         queryRetries += 1
         if (quietBudget > 0) {
           quietBudget -= waitForQuiet(math.min(45, quietBudget).toInt,
             "query window retry")
         }
         val next = window()
-        if (next._2 >= 0 && (bestW._2 < 0 || next._2 < bestW._2)) bestW = next
+        // acceptance is windowClean, so selection must prefer a CLEAN
+        // retry outright — raw min-steal can favor a dirtier-but-shorter
+        // window (clean is relative to the window's wall time)
+        if (windowClean(next) ||
+            (next._2 >= 0 && (bestW._2 < 0 || next._2 < bestW._2))) bestW = next
         attempt += 1
       }
-      if (!isClean(bestW._2, large, bestW._1.sum)) dirtyWindows += 1
+      if (!windowClean(bestW)) dirtyWindows += 1
       bestW._1
     }
     refQueries.foreach { q => engine.search(q) } // warmup
@@ -324,6 +343,8 @@ object Bench {
     val p50 = pct(0.50)
     val p99 = pct(0.99)
     spark.stop()
+    rmTree(outLarge) // /dev/shm is RAM: leaking a 500k-doc index per run
+                     // would eventually starve later builds' shuffle space
 
     perQuery("build_files_per_sec") = math.rint(thrLarge * 100) / 100
     perQuery("query_p50_sec") = math.rint(p50 * 10000) / 10000

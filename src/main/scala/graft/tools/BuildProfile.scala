@@ -18,10 +18,14 @@ object BuildProfile {
     val localDir = s"/dev/shm/graft-profile-$cores"
     new java.io.File(localDir).mkdirs()
     val spark = SparkSession.builder().master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", (cores * 4).toString)
+      .config("spark.sql.shuffle.partitions", (cores * 16).toString)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // bench-session parity: task-side commit (v2) — the v1 driver-side
+      // rename loop is a serial term the FULL build above never pays
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -68,10 +72,14 @@ object BuildProfile {
       IndexBuilder.build(spark, src, out, cfg)
     }
 
-    // phase decomposition of the grouped flow (mirrors build() exactly)
+    // phase decomposition of the grouped flow (mirrors build() exactly:
+    // a FRESH build commits task-side under STATIC overwrite — dynamic
+    // overwrite's driver-side per-partition rename loop is a resume-only
+    // cost the full build above never pays, so timing the phases under it
+    // would misattribute the throughput budget)
     val out2 = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get("/dev/shm"), "graft_profile2").toString
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     time("phase: postings encode+write") {
       IndexBuilder.buildPostingsGrouped(IndexBuilder.tokenGroups(src, cfg))
         .write.mode("overwrite").partitionBy("chunk")

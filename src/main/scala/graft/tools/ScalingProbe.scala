@@ -29,16 +29,20 @@ object ScalingProbe {
     new java.io.File(localDir).mkdirs()
     val master =
       if (mode == "cluster") s"local-cluster[$n,1,4096]" else s"local[$n]"
-    // A/B knobs for scaling experiments (defaults match graft.Bench):
+    // A/B knobs for scaling experiments. Defaults MATCH graft.Bench's
+    // BUILD sessions (cores*16 shuffle partitions, AQE coalescing off —
+    // the CLAUDE.md bench invariant), so a default probe run measures
+    // the same configuration the bench records; override the knobs to
+    // A/B against alternatives.
     //  SPARK_GRAFT_PROBE_SHUFFLE_MULT — shuffle partitions = n * mult
     //  SPARK_GRAFT_PROBE_COALESCE    — AQE partition coalescing on/off
-    val shuffleMult = sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUFFLE_MULT", "4").toInt
+    val shuffleMult = sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUFFLE_MULT", "16").toInt
     val b = SparkSession.builder()
       .master(master)
       .appName(s"graft-probe-$n")
       .config("spark.sql.shuffle.partitions", math.max(n * shuffleMult, 8).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_PROBE_COALESCE", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_COALESCE", "false"))
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -99,7 +103,9 @@ object ScalingProbe {
       IndexBuilder.build(spark, src, out,
         IndexBuilder.BuildConfig(chunkDocs = chunkDocs, strategy = "bychunk"))
       val wall = (System.nanoTime() - t0) / 1e9
-      val t = T(wall, stealSec() - s0, (gcMillis() - g0) / 1000.0, procCpuSec() - c0)
+      // -1 sentinel (unreadable /proc/stat) must not leak a garbage delta
+      val sd = { val s1 = stealSec(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
+      val t = T(wall, sd, (gcMillis() - g0) / 1000.0, procCpuSec() - c0)
       rmTree(out)
       t
     }

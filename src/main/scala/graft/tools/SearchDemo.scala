@@ -22,14 +22,25 @@ object SearchDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val chunkDocs = sys.env.getOrElse("SPARK_GRAFT_CHUNK_DOCS", "200").toLong
+    val envChunkDocs = sys.env.getOrElse("SPARK_GRAFT_CHUNK_DOCS", "200").toLong
     if (!new java.io.File(s"$indexDir/postings").exists()) {
       val src = Corpus.fromDocumentsParquet(spark, sfDir)
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, src, indexDir,
-        IndexBuilder.BuildConfig(chunkDocs = chunkDocs))
+        IndexBuilder.BuildConfig(chunkDocs = envChunkDocs))
       println(f"[build] ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // the engine must score with the chunkDocs the INDEX was built with
+    // (avgdl = totalPosts / chunkDocs): the stats table persists it, so a
+    // pre-existing index built with a different value is scored correctly
+    // without any env coordination; only legacy stats (sentinel -1 /
+    // missing) fall back to the env default
+    val chunkDocs = try {
+      val c = graft.index.IndexStore.readStats(spark, indexDir)
+        .toDF().agg(org.apache.spark.sql.functions.max("chunkDocs"))
+        .head().getLong(0)
+      if (c > 0) c else envChunkDocs
+    } catch { case _: Throwable => envChunkDocs }
     // "bm25:" prefix routes to the BM25/WAND engine; "bm25and:" to the
     // conjunctive leapfrog path
     if (query.startsWith("debug:")) {

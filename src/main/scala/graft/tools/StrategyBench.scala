@@ -41,7 +41,8 @@ object StrategyBench {
       IndexBuilder.build(spark, src, out,
         IndexBuilder.BuildConfig(chunkDocs = 30000, strategy = strategy))
       val dt = (System.nanoTime() - t0) / 1e9
-      val sd = stealSec() - s0
+      // -1 sentinel (unreadable /proc/stat) must not leak a garbage delta
+      val sd = { val s1 = stealSec(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
       spark.stop()
       rmTree(out)
       (dt, sd)
