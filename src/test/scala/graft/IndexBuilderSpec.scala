@@ -189,6 +189,39 @@ class IndexBuilderSpec extends AnyFunSuite {
     assert(lineage === blobSums)
   }
 
+  test("layout dispatch through the Hadoop FileSystem: scheme-qualified URIs resume correctly") {
+    import spark.implicits._
+    // the probes that decide combined-vs-legacy layout and resume state
+    // must go through the path's OWN FileSystem: a java.io.File probe
+    // reports every scheme-qualified URI as missing, which here would
+    // misread a legacy two-table index as combined and corrupt it on
+    // resume (review finding; file: URIs are the sandbox stand-in for
+    // hdfs:// or s3a://)
+    val out = "file:" + SparkTestBase.tempDir("graft-uri")
+    val docs = Corpus.synthetic(spark, 2, 20, seed = 23)
+    val ids = Corpus.assignDocIds(spark, docs).cache()
+    val cfg = BuildConfig(chunkDocs = 10, strategy = "grouped") // legacy two-table
+    IndexBuilder.build(spark, ids.filter(_.docId < 20), out, cfg)
+    assert(IndexBuilder.completedChunks(spark, out, "postings") === Set(0L, 1L))
+    // resume over the URI: must detect the LEGACY layout (docs dir exists
+    // through the FS, invisible to java.io.File) and extend it, not write
+    // combined union-schema rows into the postings table
+    val built = IndexBuilder.build(spark, ids, out, cfg)
+    assert(built === Set(2L, 3L))
+    val raw = spark.read.parquet(IndexBuilder.postingsDir(out))
+    assert(!raw.columns.contains("kind"),
+      "resume misdispatched to the combined layout over a file: URI")
+    // readers resolve the URI too and the index equals a local build
+    val out2 = SparkTestBase.tempDir("graft-uri2")
+    IndexBuilder.build(spark, ids, out2, cfg)
+    def canonP(dir: String) = IndexStore.readPostings(spark, dir).collect()
+      .map(p => ((p.chunk, p.term), (p.df, p.tf, p.postingsBlob.toSeq))).toMap
+    def canonD(dir: String) = IndexStore.readDocs(spark, dir).collect()
+      .map(d => (d.docId, d)).toMap
+    assert(canonP(out) === canonP(out2))
+    assert(canonD(out) === canonD(out2))
+  }
+
   test("cross-strategy resume onto a combined index keeps the layout homogeneous") {
     import spark.implicits._
     val out = SparkTestBase.tempDir("graft-combined-resume")
