@@ -78,6 +78,38 @@ object SparkEntry {
       |  FROM d2),
       |asg AS (SELECT vec_id, cid AS cluster, dist2 FROM best WHERE rn = 1)""".stripMargin
 
+  /** Gap sessions over the events table UNION the streaming replays'
+    * deterministically re-derived ACCEPTED injections (G = max
+    * floor-second, L = 600: users with last event <= G - L get one event
+    * at G - L + 1 + user_id % 60); the DROPPED injections (at G - 12L,
+    * below the watermark) are simply absent from both sides. Shared by
+    * q_sessionize_event_time and q_sessionize_window_stream — the two
+    * streaming sessionizers replay the same feed and must agree with
+    * the same batch fold.
+    */
+  private val duckReplaySessions =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
+      |  FROM events),
+      |g AS (SELECT max(t) AS gm FROM e),
+      |lastu AS (SELECT user_id, max(t) AS lu FROM e GROUP BY 1),
+      |inj AS (
+      |  SELECT l.user_id, g.gm - 600 + 1 + l.user_id % 60 AS t, 0.0 AS value
+      |  FROM lastu l CROSS JOIN g WHERE l.lu <= g.gm - 600),
+      |allev AS (
+      |  SELECT user_id, t, value FROM e
+      |  UNION ALL SELECT user_id, t, value FROM inj),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+      |            THEN 1 ELSE 0 END AS brk
+      |  FROM allev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |sess AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+      |            ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      |SELECT user_id, min(t) AS start_ts, max(t) AS end_ts,
+      |       count(*) AS n_events, round(sum(value), 4) AS total_value
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   private def duckMinhashSig: String = {
     val hs = (0 until 8).map(i => s"min(md5('$i' || '|' || shingle)) AS h$i").mkString(", ")
     s", sig AS (SELECT doc_id, $hs FROM sh GROUP BY doc_id)"
@@ -513,6 +545,19 @@ object SparkEntry {
       val ev = s.read.parquet(s"$dir/events.parquet")
       graft.streaming.StreamingIngest
         .sessionizeEventTimeReplay(s, ev, gapSeconds = 1800, latenessSeconds = 600)
+        .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
+          round(col("total_value"), 4).as("total_value"))
+    }),
+
+    // the merge-capable session-window path through the SAME streaming
+    // replay (same injections, same oracle): with session windows the
+    // emitted sessions equal the batch fold over on-time + accepted by
+    // construction, so the two streaming sessionizers are driver-checked
+    // against one SQL truth
+    "q_sessionize_window_stream" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.streaming.StreamingIngest
+        .sessionizeSessionWindowReplay(s, ev, gapSeconds = 1800, latenessSeconds = 600)
         .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
           round(col("total_value"), 4).as("total_value"))
     }),
@@ -1209,28 +1254,11 @@ object SparkEntry {
       // users with last event <= G - L get one event at
       // G - L + 1 + user_id % 60); the DROPPED injections (at G - 12L,
       // below the watermark) are simply absent from both sides
-      "q_sessionize_event_time" -> """
-        |WITH e AS (
-        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, value
-        |  FROM events),
-        |g AS (SELECT max(t) AS gm FROM e),
-        |lastu AS (SELECT user_id, max(t) AS lu FROM e GROUP BY 1),
-        |inj AS (
-        |  SELECT l.user_id, g.gm - 600 + 1 + l.user_id % 60 AS t, 0.0 AS value
-        |  FROM lastu l CROSS JOIN g WHERE l.lu <= g.gm - 600),
-        |allev AS (
-        |  SELECT user_id, t, value FROM e
-        |  UNION ALL SELECT user_id, t, value FROM inj),
-        |m AS (
-        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
-        |            THEN 1 ELSE 0 END AS brk
-        |  FROM allev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
-        |sess AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
-        |            ROWS UNBOUNDED PRECEDING) AS sid FROM m)
-        |SELECT user_id, min(t) AS start_ts, max(t) AS end_ts,
-        |       count(*) AS n_events, round(sum(value), 4) AS total_value
-        |FROM sess GROUP BY user_id, sid""".stripMargin,
+      "q_sessionize_event_time" -> duckReplaySessions,
+      // the session-window streaming replay feeds the SAME injections,
+      // and merge-capable windows equal the same batch fold — one oracle
+      // checks both streaming sessionizers
+      "q_sessionize_window_stream" -> duckReplaySessions,
 
       // decontamination: 5-grams via the lead-window construction (the
       // proven 3-shingle pattern widened); probe set re-derived in SQL

@@ -210,6 +210,79 @@ object StreamingIngest {
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  private def tsAt(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+  /** The static table normalized to the replay's Event shape. */
+  private def onTimeEvents(spark: SparkSession, events: DataFrame): Seq[Event] = {
+    import spark.implicits._
+    val onTime = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        coalesce(col("event_type"), lit("e")).as("event_type"),
+        col("value").cast("double").as("value"))
+      .as[Event].collect().toSeq
+    require(onTime.nonEmpty, "replay needs a non-empty events table")
+    onTime
+  }
+
+  /** The deterministic injection rule shared by the streaming replays
+    * (and re-derived by their SQL oracles): with G = max floor-second
+    * and L = lateness, every user whose last event is <= G - L gets one
+    * ACCEPTED late event at G - L + 1 + (user_id % 60) — strictly above
+    * the watermark, at/after the user's open tail — and one DROPPED
+    * event at G - 12L, far below it. Returns (G, accepted, dropped).
+    */
+  private def replayInjections(onTime: Seq[Event],
+                               latenessSeconds: Long): (Long, Seq[Event], Seq[Event]) = {
+    def floorSec(e: Event): Long = e.ts.getTime / 1000
+    val g = onTime.map(floorSec).max
+    val lastByUser = onTime.groupBy(_.user_id).view.mapValues(_.map(floorSec).max)
+    val injectedUsers = lastByUser.filter(_._2 <= g - latenessSeconds).keys.toSeq.sorted
+    val accepted = injectedUsers.map(u =>
+      Event(u, tsAt(g - latenessSeconds + 1 + u % 60), "late", 0.0))
+    val dropped = injectedUsers.map(u =>
+      Event(u, tsAt(g - 12 * latenessSeconds), "late", 0.0))
+    (g, accepted, dropped)
+  }
+
+  /** Bounded deterministic replay of [[sessionizeSessionWindow]] in
+    * STREAMING mode — same injection rule (and therefore the same SQL
+    * oracle) as [[sessionizeEventTimeReplay]]. With merge-capable
+    * session windows the emitted sessions equal the batch gap-fold over
+    * on-time ∪ accepted events BY CONSTRUCTION — no bridge caveat: a
+    * late event that would bridge two sessions is merged exactly as the
+    * fold merges it, because nothing is emitted while the watermark
+    * still admits an event that could extend it. Dropped injections sit
+    * far below the watermark and vanish.
+    */
+  def sessionizeSessionWindowReplay(spark: SparkSession, events: DataFrame,
+                                    gapSeconds: Long = 1800,
+                                    latenessSeconds: Long = 600): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val onTime = onTimeEvents(spark, events)
+    val (g, accepted, dropped) = replayInjections(onTime, latenessSeconds)
+    val input = MemoryStream[Event]
+    val qname = s"graft_swreplay_${replaySeq.incrementAndGet()}"
+    val q = sessionizeSessionWindow(input.toDS().toDF(), gapSeconds, latenessSeconds)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(qname).start()
+    try {
+      input.addData(onTime); q.processAllAvailable()
+      input.addData(accepted ++ dropped); q.processAllAvailable()
+      // two clock ticks: the first advances the watermark past every
+      // window's end, the second runs a batch under it so the final
+      // sessions actually emit (MemoryStream behavior pinned in specs)
+      input.addData(Event(-1L, tsAt(g + 100000), "clock", 0.0)); q.processAllAvailable()
+      input.addData(Event(-1L, tsAt(g + 100001), "clock", 0.0)); q.processAllAvailable()
+      val out = spark.table(qname).filter(col("user_id") >= 0L)
+        .collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out), spark.table(qname).schema)
+    } finally q.stop()
+  }
+
   /** Bounded deterministic replay of [[sessionizeEventTime]] over a
     * static events table — the driver-oracle harness for the streaming
     * path. Three micro-batches through a MemoryStream:
@@ -241,22 +314,9 @@ object StreamingIngest {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
-    val onTime = events
-      .select(col("user_id").cast("long").as("user_id"),
-        col("ts").cast("timestamp").as("ts"),
-        coalesce(col("event_type"), lit("e")).as("event_type"),
-        col("value").cast("double").as("value"))
-      .as[Event].collect().toSeq
-    require(onTime.nonEmpty, "sessionizeEventTimeReplay needs a non-empty events table")
-    def floorSec(e: Event): Long = e.ts.getTime / 1000
-    def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
-    val g = onTime.map(floorSec).max
-    val lastByUser = onTime.groupBy(_.user_id).view.mapValues(_.map(floorSec).max)
-    val injectedUsers = lastByUser.filter(_._2 <= g - latenessSeconds).keys.toSeq.sorted
-    val accepted = injectedUsers.map(u =>
-      Event(u, at(g - latenessSeconds + 1 + u % 60), "late", 0.0))
-    val dropped = injectedUsers.map(u =>
-      Event(u, at(g - 12 * latenessSeconds), "late", 0.0))
+    val onTime = onTimeEvents(spark, events)
+    def at(sec: Long) = tsAt(sec)
+    val (g, accepted, dropped) = replayInjections(onTime, latenessSeconds)
 
     val input = MemoryStream[Event]
     val qname = s"graft_evreplay_${replaySeq.incrementAndGet()}"

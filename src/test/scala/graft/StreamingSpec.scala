@@ -212,6 +212,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotB === norm(StreamingIngest.sessionizeSql(b, 1800)))
   }
 
+  test("both streaming replays (flatMapGroups vs session_window) emit identical sessions") {
+    import spark.implicits._
+    // same feed, same injection rule: the append-mode path equals the
+    // fold because the rule places accepted events at/after each user's
+    // tail; the session-window path equals the fold by construction —
+    // so the two streaming sessionizers must agree row-for-row
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"start_ts", $"end_ts", $"n_events",
+        round($"total_value", 4).as("tv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val viaFmg = norm(StreamingIngest.sessionizeEventTimeReplay(spark, ev))
+    val viaSw = norm(StreamingIngest.sessionizeSessionWindowReplay(spark, ev))
+    assert(viaSw === viaFmg)
+    assert(viaSw.nonEmpty)
+  }
+
   test("session_window MERGES the bridge case that append-mode streaming must split") {
     // The divergence documented in sessionizeEventTime: events at t0 and
     // t0+2000 close session [t0,t0] inside the fold (gap 1800 exceeded);
