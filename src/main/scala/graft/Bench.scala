@@ -270,7 +270,7 @@ object Bench {
     val efficiency = thrLarge / ((large.toDouble / small) * thrSmall)
 
     // untimed query-phase index at the frozen baseline corpus scale
-    val outLarge = buildOnce(large, sfDir, queryFactor, chunkDocs)._1.out
+    val outLarge = buildOnce(large, sfDir, queryFactor, chunkDocs, baseDocs)._1.out
 
     // --- query latency on the warm large-core engine ---
     val spark = session(large)

@@ -150,7 +150,15 @@ object Dedup {
     * iterative-DataFrame hygiene that lets the loop run to deep
     * diameters. Convergence = zero changed labels (one count per
     * round); near-dup clusters are shallow in practice, `maxIter`
-    * merely bounds the pathological chain.
+    * merely bounds the pathological chain — and hitting it FAILS LOUDLY
+    * (IllegalStateException) rather than returning silently-wrong
+    * components: an unconverged label is not the min reachable id, so
+    * dedupClusters would keep several representatives of one true
+    * cluster while the SQL oracle computes the exact closure.
+    *
+    * The returned DataFrame is persisted (its rows were materialized by
+    * the convergence check); callers that are finished with it may
+    * `unpersist()` it — recomputation stays correct, just uncached.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
@@ -184,6 +192,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter (rounds needed " +
+          "= the largest component's diameter)")
     labels
   }
 

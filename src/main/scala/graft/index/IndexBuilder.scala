@@ -526,7 +526,7 @@ object IndexBuilder {
     * combined-layout and write union-schema rows into it (the
     * mixed-schema corruption CLAUDE.md warns about).
     */
-  private[index] def pathExists(spark: SparkSession, dir: String): Boolean = {
+  private[graft] def pathExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

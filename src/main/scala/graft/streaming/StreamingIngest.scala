@@ -315,7 +315,6 @@ object StreamingIngest {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val onTime = onTimeEvents(spark, events)
-    def at(sec: Long) = tsAt(sec)
     val (g, accepted, dropped) = replayInjections(onTime, latenessSeconds)
 
     val input = MemoryStream[Event]
@@ -329,8 +328,8 @@ object StreamingIngest {
       // two clock ticks: the first advances the watermark, the second
       // runs a batch under it so the timeouts actually fire (matches the
       // MemoryStream behavior pinned in StreamingSpec)
-      input.addData(Event(-1L, at(g + 100000), "clock", 0.0)); q.processAllAvailable()
-      input.addData(Event(-1L, at(g + 100001), "clock", 0.0)); q.processAllAvailable()
+      input.addData(Event(-1L, tsAt(g + 100000), "clock", 0.0)); q.processAllAvailable()
+      input.addData(Event(-1L, tsAt(g + 100001), "clock", 0.0)); q.processAllAvailable()
       val out = spark.table(qname).as[Session].collect().filter(_.user_id >= 0L).toSeq
       spark.createDataset(out).toDF()
     } finally q.stop()
@@ -384,12 +383,11 @@ object StreamingIngest {
       .as[Event].collect().toSeq
     require(onTime.nonEmpty, "dedupEventsReplay needs a non-empty events table")
     def floorSec(e: Event): Long = e.ts.getTime / 1000
-    def at(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val g = onTime.map(floorSec).max
     val lastByUser = onTime.groupBy(_.user_id).view.mapValues(_.map(floorSec).max).toMap
     val dupes = onTime.filter(e => e.user_id % 3 == 0 && floorSec(e) == lastByUser(e.user_id))
     val newbies = onTime.map(_.user_id).distinct.sorted.filter(_ % 5 == 0)
-      .map(u => Event(u, at(g - latenessSeconds / 2), "inj", 0.0))
+      .map(u => Event(u, tsAt(g - latenessSeconds / 2), "inj", 0.0))
 
     val input = MemoryStream[Event]
     val qname = s"graft_dedupreplay_${replaySeq.incrementAndGet()}"

@@ -23,7 +23,9 @@ object SearchDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val envChunkDocs = sys.env.getOrElse("SPARK_GRAFT_CHUNK_DOCS", "200").toLong
-    if (!new java.io.File(s"$indexDir/postings").exists()) {
+    // FS-aware probe: a java.io.File check misreads scheme-qualified URIs
+    // (file:/hdfs:/s3a:) as missing and would rebuild an existing index
+    if (!IndexBuilder.pathExists(spark, s"$indexDir/postings")) {
       val src = Corpus.fromDocumentsParquet(spark, sfDir)
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, src, indexDir,
@@ -40,7 +42,14 @@ object SearchDemo {
         .toDF().agg(org.apache.spark.sql.functions.max("chunkDocs"))
         .head().getLong(0)
       if (c > 0) c else envChunkDocs
-    } catch { case _: Throwable => envChunkDocs }
+    } catch {
+      // legacy index without a stats table -> env default; fatal errors
+      // (OOM, interrupts) must still propagate
+      case scala.util.control.NonFatal(e) =>
+        Console.err.println(s"[demo] stats chunkDocs unavailable (${e.getMessage}); " +
+          s"using env default $envChunkDocs")
+        envChunkDocs
+    }
     // "bm25:" prefix routes to the BM25/WAND engine; "bm25and:" to the
     // conjunctive leapfrog path
     if (query.startsWith("debug:")) {

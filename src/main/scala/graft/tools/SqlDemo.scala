@@ -20,7 +20,7 @@ object SqlDemo {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(s"$indexDir/postings").exists())
+    if (!IndexBuilder.pathExists(spark, s"$indexDir/postings"))
       IndexBuilder.build(spark, Corpus.fromDocumentsParquet(spark, sfDir),
         indexDir, IndexBuilder.BuildConfig(chunkDocs = 200))
     IndexStore.readPostings(spark, indexDir).toDF().createOrReplaceTempView("postings")
