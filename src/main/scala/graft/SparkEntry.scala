@@ -497,6 +497,9 @@ object SparkEntry {
         Map("en" -> 300, "fr" -> 800, "es" -> 800, "de" -> 800, "zh" -> 800))),
     "q_topk_per_lang" -> ((s, dir) =>
       TextAnalysis.topKTokensPerLang(docsDf(s, dir), k = 5)),
+    // curation gate: drop each language's bottom quartile by kept-token
+    // ratio (order-statistic rank, deterministic ties)
+    "q_quality_gate" -> ((s, dir) => TextAnalysis.qualityGate(docsDf(s, dir), 0.25)),
     // context-window chunking: 64-token windows, stride 48 (25% overlap)
     "q_sliding_chunks" -> ((s, dir) =>
       TextAnalysis.slidingChunks(docsDf(s, dir), size = 64, stride = 48)),
@@ -1106,6 +1109,30 @@ object SparkEntry {
         |       round(list_sum(list_transform(kept, x -> length(x))) * 1.0 /
         |             GREATEST(len(kept), 1), 6) AS mean_token_len
         |FROM base""".stripMargin),
+
+      // quality-gate twin: same rounded metric, same rank-over-(metric,
+      // doc_id) order statistic, same epsilon'd floor
+      "q_quality_gate" -> """
+        |WITH base AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> length(x) > 0) AS raw,
+        |         list_filter(string_split_regex(text, '\s+'),
+        |                     x -> regexp_matches(x, '^[A-Za-z]+$') AND length(x) < 20) AS kept
+        |  FROM documents),
+        |kq AS (
+        |  SELECT doc_id, round(len(kept) * 1.0 / len(raw), 6) AS kept_ratio
+        |  FROM base),
+        |wl AS (
+        |  SELECT d.doc_id, d.lang, kq.kept_ratio
+        |  FROM documents d JOIN kq USING (doc_id)),
+        |rnk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |                               ORDER BY kept_ratio, doc_id) AS r,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM wl)
+        |SELECT doc_id, lang, kept_ratio FROM rnk
+        |WHERE r > floor(0.25 * n + 1e-9)""".stripMargin,
 
       "q_token_count" -> """
         |SELECT doc_id,

@@ -144,6 +144,32 @@ object TextAnalysis {
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("fp"), md5(lit(""))).as("fingerprint"))
 
+  /** Per-language quality gate — the curation step AFTER scoring: drop
+    * the bottom `dropFraction` of each language's documents by
+    * kept-token ratio. Deliberately an ORDER-STATISTIC formulation
+    * (rank over the 6-dp-rounded metric with doc_id tiebreak; keep
+    * rank > floor(f·n)) rather than a quantile threshold: interpolated
+    * quantiles compare unrounded doubles, where a cross-engine ulp can
+    * flip boundary docs — ranking over the rounded metric keeps the
+    * kept SET identical across engines. One shuffle on the language
+    * key; the metric itself is a per-row projection. The floor takes
+    * f·n + 1e-9 (the prefixBound lesson: binary products of exact
+    * fractions can sit an ulp off the true integer).
+    */
+  def qualityGate(docs: DataFrame, dropFraction: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dropFraction >= 0 && dropFraction < 1, "dropFraction must be in [0, 1)")
+    val q = quality(docs).select(col("doc_id"), col("kept_ratio"))
+    val withLang = docs.select(col("doc_id"), col("lang")).join(q, Seq("doc_id"))
+    val byLang = Window.partitionBy(col("lang"))
+    withLang
+      .withColumn("rnk",
+        row_number().over(byLang.orderBy(col("kept_ratio"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .filter(col("rnk") > floor(lit(dropFraction) * col("n") + lit(1e-9)))
+      .select(col("doc_id"), col("lang"), col("kept_ratio"))
+  }
+
   /** PII redaction — the C4/Dolma-style scrub every public-web training
     * corpus runs: emails, IPv4 addresses, and long digit runs (account/
     * phone-shaped, >= 10 digits) are replaced with typed placeholder

@@ -10,6 +10,29 @@ class AnalysisSpec extends AnyFunSuite {
   def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
   def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("qualityGate: per-language bottom quartile dropped, deterministic ties") {
+    import spark.implicits._
+    // lang en: ratios 0.25 (doc 1), 0.5 (docs 2 and 3 — tie broken by
+    // doc_id), 1.0 (doc 4): floor(0.25*4)=1 -> doc 1 dropped.
+    // lang fr: 2 docs, floor(0.25*2)=0 -> nothing dropped.
+    val fx = Seq(
+      (1L, "en", "alpha x9 y9 z9"),        // 1/4 kept
+      (2L, "en", "alpha beta x9 y9"),      // 2/4 kept
+      (3L, "en", "gamma delta x9 y9"),     // 2/4 kept (tie with doc 2)
+      (4L, "en", "alpha beta gamma delta"),// 4/4
+      (10L, "fr", "le la x9 y9"),          // 2/4
+      (11L, "fr", "le la les de"))         // 4/4
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.qualityGate(fx, 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(2L, 3L, 4L, 10L, 11L), s"gate kept $got")
+    // ascending rank: the tie (docs 2,3) orders by doc_id, so at
+    // dropFraction 0.5 (floor(0.5*4)=2) docs 1 AND 2 drop, 3 survives
+    val got2 = TextAnalysis.qualityGate(fx, 0.5)
+      .filter(col("lang") === "en").collect().map(_.getLong(0)).toSet
+    assert(got2 === Set(3L, 4L), s"tie-break wrong: $got2")
+  }
+
   test("redactPii: staged email/IP/long-number scrub with per-stage counts") {
     import spark.implicits._
     val fx = Seq(
