@@ -1103,7 +1103,7 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
         |       CAST(len(raw) AS BIGINT) AS n_raw_tokens,
         |       CAST(len(kept) AS BIGINT) AS n_kept_tokens,
-        |       round(len(kept) * 1.0 / len(raw), 6) AS kept_ratio,
+        |       round(len(kept) * 1.0 / GREATEST(len(raw), 1), 6) AS kept_ratio,
         |       round(len(list_filter(kept, x -> lower(x) IN ($allStops))) * 1.0 /
         |             GREATEST(len(kept), 1), 6) AS stopword_ratio,
         |       round(list_sum(list_transform(kept, x -> length(x))) * 1.0 /
@@ -1121,7 +1121,7 @@ object SparkEntry {
         |                     x -> regexp_matches(x, '^[A-Za-z]+$') AND length(x) < 20) AS kept
         |  FROM documents),
         |kq AS (
-        |  SELECT doc_id, round(len(kept) * 1.0 / len(raw), 6) AS kept_ratio
+        |  SELECT doc_id, round(len(kept) * 1.0 / GREATEST(len(raw), 1), 6) AS kept_ratio
         |  FROM base),
         |wl AS (
         |  SELECT d.doc_id, d.lang, kq.kept_ratio

@@ -82,6 +82,18 @@ object TextAnalysis {
     * count/ratio, stopword ratio, mean kept-token length — the standard
     * cheap quality signals for corpus filtering.
     */
+  /** kept-token ratio, 6-dp rounded, with a guarded divisor: a
+    * whitespace-only doc has zero raw tokens, and under Spark 4's ANSI
+    * default an unguarded division THROWS (DIVIDE_BY_ZERO) — while the
+    * SQL twin would return NULL; greatest(raw, 1) makes both engines
+    * yield 0.0. ONE definition shared by [[quality]] and
+    * [[qualityGate]] (the gate ranks over exactly this value).
+    */
+  private[graft] def keptRatioCol: Column =
+    round(size(keptTokens(col("text"))).cast("double") /
+      greatest(size(filter(split(col("text"), "\\s+"), t => length(t) > 0)), lit(1)),
+      6)
+
   def quality(docs: DataFrame): DataFrame = {
     val allStops = stopwords.values.flatten.toSeq.distinct
     val raw = filter(split(col("text"), "\\s+"), t => length(t) > 0)
@@ -92,7 +104,7 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"),
       size(raw).cast("long").as("n_raw_tokens"),
       size(kept).cast("long").as("n_kept_tokens"),
-      round(size(kept).cast("double") / size(raw), 6).as("kept_ratio"),
+      keptRatioCol.as("kept_ratio"),
       round(
         size(filter(keptLower, t => t.isInCollection(allStops))).cast("double") /
           greatest(size(kept), lit(1)), 6).as("stopword_ratio"),
@@ -159,10 +171,13 @@ object TextAnalysis {
   def qualityGate(docs: DataFrame, dropFraction: Double = 0.25): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(dropFraction >= 0 && dropFraction < 1, "dropFraction must be in [0, 1)")
-    val q = quality(docs).select(col("doc_id"), col("kept_ratio"))
-    val withLang = docs.select(col("doc_id"), col("lang")).join(q, Seq("doc_id"))
+    // the metric is computed INLINE on the doc row (shared keptRatioCol
+    // projection) — joining back to quality() would add a corpus-wide
+    // self-join on doc_id for a per-row-derivable value; this way the
+    // lang-keyed rank window is genuinely the plan's only exchange
+    // (PlanAudit asserts it)
     val byLang = Window.partitionBy(col("lang"))
-    withLang
+    docs.select(col("doc_id"), col("lang"), keptRatioCol.as("kept_ratio"))
       .withColumn("rnk",
         row_number().over(byLang.orderBy(col("kept_ratio"), col("doc_id"))))
       .withColumn("n", count(lit(1)).over(byLang))

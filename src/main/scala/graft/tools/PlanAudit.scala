@@ -88,6 +88,14 @@ object PlanAudit {
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }
 
+    section("quality gate: metric inline on the scan, ONE lang-keyed rank exchange") {
+      // kept_ratio is a per-row projection (no join back to quality());
+      // the plan must show exactly one Exchange — the Window's
+      // hashpartitioning(lang) — and no Join
+      TextAnalysis.qualityGate(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), 0.25)
+    }
+
     section("exact set-similarity join: prefix filter BEFORE the self-join") {
       // the rank+size windows share ONE doc_id-keyed exchange (never a
       // global order), the df aggregate shows partial/final HashAggregate

@@ -13,24 +13,58 @@ class AnalysisSpec extends AnyFunSuite {
   test("qualityGate: per-language bottom quartile dropped, deterministic ties") {
     import spark.implicits._
     // lang en: ratios 0.25 (doc 1), 0.5 (docs 2 and 3 — tie broken by
-    // doc_id), 1.0 (doc 4): floor(0.25*4)=1 -> doc 1 dropped.
-    // lang fr: 2 docs, floor(0.25*2)=0 -> nothing dropped.
+    // doc_id; doc 3 listed FIRST so input-order sort stability cannot
+    // fake the doc_id tiebreak), 1.0 (doc 4): floor(0.25*4)=1 -> doc 1
+    // dropped. lang fr: 2 docs, floor(0.25*2)=0 -> nothing dropped.
+    // doc 12: whitespace-only text — zero raw tokens must yield
+    // kept_ratio 0.0 (ANSI Spark would THROW on an unguarded division;
+    // the DuckDB twin would return NULL — the guard pins both engines
+    // to 0.0) and rank at the bottom of its language.
     val fx = Seq(
-      (1L, "en", "alpha x9 y9 z9"),        // 1/4 kept
-      (2L, "en", "alpha beta x9 y9"),      // 2/4 kept
       (3L, "en", "gamma delta x9 y9"),     // 2/4 kept (tie with doc 2)
+      (1L, "en", "alpha x9 y9 z9"),        // 1/4 kept
       (4L, "en", "alpha beta gamma delta"),// 4/4
+      (2L, "en", "alpha beta x9 y9"),      // 2/4 kept
       (10L, "fr", "le la x9 y9"),          // 2/4
-      (11L, "fr", "le la les de"))         // 4/4
+      (11L, "fr", "le la les de"),         // 4/4
+      (12L, "fr", "   "))                  // 0 raw tokens -> 0.0
       .toDF("doc_id", "lang", "text")
     val got = TextAnalysis.qualityGate(fx, 0.25)
       .collect().map(_.getLong(0)).toSet
-    assert(got === Set(2L, 3L, 4L, 10L, 11L), s"gate kept $got")
+    // fr now has 3 docs: floor(0.25*3)=0 -> all three kept, incl. the
+    // ratio-0.0 doc (the gate drops by RANK, not by value)
+    assert(got === Set(2L, 3L, 4L, 10L, 11L, 12L), s"gate kept $got")
     // ascending rank: the tie (docs 2,3) orders by doc_id, so at
     // dropFraction 0.5 (floor(0.5*4)=2) docs 1 AND 2 drop, 3 survives
     val got2 = TextAnalysis.qualityGate(fx, 0.5)
       .filter(col("lang") === "en").collect().map(_.getLong(0)).toSet
     assert(got2 === Set(3L, 4L), s"tie-break wrong: $got2")
+    // quality() itself must survive the zero-raw-token doc too
+    val q12 = TextAnalysis.quality(fx.filter($"doc_id" === 12L))
+      .select($"kept_ratio").as[Double].head()
+    assert(q12 === 0.0)
+    // contract: dropFraction is a FRACTION
+    intercept[IllegalArgumentException] {
+      TextAnalysis.qualityGate(fx, 1.0)
+    }
+  }
+
+  test("qualityGate: floor epsilon survives non-dyadic fractions (49 * 1/49)") {
+    import spark.implicits._
+    // 49 * (1.0/49) = 0.9999999999999999 in binary: without the +1e-9
+    // inside the floor, floor(f*n) = 0 and NOTHING is dropped; the true
+    // product is 1, so exactly one doc (the worst) must go. Distinct
+    // ratios via increasing kept-token counts over a fixed raw count.
+    // i kept tokens + (50 - i) rejected tokens -> ratio i/50
+    val fx = (1 to 49).map { i =>
+      val keptToks = Seq.fill(i)("alpha")
+      val rejected = Seq.fill(50 - i)("x9")
+      (i.toLong, "en", (keptToks ++ rejected).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val kept = TextAnalysis.qualityGate(fx, 1.0 / 49)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size === 48, s"expected exactly one doc dropped, kept ${kept.size}")
+    assert(!kept.contains(1L), "the lowest-ratio doc must be the one dropped")
   }
 
   test("redactPii: staged email/IP/long-number scrub with per-stage counts") {
@@ -85,6 +119,7 @@ class AnalysisSpec extends AnyFunSuite {
     val j = Dedup.jaccard(corpus, Dedup.lshCandidatePairs(corpus))
       .filter(col("doc_a") < 3 && col("doc_b") >= 10000 && col("doc_b") === col("doc_a") + 10000)
       .collect()
+    assert(j.length === 3, s"jaccard lost twin pairs: ${j.length}/3") // anti-vacuity
     j.foreach(r => assert(r.getDouble(2) === 1.0))
   }
 
@@ -98,12 +133,19 @@ class AnalysisSpec extends AnyFunSuite {
   test("similarity: lshTopK results are a subset of brute-force cosine ordering") {
     val brute = Similarity.bruteForceTopK(emb, 0L, 50).collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val lsh = Similarity.lshTopK(emb, 0L, 10).collect()
+    // nBits=5 like the q_ann_* queries: at the sf0.001 corpus size the
+    // 8-bit default leaves the query vector ALONE in its bucket and the
+    // old form of this test passed vacuously on zero rows (caught by
+    // the anti-vacuity guard below)
+    val lsh = Similarity.lshTopK(emb, 0L, 10, nBits = 5).collect()
+    assert(lsh.nonEmpty, "vacuous: lshTopK returned no rows") // anti-vacuity
+    var checked = 0
     lsh.foreach { r =>
       val id = r.getLong(0)
       // every lsh hit's cosine must equal the brute-force cosine when present
-      brute.get(id).foreach(c => assert(c === r.getDouble(1)))
+      brute.get(id).foreach { c => assert(c === r.getDouble(1)); checked += 1 }
     }
+    assert(checked > 0, "vacuous: no lsh hit appeared in the brute-force top-50")
   }
 
   test("similarity: multi-probe LSH dominates single-probe recall") {
@@ -114,7 +156,17 @@ class AnalysisSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1)))
     val multi = Similarity.lshTopKMultiProbe(emb, 0L, 10, nBits = 5).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(single.nonEmpty && multi.nonEmpty, "vacuous: empty probe results")
     assert(multi.length >= single.length)
+    // the multi-probe candidate pool CONTAINS the single-probe pool: any
+    // id ranked by single-probe but displaced from multi's top-k must be
+    // displaced by a strictly better cosine (never silently lost)
+    val multiIds = multi.map(_._1).toSet
+    val multiMin = multi.map(_._2).min
+    single.foreach { case (id, c) =>
+      assert(multiIds.contains(id) || multiMin >= c,
+        s"single-probe hit $id (cosine $c) vanished from multi-probe without displacement")
+    }
     single.zip(multi).foreach { case ((_, cs), (_, cm)) =>
       assert(cm >= cs, s"rank slipped: single=$cs multi=$cm")
     }
