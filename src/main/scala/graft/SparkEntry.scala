@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.analysis.{AnnStore, Clustering, Decontamination, Dedup, IvfStore, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
-import graft.index.IndexBuilder
+import graft.index.{IndexBuilder, IndexStore}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -289,6 +289,45 @@ object SparkEntry {
     })
   }
 
+  /** One INCREMENTALLY-built index per scale dir: base build over the
+    * first half of the corpus, then IndexBuilder.appendBuild over the
+    * second half (exercising the boundary-chunk merge and, at sf0.01+,
+    * new-chunk writes). q_append_term_stats reads THIS index, so the
+    * driver's DuckDB oracle checks the append operator end-to-end.
+    */
+  private val appendIdxCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def appendIdxDir(s: SparkSession, sfDir: String): String = synchronized {
+    appendIdxCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_idx_app").toString
+      val ids = Corpus.fromDocumentsParquet(s, sfDir)
+      val mid = ids.agg(max($"docId")).as[Long].head() / 2
+      val cfg = IndexBuilder.BuildConfig(chunkDocs = 200)
+      IndexBuilder.build(s, ids.filter(_.docId <= mid), out, cfg)
+      IndexBuilder.appendBuild(s, ids.filter(_.docId > mid), out, cfg)
+      out
+    })
+  }
+
+  /** One DELETE-then-COMPACT index per scale dir: full build, tombstone
+    * every doc with docId % 5 == 3 (markDeleted), purge (compact).
+    * q_compact_term_stats reads THIS index, so the driver's DuckDB oracle
+    * checks the tombstone+compaction lifecycle end-to-end against a
+    * tokenization truth restricted to the surviving docs.
+    */
+  private val compactIdxCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def compactIdxDir(s: SparkSession, sfDir: String): String = synchronized {
+    compactIdxCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString
+      val ids = Corpus.fromDocumentsParquet(s, sfDir)
+      IndexBuilder.build(s, ids, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+      IndexBuilder.markDeleted(s, out, ids.filter(_.docId % 5 == 3).map(_.docId))
+      IndexBuilder.compact(s, out)
+      out
+    })
+  }
+
   /** One persisted bucket-partitioned ANN store per scale dir (nBits=5,
     * in lockstep with the duckLshBuckets oracle CTEs), built on first use.
     */
@@ -326,6 +365,24 @@ object SparkEntry {
     "q_term_stats" -> ((s, dir) =>
       TextAnalysis.termStats(docsDf(s, dir)).orderBy(desc("tf"), asc("term"))),
     "q_corpus_stats" -> ((s, dir) => TextAnalysis.corpusStats(docsDf(s, dir))),
+    // term stats read FROM the incrementally-appended index: body-term
+    // (non-'#') postings aggregated across chunks must equal the DuckDB
+    // tokenization truth over the whole corpus — i.e. append == full build
+    "q_append_term_stats" -> ((s, dir) =>
+      IndexStore.readPostings(s, appendIdxDir(s, dir)).toDF()
+        .filter(!col("term").startsWith("#"))
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+        .orderBy(desc("tf"), asc("term"))),
+    // term stats read FROM the compacted index: after markDeleted +
+    // compact, the index must answer as if the deleted docs were never
+    // indexed — the DuckDB truth tokenizes only the surviving docs
+    "q_compact_term_stats" -> ((s, dir) =>
+      IndexStore.readPostings(s, compactIdxDir(s, dir)).toDF()
+        .filter(!col("term").startsWith("#"))
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+        .orderBy(desc("tf"), asc("term"))),
     "q_doc_stats" -> ((s, dir) => {
       val docs = docsDf(s, dir)
       val counts = TextAnalysis.tokens(docs).groupBy(col("doc_id"))
@@ -656,6 +713,20 @@ object SparkEntry {
       |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin)
     Map(
       "q_term_stats" -> (duckToks + """
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
+
+      // tokenization truth over the SURVIVING docs only (docId = doc_id is
+      // the pinned identity, so the deletion rule selects the same set) —
+      // the Spark side answers from the compacted index
+      "q_compact_term_stats" -> (duckToks.replace(
+        "FROM documents", "FROM documents WHERE doc_id % 5 <> 3") + """
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
+
+      // same truth as q_term_stats — the Spark side answers from the
+      // incrementally-appended index instead of re-tokenizing
+      "q_append_term_stats" -> (duckToks + """
         |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
 

@@ -1,6 +1,6 @@
 package graft.index
 
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.config.GraftConfig
 import graft.corpus.Corpus
@@ -518,6 +518,7 @@ object IndexBuilder {
   def docsDir(out: String) = s"$out/docs"
   def statsDir(out: String) = s"$out/stats"
   def lineageDir(out: String) = s"$out/lineage"
+  def tombstonesDir(out: String) = s"$out/tombstones"
 
   /** Existence probe through the path's OWN FileSystem (Hadoop conf):
     * layout/resume dispatch must behave identically on hdfs://, s3a://
@@ -668,10 +669,392 @@ object IndexBuilder {
     // contains previously-completed chunks on a resume, so exclude `done`
     // (columnar partition filter — resumes carry modest chunk lists; a
     // broadcast anti-join would replace isin if they ever grew huge)
-    // lineage reads the RAW postings frame: the combined layout persists
-    // the encode-time blobBytes column, so the bytes aggregate never
-    // re-reads the blob column itself (index-sized IO after every
-    // build); legacy two-table indexes fall back to length(blob)
+    val chunkPred: Option[Column] =
+      if (done.isEmpty) None else Some(!col("chunk").isin(done.toSeq: _*))
+    val lineageRows = phased("lineage collect") {
+      deriveLineage(spark, outDir, docsR, chunkPred)
+    }
+    phased("lineage write") {
+      spark.createDataset(lineageRows.toIndexedSeq)
+        .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+    }
+    lineageRows.filter(_.stage == "docs").map(_.chunk).toSet
+  }
+
+  /** Incremental append: extend an existing index with new docs whose
+    * docIds all lie strictly past the existing corpus, producing an index
+    * blob-identical to a from-scratch build over the union (pinned by
+    * IndexAppendSpec). This is the operator that makes the 10^12-file
+    * corpus maintainable: a daily delta never re-reads or re-tokenizes
+    * the existing index — the work is proportional to the DELTA, not the
+    * corpus.
+    *
+    * Cost model (the 100 TB story):
+    *  - one wide shuffle of the RAW DELTA docs only (shuffle bytes ==
+    *    delta bytes, the bychunk floor);
+    *  - at most ONE existing chunk — the partial boundary chunk the last
+    *    build left behind (chunk roll, config.h:12 analog) — is read back
+    *    (partition-pruned) and merged; every other existing partition is
+    *    untouched;
+    *  - the boundary merge never re-tokenizes: old posting lists are
+    *    decoded and concatenated with the delta's (all old docIds < all
+    *    new docIds, so runs stay ascending and the delta+varint re-encode
+    *    is byte-identical to a full build's), memory bounded by one TERM's
+    *    chunk postings;
+    *  - writes go through dynamic partition overwrite, touching only the
+    *    boundary + new chunk partitions (the serial per-partition commit
+    *    rename is ∝ appended chunks — small by design, that is the point
+    *    of append);
+    *  - stats are updated incrementally (affected chunks recomputed from
+    *    pruned reads, the rest carried over via a tmp-dir swap) and
+    *    lineage rows for the affected chunks are appended.
+    *
+    * Chunk geometry comes from the INDEX's persisted stats, never the
+    * caller's cfg: a mismatched chunkDocs would interleave new docs into
+    * existing chunks. The existing corpus extent comes from lineage (a
+    * tiny table), never a corpus-wide docs scan.
+    *
+    * Reference analog: the reference rolls to a new chunk when the
+    * current one fills and never rewrites closed chunks
+    * (index/index.h:84-120 chunk roll; SURVEY.md A9) — append is that
+    * semantics as a distributed batch operator.
+    *
+    * @return the set of chunks written/merged by this invocation
+    */
+  def appendBuild(spark: SparkSession, newDocs: Dataset[IdDoc], outDir: String,
+                  cfg: BuildConfig = BuildConfig()): Set[Long] = {
+    import spark.implicits._
+    require(pathExists(spark, postingsDir(outDir)),
+      s"appendBuild: no existing index at $outDir (use build for a fresh index)")
+    require(pathExists(spark, lineageDir(outDir)),
+      s"appendBuild: index at $outDir has no lineage table; cannot derive the corpus extent")
+
+    // geometry from the persisted index
+    val statsOld = IndexStore.readStats(spark, outDir)
+    val persistedCd = statsOld.agg(max($"chunkDocs")).as[Long].head()
+    val useCfg =
+      if (persistedCd > 0) cfg.copy(chunkDocs = persistedCd)
+      else cfg // pre-chunkDocs-column index: trust the caller's cfg
+    val chunkDocs = useCfg.chunkDocs
+    val oldDocMax = spark.read.parquet(lineageDir(outDir))
+      .filter($"stage" === "docs" && $"status" === "complete")
+      .agg(max($"docMax")).as[Long].head()
+
+    // one job over the delta only
+    val extent = newDocs.agg(min($"docId"), max($"docId"), count(lit(1)))
+      .as[(Option[Long], Option[Long], Long)].head()
+    if (extent._3 == 0L) return Set.empty
+    val (newMin, newMax) = (extent._1.get, extent._2.get)
+    require(newMin > oldDocMax,
+      s"appendBuild: new docIds must lie strictly past the existing corpus " +
+        s"(existing docMax=$oldDocMax, new min=$newMin)")
+
+    val boundaryChunk = chunkOf(oldDocMax, chunkDocs)
+    val firstNewChunk = chunkOf(newMin, chunkDocs)
+    val lastNewChunk = chunkOf(newMax, chunkDocs)
+    val mergeNeeded = firstNewChunk == boundaryChunk
+    val combinedLayout = !pathExists(spark, docsDir(outDir))
+
+    // appends are the resume shape: only touched partitions are replaced
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    /** strategy dispatch into the combined union schema (shared with
+      * build()'s cross-strategy resume path)
+      */
+    def combinedRowsFor(docs: Dataset[IdDoc]): Dataset[IndexRow] =
+      if (useCfg.salts <= 1 && useCfg.strategy == "bychunk")
+        buildCombinedByChunk(docs, useCfg)
+      else
+        buildPostingsFor(docs, useCfg).map(IndexRow.ofPosting)
+          .unionByName(buildDocs(docs, useCfg).map(IndexRow.ofDoc))
+          .repartition(col("chunk")).as[IndexRow]
+
+    def writeCombined(rows: Dataset[IndexRow]): Unit =
+      writeCombinedChunks(rows, outDir)
+    def writeTable(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+      writeTableChunks(df, dir)
+
+    // ---- purely-new chunks: exactly a fresh build over the delta, each
+    // doc generated/tokenized/shuffled once (combined layout; the legacy
+    // path tokenizes once per table — the compat-path tax) ----
+    val restDocs =
+      if (mergeNeeded) newDocs.filter(d => chunkOf(d.docId, chunkDocs) > boundaryChunk)
+      else newDocs
+    val restNonEmpty = lastNewChunk > boundaryChunk || !mergeNeeded
+    if (restNonEmpty) {
+      if (combinedLayout) writeCombined(combinedRowsFor(restDocs))
+      else {
+        writeTable(buildPostingsFor(restDocs, useCfg).toDF(), postingsDir(outDir))
+        writeTable(buildDocs(restDocs, useCfg).toDF(), docsDir(outDir))
+      }
+    }
+
+    // ---- boundary chunk: merge old partition with the delta's rows ----
+    if (mergeNeeded) {
+      val bc = boundaryChunk
+      val bcDocs = newDocs.filter(d => chunkOf(d.docId, chunkDocs) == bc)
+      // partition-pruned reads of the ONE existing boundary partition
+      val oldP = IndexStore.readPostings(spark, outDir).filter($"chunk" === bc)
+      val oldD = IndexStore.readDocs(spark, outDir).filter($"chunk" === bc)
+      val oMax = oldDocMax
+      // per-term merge: memory bounded by one term's chunk postings; a
+      // term present on one side only passes its blob through untouched.
+      // All old docIds precede all new ones (the strictly-past require),
+      // so decoded runs concatenate ascending and the re-encode is
+      // byte-identical to a full build's.
+      def mergePostings(newP: Dataset[IndexRow]): Dataset[IndexRow] =
+        oldP.map(IndexRow.ofPosting)
+          .unionByName(newP)
+          .groupByKey(r => (r.chunk, r.term))
+          .mapGroups { (key, it) =>
+            val rows = it.toArray
+            if (rows.length == 1) rows(0)
+            else {
+              require(rows.length == 2,
+                s"appendBuild: ${rows.length} posting rows for $key (corrupt index?)")
+              // old side = the run ending at or before the old corpus extent
+              val aOld = rows(0).blocks.last.lastDocId <= oMax
+              val (o, n) = if (aOld) (rows(0), rows(1)) else (rows(1), rows(0))
+              val pairs = graft.codec.PostingCodec.decode(o.df, o.postingsBlob) ++
+                graft.codec.PostingCodec.decode(n.df, n.postingsBlob)
+              val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(pairs)
+              IndexRow.ofPosting(PostingRow(key._1, key._2, df, tf, blocks, blob))
+            }
+          }
+      if (combinedLayout) {
+        // one write job; newRows persisted so the p and d legs share one
+        // tokenize pass of the (single-chunk) delta
+        val newRows = combinedRowsFor(bcDocs).persist()
+        writeCombined(mergePostings(newRows.filter(_.kind == "p"))
+          .unionByName(oldD.map(IndexRow.ofDoc))
+          .unionByName(newRows.filter(_.kind == "d")))
+        newRows.unpersist()
+      } else {
+        // legacy: postings job reads/overwrites only postingsDir, docs job
+        // only docsDir (see writeTable)
+        val newP = buildPostingsFor(bcDocs, useCfg).map(IndexRow.ofPosting)
+        writeTable(mergePostings(newP).map(IndexRow.toPosting).toDF(),
+          postingsDir(outDir))
+        writeTable(oldD.unionByName(buildDocs(bcDocs, useCfg)).toDF(),
+          docsDir(outDir))
+      }
+    }
+
+    // ---- incremental stats + lineage for the affected chunks only ----
+    val loChunk = if (mergeNeeded) boundaryChunk else firstNewChunk
+    refreshStatsAndLineage(spark, outDir,
+      $"chunk".between(loChunk, lastNewChunk), useCfg)
+  }
+
+  /** Combined layout: ONE chunk-partitioned write of the union schema into
+    * the index's postings table. Caller must have set dynamic partition
+    * overwrite when only touched partitions should be replaced.
+    */
+  private def writeCombinedChunks(rows: Dataset[IndexRow], outDir: String): Unit =
+    rows.toDF()
+      .sortWithinPartitions(col("chunk"), col("kind"), col("term"), col("docId"))
+      .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
+
+  /** Legacy two-table layout: one single-table overwrite. Each legacy
+    * write job must read ONLY the table it overwrites: a lazy pipeline
+    * shared across two write jobs re-evaluates after the first commit
+    * has replaced its input partitions (FAILED_READ_FILE), and caching
+    * the shared pipeline instead trips an AQE+InMemoryRelation row
+    * duplication (see IndexAppendSpec's legacy test history) — so the
+    * postings job and the docs job are built from separate pipelines.
+    */
+  private def writeTableChunks(df: org.apache.spark.sql.DataFrame, dir: String): Unit =
+    df.repartition(col("chunk"))
+      .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(dir)
+
+  /** Incremental stats + lineage maintenance shared by appendBuild and
+    * compact: recompute stats rows for chunks matching `affected` from
+    * partition-pruned reads, carry every other row over via a tmp-dir swap
+    * (parquet refuses an overlapping read/overwrite), then append lineage
+    * rows for the affected chunks (Append keeps history; consumers take
+    * max(docMax) over complete rows). A chunk left with no rows (fully
+    * compacted away) simply drops out of stats and contributes no new
+    * lineage row — its historical rows keep the docId high-water mark.
+    *
+    * @return the affected docs-stage chunks present after the refresh
+    */
+  private def refreshStatsAndLineage(spark: SparkSession, outDir: String,
+                                     affected: Column, cfg: BuildConfig): Set[Long] = {
+    import spark.implicits._
+    val statsOld = IndexStore.readStats(spark, outDir)
+    val docsR = IndexStore.readDocs(spark, outDir)
+    val statsNew = buildStats(docsR.filter(affected),
+      IndexStore.readPostings(spark, outDir).filter(affected), cfg)
+    val statsTmp = statsDir(outDir) + ".tmp"
+    statsOld.filter(!affected).unionByName(statsNew)
+      .write.mode(SaveMode.Overwrite).parquet(statsTmp)
+    val fs = new org.apache.hadoop.fs.Path(statsDir(outDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    deleteTree(spark, statsDir(outDir))
+    require(fs.rename(new org.apache.hadoop.fs.Path(statsTmp),
+      new org.apache.hadoop.fs.Path(statsDir(outDir))),
+      s"stats swap rename failed for $outDir")
+    val lineageRows = deriveLineage(spark, outDir, docsR, Some(affected))
+    spark.createDataset(lineageRows.toIndexedSeq)
+      .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
+    lineageRows.filter(_.stage == "docs").map(_.chunk).toSet
+  }
+
+  /** Mark docIds as deleted: append (chunk, docId) rows to a tiny
+    * chunk-partitioned tombstone table. O(delta) — no index partition is
+    * read or written, so a delete over a 10^12-doc corpus costs the same
+    * as over a 10^3-doc one. The postings/doc rows stay physically present
+    * until [[compact]] purges them (the reference's only delete story is a
+    * full rebuild of its static index — mark+compact is that lifecycle as
+    * incremental operators, the liveDocs/segment-rewrite pattern).
+    *
+    * Chunk geometry comes from the index's persisted stats (a caller cfg
+    * could disagree and route tombstones to the wrong partitions); docIds
+    * must lie within the corpus extent recorded in lineage. Marking a
+    * docId twice, or a docId that was assigned but never indexed, is
+    * harmless — compact treats tombstones as a set.
+    *
+    * @return number of (distinct) tombstones recorded by this call
+    */
+  def markDeleted(spark: SparkSession, outDir: String, docIds: Dataset[Long]): Long = {
+    import spark.implicits._
+    require(pathExists(spark, postingsDir(outDir)),
+      s"markDeleted: no index at $outDir")
+    val persistedCd = IndexStore.readStats(spark, outDir)
+      .agg(max($"chunkDocs")).as[Long].head()
+    require(persistedCd > 0,
+      s"markDeleted: index at $outDir predates the chunkDocs stats column; " +
+        "rebuild stats to restore chunk geometry before deleting")
+    val docMax = spark.read.parquet(lineageDir(outDir))
+      .filter($"stage" === "docs" && $"status" === "complete")
+      .agg(max($"docMax")).as[Long].head()
+    // persist: the batch feeds two jobs (extent check + write) and the
+    // caller's dataset may not be deterministic across recomputes
+    val batch = docIds.distinct().persist()
+    try {
+      val extent = batch.agg(min($"value"), max($"value"), count(lit(1)))
+        .as[(Option[Long], Option[Long], Long)].head()
+      if (extent._3 == 0L) return 0L
+      require(extent._1.get >= 0L && extent._2.get <= docMax,
+        s"markDeleted: docIds [${extent._1.get}, ${extent._2.get}] outside " +
+          s"the corpus extent [0, $docMax] of $outDir")
+      val cd = persistedCd
+      batch.map(id => TombstoneRow(chunkOf(id, cd), id)).toDF()
+        .write.mode(SaveMode.Append).partitionBy("chunk")
+        .parquet(tombstonesDir(outDir))
+      extent._3
+    } finally batch.unpersist()
+  }
+
+  /** Purge tombstoned docs: rewrite ONLY the chunks that carry tombstones,
+    * leaving an index blob-identical to a from-scratch build over the
+    * surviving docs (CompactionSpec pins postings/docs/stats equality and
+    * untouched-partition file identity). Positions are doc-local (1-based
+    * per document, Tokenizer scaladoc), so dropping a doc's runs from a
+    * decoded posting list and re-encoding is byte-identical to never
+    * having indexed it — no neighbor shifts.
+    *
+    * Cost model (the 100 TB story): work ∝ tombstoned CHUNKS, never the
+    * corpus — each affected partition is read partition-pruned, purged
+    * per-row (memory bounded by one term's chunk postings), and replaced
+    * via dynamic partition overwrite; stats/lineage are refreshed for the
+    * affected chunks only (tmp-swap carry-over). The tombstone set rides a
+    * broadcast, so compaction cadence bounds its size (each chunk's share
+    * is <= chunkDocs by construction). A chunk whose docs are ALL
+    * tombstoned gets its partition directory removed outright (dynamic
+    * overwrite never replaces a partition with zero output rows). Crash
+    * between the partition writes and the tombstone clear is safe: re-run
+    * compact and already-purged rows pass through unchanged.
+    *
+    * @return the set of chunks compacted (tombstone-bearing chunks)
+    */
+  def compact(spark: SparkSession, outDir: String): Set[Long] = {
+    import spark.implicits._
+    if (!pathExists(spark, tombstonesDir(outDir))) return Set.empty
+    val byChunk = spark.read.parquet(tombstonesDir(outDir))
+      .select($"chunk".cast("long"), $"docId".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (c, a) => (c, a.map(_._2).toSet) }
+    if (byChunk.isEmpty) { deleteTree(spark, tombstonesDir(outDir)); return Set.empty }
+    val bcTomb = spark.sparkContext.broadcast(byChunk)
+    val affectedSeq = byChunk.keySet.toSeq.sorted
+    val affected = col("chunk").isin(affectedSeq: _*)
+    val combinedLayout = !pathExists(spark, docsDir(outDir))
+    val persistedCd = IndexStore.readStats(spark, outDir)
+      .agg(max($"chunkDocs")).as[Long].head()
+    val cfg =
+      if (persistedCd > 0) BuildConfig(chunkDocs = persistedCd) else BuildConfig()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    def liveDoc(d: DocRow): Boolean =
+      !bcTomb.value.getOrElse(d.chunk, Set.empty[Long])(d.docId)
+    /** decode-filter-reencode; rows with no deleted doc keep their original
+      * bytes without re-encoding, rows losing every doc are dropped
+      */
+    def purge(p: Dataset[PostingRow]): Dataset[PostingRow] =
+      p.flatMap { r =>
+        val dead = bcTomb.value.getOrElse(r.chunk, Set.empty[Long])
+        if (dead.isEmpty) Iterator.single(r)
+        else {
+          val kept = graft.codec.PostingCodec.decode(r.df, r.postingsBlob)
+            .filterNot(run => dead(run._1))
+          if (kept.isEmpty) Iterator.empty
+          else if (kept.length.toLong == r.df) Iterator.single(r)
+          else {
+            val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(kept))
+            Iterator.single(PostingRow(r.chunk, r.term, df, tf, blocks, blob))
+          }
+        }
+      }
+
+    // fully-emptied chunks must be detected BEFORE the write: dynamic
+    // overwrite leaves their old partition dirs in place (nothing in the
+    // output replaces them), and a post-write probe would read those stale
+    // rows right back
+    val survivors = IndexStore.readDocs(spark, outDir).filter(affected)
+      .filter(liveDoc _).groupByKey(_.chunk).count().collect().toMap
+    val emptied = affectedSeq.filterNot(c => survivors.getOrElse(c, 0L) > 0L)
+
+    if (combinedLayout) {
+      // one job: both legs read the pre-commit partition files
+      val oldP = IndexStore.readPostings(spark, outDir).filter(affected)
+      val oldD = IndexStore.readDocs(spark, outDir).filter(affected)
+      writeCombinedChunks(purge(oldP).map(IndexRow.ofPosting)
+        .unionByName(oldD.filter(liveDoc _).map(IndexRow.ofDoc)), outDir)
+    } else {
+      // legacy: each job reads only the table it overwrites (see
+      // writeTableChunks)
+      writeTableChunks(
+        purge(IndexStore.readPostings(spark, outDir).filter(affected)).toDF(),
+        postingsDir(outDir))
+      writeTableChunks(
+        IndexStore.readDocs(spark, outDir).filter(affected)
+          .filter(liveDoc _).toDF(), docsDir(outDir))
+    }
+    emptied.foreach { c =>
+      deleteTree(spark, s"${postingsDir(outDir)}/chunk=$c")
+      if (!combinedLayout) deleteTree(spark, s"${docsDir(outDir)}/chunk=$c")
+    }
+
+    refreshStatsAndLineage(spark, outDir, affected, cfg)
+    deleteTree(spark, tombstonesDir(outDir))
+    bcTomb.destroy()
+    affectedSeq.toSet
+  }
+
+  /** Derive per-chunk lineage rows from the persisted tables, restricted
+    * to chunks matching `chunkPred` (None = all). Reads the RAW postings
+    * frame: the combined layout persists the encode-time blobBytes
+    * column, so the bytes aggregate never re-reads the blob column itself
+    * (index-sized IO after every build); legacy two-table indexes fall
+    * back to length(blob). The predicate is a columnar partition filter,
+    * so restricted derivations read only the matching chunk partitions.
+    */
+  private def deriveLineage(spark: SparkSession, outDir: String,
+                            docsR: Dataset[DocRow],
+                            chunkPred: Option[Column]): Array[LineageRow] = {
+    import spark.implicits._
     val rawPost = spark.read.parquet(postingsDir(outDir))
     val postBase =
       (if (rawPost.columns.contains("kind")) rawPost.filter($"kind" === "p")
@@ -679,12 +1062,8 @@ object IndexBuilder {
     val bytesExpr =
       if (rawPost.columns.contains("blobBytes")) sum($"blobBytes")
       else sum(length($"postingsBlob").cast("long"))
-    val postingsNew =
-      if (done.isEmpty) postBase
-      else postBase.filter(!$"chunk".isin(done.toSeq: _*))
-    val docsNew =
-      if (done.isEmpty) docsR.toDF()
-      else docsR.toDF().filter(!$"chunk".isin(done.toSeq: _*))
+    val postingsNew = chunkPred.fold(postBase)(postBase.filter)
+    val docsNew = chunkPred.fold(docsR.toDF())(docsR.toDF().filter)
     val postingLineage = postingsNew.groupBy($"chunk").agg(
       min($"term").as("termMin"), max($"term").as("termMax"),
       min(element_at($"blocks", 1).getField("firstDocId")).as("docMin"),
@@ -698,16 +1077,8 @@ object IndexBuilder {
       .select(lit("docs").as("stage"), $"chunk", lit("").as("termMin"),
         lit("").as("termMax"), $"docMin", $"docMax", $"rows", $"bytes",
         lit("complete").as("status"))
-    // one job: collect the (tiny) lineage rows, derive builtChunks from
-    // them, then persist
-    val lineageRows = phased("lineage collect") {
-      postingLineage.unionByName(docLineage).as[LineageRow].collect()
-    }
-    phased("lineage write") {
-      spark.createDataset(lineageRows.toIndexedSeq)
-        .write.mode(SaveMode.Append).parquet(lineageDir(outDir))
-    }
-    lineageRows.filter(_.stage == "docs").map(_.chunk).toSet
+    // one job: collect the (tiny) lineage rows
+    postingLineage.unionByName(docLineage).as[LineageRow].collect()
   }
 }
 
@@ -773,6 +1144,20 @@ object IndexStore {
       .select("chunk", "docId", "url", "title", "summary", "numTitleWords",
         "docLength", "contentSha")
       .as[DocRow]
+  }
+
+  /** Pending deletion markers (empty if none recorded or already purged by
+    * compact). Live-view readers anti-join docs against this; it is tiny
+    * by protocol (compaction cadence bounds it).
+    */
+  def readTombstones(spark: SparkSession, outDir: String): Dataset[TombstoneRow] = {
+    import spark.implicits._
+    if (!IndexBuilder.pathExists(spark, IndexBuilder.tombstonesDir(outDir)))
+      spark.emptyDataset[TombstoneRow]
+    else
+      spark.read.parquet(IndexBuilder.tombstonesDir(outDir))
+        .withColumn("chunk", col("chunk").cast("long"))
+        .select("chunk", "docId").as[TombstoneRow]
   }
 
   def readStats(spark: SparkSession, outDir: String): Dataset[StatsRow] = {

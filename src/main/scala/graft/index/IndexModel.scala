@@ -72,6 +72,13 @@ object IndexRow {
       r.docLength, r.contentSha)
 }
 
+/** One deletion marker (IndexBuilder.markDeleted): docId is tombstoned
+  * but still physically present in chunk `chunk`'s postings/doc rows until
+  * IndexBuilder.compact purges it. Chunk-partitioned like the index tables
+  * so compact's reads prune to the affected partitions.
+  */
+case class TombstoneRow(chunk: Long, docId: Long)
+
 /** Per-chunk corpus statistics (HashBlob header analogs,
   * index/HashBlob.h:202-206). totalPosts includes one ##EndDoc posting per
   * document because the reference's NumberOfPosts sums numberOfPosts over
