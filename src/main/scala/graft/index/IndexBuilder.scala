@@ -542,6 +542,21 @@ object IndexBuilder {
   }
 
   /** Chunks already marked complete for `stage` in the lineage table. */
+  /** The index's docId high-water mark: max docMax over the lineage
+    * history's complete docs-stage rows. The corpus extent in O(lineage)
+    * — never a corpus scan. Monotone across appends AND compactions
+    * (history rows are never removed), so docIds are never reused even
+    * after the docs carrying them are purged.
+    */
+  def docIdHighWater(spark: SparkSession, outDir: String): Long = {
+    import spark.implicits._
+    require(pathExists(spark, lineageDir(outDir)),
+      s"docIdHighWater: index at $outDir has no lineage table")
+    spark.read.parquet(lineageDir(outDir))
+      .filter($"stage" === "docs" && $"status" === "complete")
+      .agg(max($"docMax")).as[Long].head()
+  }
+
   def completedChunks(spark: SparkSession, outDir: String, stage: String): Set[Long] = {
     import spark.implicits._
     if (!pathExists(spark, lineageDir(outDir))) return Set.empty
@@ -736,9 +751,7 @@ object IndexBuilder {
       if (persistedCd > 0) cfg.copy(chunkDocs = persistedCd)
       else cfg // pre-chunkDocs-column index: trust the caller's cfg
     val chunkDocs = useCfg.chunkDocs
-    val oldDocMax = spark.read.parquet(lineageDir(outDir))
-      .filter($"stage" === "docs" && $"status" === "complete")
-      .agg(max($"docMax")).as[Long].head()
+    val oldDocMax = docIdHighWater(spark, outDir)
 
     // one job over the delta only
     val extent = newDocs.agg(min($"docId"), max($"docId"), count(lit(1)))
@@ -793,10 +806,16 @@ object IndexBuilder {
     if (mergeNeeded) {
       val bc = boundaryChunk
       val bcDocs = newDocs.filter(d => chunkOf(d.docId, chunkDocs) == bc)
-      // partition-pruned reads of the ONE existing boundary partition
-      val oldP = IndexStore.readPostings(spark, outDir).filter($"chunk" === bc)
-      val oldD = IndexStore.readDocs(spark, outDir).filter($"chunk" === bc)
       val oMax = oldDocMax
+      // partition-pruned reads of the ONE existing boundary partition.
+      // The docId <= oMax filters are replay guards: a crashed append that
+      // committed the boundary partition but not the (last-step) lineage
+      // row leaves the delta physically merged while the high-water mark
+      // says it isn't — a re-run must not double-apply it. In the clean
+      // path the filters match everything and cost nothing.
+      val oldP = IndexStore.readPostings(spark, outDir).filter($"chunk" === bc)
+      val oldD = IndexStore.readDocs(spark, outDir)
+        .filter($"chunk" === bc && $"docId" <= oMax)
       // per-term merge: memory bounded by one term's chunk postings; a
       // term present on one side only passes its blob through untouched.
       // All old docIds precede all new ones (the strictly-past require),
@@ -808,14 +827,33 @@ object IndexBuilder {
           .groupByKey(r => (r.chunk, r.term))
           .mapGroups { (key, it) =>
             val rows = it.toArray
-            if (rows.length == 1) rows(0)
-            else {
+            if (rows.length == 1) {
+              val r = rows(0)
+              // replay guard: a residual already-merged row (no matching
+              // delta row can exist for it in a deterministic replay, but
+              // a row whose run crosses oMax must still be re-trimmed)
+              if (r.kind == "p" && r.blocks.nonEmpty &&
+                  r.blocks.head.firstDocId <= oMax &&
+                  r.blocks.last.lastDocId > oMax) {
+                val runs = graft.codec.PostingCodec.decode(r.df, r.postingsBlob)
+                  .filter(_._1 <= oMax)
+                val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(runs)
+                IndexRow.ofPosting(PostingRow(key._1, key._2, df, tf, blocks, blob))
+              } else r
+            } else {
               require(rows.length == 2,
                 s"appendBuild: ${rows.length} posting rows for $key (corrupt index?)")
-              // old side = the run ending at or before the old corpus extent
-              val aOld = rows(0).blocks.last.lastDocId <= oMax
+              // old side = the run STARTING at or before the old corpus
+              // extent (a partially-applied append may have pushed the old
+              // row's LAST docId past oMax — first stays a valid
+              // discriminator; two delta-side rows are identical copies,
+              // so an arbitrary pick is safe)
+              val aOld = rows(0).blocks.head.firstDocId <= oMax
               val (o, n) = if (aOld) (rows(0), rows(1)) else (rows(1), rows(0))
-              val pairs = graft.codec.PostingCodec.decode(o.df, o.postingsBlob) ++
+              // replay guard: trim any previously-merged delta runs off
+              // the old side before re-concatenating
+              val pairs = graft.codec.PostingCodec.decode(o.df, o.postingsBlob)
+                .filter(_._1 <= oMax) ++
                 graft.codec.PostingCodec.decode(n.df, n.postingsBlob)
               val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(pairs)
               IndexRow.ofPosting(PostingRow(key._1, key._2, df, tf, blocks, blob))
@@ -925,9 +963,7 @@ object IndexBuilder {
     require(persistedCd > 0,
       s"markDeleted: index at $outDir predates the chunkDocs stats column; " +
         "rebuild stats to restore chunk geometry before deleting")
-    val docMax = spark.read.parquet(lineageDir(outDir))
-      .filter($"stage" === "docs" && $"status" === "complete")
-      .agg(max($"docMax")).as[Long].head()
+    val docMax = docIdHighWater(spark, outDir)
     // persist: the batch feeds two jobs (extent check + write) and the
     // caller's dataset may not be deterministic across recomputes
     val batch = docIds.distinct().persist()

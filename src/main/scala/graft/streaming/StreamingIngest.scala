@@ -51,6 +51,46 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming index maintenance: docs landing in `srcDir` (parquet files
+    * of the sourceSchema shape) are appended to the EXISTING index at
+    * `idxDir` one micro-batch at a time through
+    * [[graft.index.IndexBuilder.appendBuild]] — foreachBatch is the
+    * canonical sink for running a batch operator Structured Streaming has
+    * no native equivalent of. Bootstrap the index with IndexBuilder.build
+    * first; landed files must carry monotonically increasing docIds (the
+    * daily-delta landing pattern appendBuild requires).
+    *
+    * Exactly-once EFFECT from at-least-once delivery: foreachBatch can
+    * replay a micro-batch after a crash, so each batch is first trimmed to
+    * docIds past the index's lineage high-water mark
+    * (IndexBuilder.docIdHighWater — advanced as appendBuild's LAST step).
+    *   - replay after FULL application: the trim empties the batch and
+    *     appendBuild no-ops;
+    *   - replay after PARTIAL application (index partitions committed,
+    *     lineage not yet): the mark is unchanged, the trim keeps the whole
+    *     batch, and appendBuild's own replay guards re-apply it
+    *     idempotently (dynamic overwrite rewrites the same partitions;
+    *     the boundary merge trims previously-merged delta runs off the old
+    *     side — IndexAppendSpec pins the partial-replay case).
+    */
+  def appendToIndex(spark: SparkSession, srcDir: String, idxDir: String,
+                    checkpointDir: String,
+                    cfg: graft.index.IndexBuilder.BuildConfig =
+                      graft.index.IndexBuilder.BuildConfig()) = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(sourceSchema).parquet(srcDir).as[IdDoc]
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[IdDoc], _: Long) =>
+        val mark = graft.index.IndexBuilder.docIdHighWater(spark, idxDir)
+        graft.index.IndexBuilder.appendBuild(
+          spark, batch.filter(_.docId > mark), idxDir, cfg)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, start_ts: Long, end_ts: Long,

@@ -128,6 +128,45 @@ class IndexAppendSpec extends AnyFunSuite {
     ids.unpersist()
   }
 
+  test("replaying an append over a partially-applied boundary merge is idempotent") {
+    // Simulate the crash window appendBuild's replay guards exist for: the
+    // boundary partition was committed (delta already merged in) but the
+    // last step — the lineage append — never ran, so the high-water mark
+    // still reads the pre-append corpus. A re-run of the same append must
+    // not double-apply the delta.
+    val ids = corpus(60, seed = 37).persist() // docs 0..119
+    val cfg = BuildConfig(chunkDocs = 50)     // delta 110..119 all in chunk 2
+    val union = SparkTestBase.tempDir("graft_union")
+    IndexBuilder.build(spark, ids, union, cfg)
+    val dir = SparkTestBase.tempDir("graft_append")
+    IndexBuilder.build(spark, ids.filter(_.docId < 110L), dir, cfg)
+
+    // graft the POST-merge boundary partition from the union build onto
+    // the base index, leaving stats + lineage at their PRE-append state
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+    def cpTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      }
+    }
+    val part = java.nio.file.Paths.get(dir, "postings", "chunk=2")
+    rmTree(part)
+    cpTree(java.nio.file.Paths.get(union, "postings", "chunk=2"), part)
+    assert(IndexBuilder.docIdHighWater(spark, dir) === 109L) // mark unmoved
+
+    IndexBuilder.appendBuild(spark, ids.filter(_.docId >= 110L), dir, cfg)
+    assert(canon(dir) === canon(union))
+    ids.unpersist()
+  }
+
   test("appended lineage extends the corpus extent for the NEXT append") {
     val ids = corpus(90, seed = 31).persist() // 180 docs
     val cfg = BuildConfig(chunkDocs = 50)

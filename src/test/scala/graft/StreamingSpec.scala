@@ -35,6 +35,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(after2.count(_.docId == 0) === 6) // no duplication of old docs
   }
 
+  test("streaming appendToIndex: catch-up batches, checkpoint resume, replay-safe trim") {
+    import spark.implicits._
+    import graft.index.{IndexBuilder, IndexStore}
+    import graft.corpus.Corpus
+    val cfg = IndexBuilder.BuildConfig(chunkDocs = 50)
+    val ids = Corpus.assignDocIds(spark,
+      Corpus.synthetic(spark, 2, 60, seed = 41)).persist() // docs 0..119
+
+    def canon(dir: String) = (
+      IndexStore.readPostings(spark, dir).collect()
+        .map(r => ((r.chunk, r.term),
+          (r.df, r.tf, r.blocks.toSeq, r.postingsBlob.toSeq))).toMap,
+      IndexStore.readDocs(spark, dir).collect().map(r => (r.docId, r)).toMap,
+      IndexStore.readStats(spark, dir).collect().map(r => (r.chunk, r)).toMap)
+
+    val full = SparkTestBase.tempDir("sidx-full")
+    IndexBuilder.build(spark, ids, full, cfg)
+
+    // bootstrap over 0..59; stream the rest in as landed parquet files
+    val idx = SparkTestBase.tempDir("sidx")
+    IndexBuilder.build(spark, ids.filter(_.docId < 60L), idx, cfg)
+    val srcDir = SparkTestBase.tempDir("sidx-src")
+    val ckDir = SparkTestBase.tempDir("sidx-ck")
+    ids.filter(d => d.docId >= 60L && d.docId < 90L)
+      .write.mode("append").parquet(srcDir)
+    val q1 = StreamingIngest.appendToIndex(spark, srcDir, idx, ckDir, cfg)
+    q1.awaitTermination()
+
+    // new files land; same checkpoint -> only the new delta is appended
+    ids.filter(_.docId >= 90L).write.mode("append").parquet(srcDir)
+    val q2 = StreamingIngest.appendToIndex(spark, srcDir, idx, ckDir, cfg)
+    q2.awaitTermination()
+    assert(canon(idx) === canon(full))
+
+    // a FRESH checkpoint replays every file; the docId high-water trim
+    // must turn the replay into a no-op instead of a strictly-newer abort
+    val ck2 = SparkTestBase.tempDir("sidx-ck2")
+    val q3 = StreamingIngest.appendToIndex(spark, srcDir, idx, ck2, cfg)
+    q3.awaitTermination()
+    assert(canon(idx) === canon(full))
+    ids.unpersist()
+  }
+
   test("stateful sessionization (batch-mode semantics check)") {
     import spark.implicits._
     def ev(u: Long, t: Long, v: Double) =
