@@ -74,6 +74,14 @@ object PlanAudit {
         .select($"docId", $"url", $"title")
     }
 
+    section("append/compact boundary read: single-partition PartitionFilters") {
+      // the read side of appendBuild's boundary merge and compact's purge:
+      // chunk = <boundary> must appear as PartitionFilters so exactly ONE
+      // partition directory is opened no matter how many chunks the index
+      // has — maintenance IO is delta-proportional, never corpus-sized
+      IndexStore.readPostings(spark, out).toDF().filter($"chunk" === 2L)
+    }
+
     section("shingles: per-row projection, no window exchange") {
       // explode of a per-row sequence + slice of the kept-token array:
       // the plan must contain NO Exchange and NO Window
