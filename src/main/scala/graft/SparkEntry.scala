@@ -305,6 +305,10 @@ object SparkEntry {
       val cfg = IndexBuilder.BuildConfig(chunkDocs = 200)
       IndexBuilder.build(s, ids.filter(_.docId <= mid), out, cfg)
       IndexBuilder.appendBuild(s, ids.filter(_.docId > mid), out, cfg)
+      // leave PENDING tombstones on this index: they never touch the
+      // postings q_append_term_stats reads, and q_live_docs checks the
+      // between-compactions live view against them
+      IndexBuilder.markDeleted(s, out, ids.filter(_.docId % 7 == 2).map(_.docId))
       out
     })
   }
@@ -374,6 +378,12 @@ object SparkEntry {
         .groupBy(col("term"))
         .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
         .orderBy(desc("tf"), asc("term"))),
+    // the LIVE doc view between compactions: docs minus the append
+    // index's pending tombstones (docId % 7 == 2) — postings-side queries
+    // on the same index stay tombstone-blind by design
+    "q_live_docs" -> ((s, dir) =>
+      IndexStore.readDocsLive(s, appendIdxDir(s, dir)).toDF()
+        .select(col("docId").as("doc_id")).orderBy(asc("doc_id"))),
     // term stats read FROM the compacted index: after markDeleted +
     // compact, the index must answer as if the deleted docs were never
     // indexed — the DuckDB truth tokenizes only the surviving docs
@@ -715,6 +725,10 @@ object SparkEntry {
       "q_term_stats" -> (duckToks + """
         |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
+
+      // live view = every doc except the pending-tombstone rule
+      "q_live_docs" -> """SELECT doc_id FROM documents
+        |WHERE doc_id % 7 <> 2 ORDER BY doc_id""".stripMargin,
 
       // tokenization truth over the SURVIVING docs only (docId = doc_id is
       // the pinned identity, so the deletion rule selects the same set) —

@@ -541,7 +541,6 @@ object IndexBuilder {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Chunks already marked complete for `stage` in the lineage table. */
   /** The index's docId high-water mark: max docMax over the lineage
     * history's complete docs-stage rows. The corpus extent in O(lineage)
     * — never a corpus scan. Monotone across appends AND compactions
@@ -557,6 +556,7 @@ object IndexBuilder {
       .agg(max($"docMax")).as[Long].head()
   }
 
+  /** Chunks already marked complete for `stage` in the lineage table. */
   def completedChunks(spark: SparkSession, outDir: String, stage: String): Set[Long] = {
     import spark.implicits._
     if (!pathExists(spark, lineageDir(outDir))) return Set.empty
@@ -994,9 +994,12 @@ object IndexBuilder {
     * corpus — each affected partition is read partition-pruned, purged
     * per-row (memory bounded by one term's chunk postings), and replaced
     * via dynamic partition overwrite; stats/lineage are refreshed for the
-    * affected chunks only (tmp-swap carry-over). The tombstone set rides a
-    * broadcast, so compaction cadence bounds its size (each chunk's share
-    * is <= chunkDocs by construction). A chunk whose docs are ALL
+    * affected chunks only (tmp-swap carry-over). Tombstones stay DATA, not
+    * driver state: the purge joins per-chunk collect_set rows against the
+    * pruned postings on chunk (Catalyst broadcasts the side when it is
+    * small and falls back to a distributed join when it is not), and doc
+    * rows drop out through a left_anti join — only the affected CHUNK LIST
+    * (one long per chunk) is ever collected. A chunk whose docs are ALL
     * tombstoned gets its partition directory removed outright (dynamic
     * overwrite never replaces a partition with zero output rows). Crash
     * between the partition writes and the tombstone clear is safe: re-run
@@ -1007,13 +1010,9 @@ object IndexBuilder {
   def compact(spark: SparkSession, outDir: String): Set[Long] = {
     import spark.implicits._
     if (!pathExists(spark, tombstonesDir(outDir))) return Set.empty
-    val byChunk = spark.read.parquet(tombstonesDir(outDir))
-      .select($"chunk".cast("long"), $"docId".cast("long"))
-      .as[(Long, Long)].collect()
-      .groupBy(_._1).map { case (c, a) => (c, a.map(_._2).toSet) }
-    if (byChunk.isEmpty) { deleteTree(spark, tombstonesDir(outDir)); return Set.empty }
-    val bcTomb = spark.sparkContext.broadcast(byChunk)
-    val affectedSeq = byChunk.keySet.toSeq.sorted
+    val tombs = IndexStore.readTombstones(spark, outDir)
+    val affectedSeq = tombs.map(_.chunk).distinct().collect().sorted.toSeq
+    if (affectedSeq.isEmpty) { deleteTree(spark, tombstonesDir(outDir)); return Set.empty }
     val affected = col("chunk").isin(affectedSeq: _*)
     val combinedLayout = !pathExists(spark, docsDir(outDir))
     val persistedCd = IndexStore.readStats(spark, outDir)
@@ -1022,34 +1021,48 @@ object IndexBuilder {
       if (persistedCd > 0) BuildConfig(chunkDocs = persistedCd) else BuildConfig()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    def liveDoc(d: DocRow): Boolean =
-      !bcTomb.value.getOrElse(d.chunk, Set.empty[Long])(d.docId)
+    // per-chunk tombstone sets as rows (<= chunkDocs ids each)
+    val deadByChunk = tombs.toDF()
+      .groupBy($"chunk").agg(collect_set($"docId").as("deadIds"))
+
+    def liveDocs(d: Dataset[DocRow]): Dataset[DocRow] =
+      d.join(tombs.toDF(), Seq("chunk", "docId"), "left_anti").as[DocRow]
     /** decode-filter-reencode; rows with no deleted doc keep their original
-      * bytes without re-encoding, rows losing every doc are dropped
+      * bytes without re-encoding, rows losing every doc are dropped. The
+      * chunk's dead set is materialized once per (task, chunk) — rows of
+      * one partition dir share their chunk, so the per-row join array is
+      * hashed once, not once per posting row.
       */
     def purge(p: Dataset[PostingRow]): Dataset[PostingRow] =
-      p.flatMap { r =>
-        val dead = bcTomb.value.getOrElse(r.chunk, Set.empty[Long])
-        if (dead.isEmpty) Iterator.single(r)
-        else {
-          val kept = graft.codec.PostingCodec.decode(r.df, r.postingsBlob)
-            .filterNot(run => dead(run._1))
-          if (kept.isEmpty) Iterator.empty
-          else if (kept.length.toLong == r.df) Iterator.single(r)
-          else {
-            val (df, tf, blocks, blob) = graft.codec.PostingCodec.encode(
-              scala.collection.immutable.ArraySeq.unsafeWrapArray(kept))
-            Iterator.single(PostingRow(r.chunk, r.term, df, tf, blocks, blob))
+      p.toDF().join(deadByChunk, Seq("chunk"), "inner")
+        .as[(Long, String, Long, Long, Array[graft.codec.PostingBlock], Array[Byte], Array[Long])]
+        .mapPartitions { it =>
+          var cachedChunk = Long.MinValue
+          var cachedDead: Set[Long] = Set.empty
+          it.flatMap { case (chunk, term, df0, tf0, blocks, blob, deadArr) =>
+            if (chunk != cachedChunk) {
+              cachedChunk = chunk; cachedDead = deadArr.toSet
+            }
+            val dead = cachedDead
+            val kept = graft.codec.PostingCodec.decode(df0, blob)
+              .filterNot(run => dead(run._1))
+            if (kept.isEmpty) Iterator.empty
+            else if (kept.length.toLong == df0)
+              Iterator.single(PostingRow(chunk, term, df0, tf0, blocks, blob))
+            else {
+              val (df, tf, nblocks, nblob) = graft.codec.PostingCodec.encode(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(kept))
+              Iterator.single(PostingRow(chunk, term, df, tf, nblocks, nblob))
+            }
           }
         }
-      }
 
     // fully-emptied chunks must be detected BEFORE the write: dynamic
     // overwrite leaves their old partition dirs in place (nothing in the
     // output replaces them), and a post-write probe would read those stale
     // rows right back
-    val survivors = IndexStore.readDocs(spark, outDir).filter(affected)
-      .filter(liveDoc _).groupByKey(_.chunk).count().collect().toMap
+    val survivors = liveDocs(IndexStore.readDocs(spark, outDir).filter(affected))
+      .groupBy($"chunk").count().as[(Long, Long)].collect().toMap
     val emptied = affectedSeq.filterNot(c => survivors.getOrElse(c, 0L) > 0L)
 
     if (combinedLayout) {
@@ -1057,7 +1070,7 @@ object IndexBuilder {
       val oldP = IndexStore.readPostings(spark, outDir).filter(affected)
       val oldD = IndexStore.readDocs(spark, outDir).filter(affected)
       writeCombinedChunks(purge(oldP).map(IndexRow.ofPosting)
-        .unionByName(oldD.filter(liveDoc _).map(IndexRow.ofDoc)), outDir)
+        .unionByName(liveDocs(oldD).map(IndexRow.ofDoc)), outDir)
     } else {
       // legacy: each job reads only the table it overwrites (see
       // writeTableChunks)
@@ -1065,8 +1078,8 @@ object IndexBuilder {
         purge(IndexStore.readPostings(spark, outDir).filter(affected)).toDF(),
         postingsDir(outDir))
       writeTableChunks(
-        IndexStore.readDocs(spark, outDir).filter(affected)
-          .filter(liveDoc _).toDF(), docsDir(outDir))
+        liveDocs(IndexStore.readDocs(spark, outDir).filter(affected)).toDF(),
+        docsDir(outDir))
     }
     emptied.foreach { c =>
       deleteTree(spark, s"${postingsDir(outDir)}/chunk=$c")
@@ -1075,7 +1088,6 @@ object IndexBuilder {
 
     refreshStatsAndLineage(spark, outDir, affected, cfg)
     deleteTree(spark, tombstonesDir(outDir))
-    bcTomb.destroy()
     affectedSeq.toSet
   }
 
@@ -1194,6 +1206,18 @@ object IndexStore {
       spark.read.parquet(IndexBuilder.tombstonesDir(outDir))
         .withColumn("chunk", col("chunk").cast("long"))
         .select("chunk", "docId").as[TombstoneRow]
+  }
+
+  /** The LIVE doc view between compactions: doc rows minus pending
+    * tombstones (left_anti on (chunk, docId) — the tombstone side is tiny
+    * by protocol, so Catalyst broadcasts it). After compact this is
+    * identical to readDocs.
+    */
+  def readDocsLive(spark: SparkSession, outDir: String): Dataset[DocRow] = {
+    import spark.implicits._
+    readDocs(spark, outDir)
+      .join(readTombstones(spark, outDir).toDF(), Seq("chunk", "docId"), "left_anti")
+      .as[DocRow]
   }
 
   def readStats(spark: SparkSession, outDir: String): Dataset[StatsRow] = {

@@ -128,6 +128,22 @@ class CompactionSpec extends AnyFunSuite {
     ids.unpersist()
   }
 
+  test("readDocsLive hides pending tombstones; compact makes it the physical view") {
+    val ids = corpus(30, seed = 33).persist() // docs 0..59
+    val cfg = BuildConfig(chunkDocs = 50)
+    val dir = SparkTestBase.tempDir("graft_cmp")
+    IndexBuilder.build(spark, ids, dir, cfg)
+    IndexBuilder.markDeleted(spark, dir, toDs(Seq(5L, 51L)))
+    // postings reads stay tombstone-blind; the live doc view hides them
+    assert(IndexStore.readDocs(spark, dir).count() === 60L)
+    val live = IndexStore.readDocsLive(spark, dir).collect().map(_.docId).toSet
+    assert(!live.contains(5L) && !live.contains(51L) && live.size === 58)
+    IndexBuilder.compact(spark, dir)
+    assert(IndexStore.readDocs(spark, dir).collect().map(_.docId).toSet === live)
+    assert(IndexStore.readDocsLive(spark, dir).count() === 58L)
+    ids.unpersist()
+  }
+
   test("append after compact keeps the docId high-water mark") {
     val ids = corpus(60, seed = 31).persist() // docs 0..119
     val cfg = BuildConfig(chunkDocs = 50)
