@@ -322,13 +322,22 @@ object Bench {
     var queryRetries = 0
     var dirtyWindows = 0
     // sub-second windows use the 0.1 s noise floor: the 1 s build floor
-    // would wave through ~100%-inflated query samples as "clean"
-    def windowClean(w: (Seq[Double], Double)): Boolean =
-      isClean(w._2, large, w._1.sum, floorSec = 0.1)
+    // would wave through ~100%-inflated query samples as "clean".
+    // Steal deltas can't see IN-JVM stalls (a full GC draining the build
+    // phase's garbage once stalled a single sample to ~6x the median with
+    // zero steal), so a window is also dirty when its max sample blows
+    // past 4x its own median — the same bounded retry budget applies and
+    // a persistent outlier is kept and flagged, never silently dropped.
+    def windowClean(w: (Seq[Double], Double)): Boolean = {
+      val med = w._1.sorted.apply(w._1.size / 2)
+      isClean(w._2, large, w._1.sum, floorSec = 0.1) && w._1.max <= 4 * med
+    }
     def cleanWindow(run: () => Double): Seq[Double] = {
       def window(): (Seq[Double], Double) = {
         val s0 = stealSec()
-        val times = (1 to 5).map(_ => run())
+        // 10 samples: p99 over the 110-sample set is the 2nd-highest
+        // observation instead of the max — one stray stall can't own it
+        val times = (1 to 10).map(_ => run())
         val sd = { val s1 = stealSec(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
         (times, sd)
       }
@@ -351,6 +360,10 @@ object Bench {
       if (!windowClean(bestW)) dirtyWindows += 1
       bestW._1
     }
+    // drain the build phase's garbage BEFORE sampling: its first full GC
+    // otherwise lands inside some query window as a zero-steal stall
+    System.gc()
+    Thread.sleep(500)
     refQueries.foreach { q => engine.search(q) } // warmup
     refQueries.foreach { q =>
       val times = cleanWindow(() => timed(engine.search(q))._2)
