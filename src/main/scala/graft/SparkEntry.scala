@@ -333,13 +333,21 @@ object SparkEntry {
   }
 
   /** One persisted bucket-partitioned ANN store per scale dir (nBits=5,
-    * in lockstep with the duckLshBuckets oracle CTEs), built on first use.
+    * in lockstep with the duckLshBuckets oracle CTEs), built INCREMENTALLY
+    * on first use — base build over the first half of the vectors, then
+    * AnnStore.append over the rest, so q_ann_store_topk/_multiprobe check
+    * the append path end-to-end (the SRP bucket function is pure content
+    * hashing, so the oracle CTEs are split-oblivious).
     */
   private val annCache = scala.collection.mutable.HashMap.empty[String, String]
   private def annDir(s: SparkSession, sfDir: String): String = synchronized {
     annCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
       val out = java.nio.file.Files.createTempDirectory("graft_ann").toString
-      AnnStore.build(embDf(s, sfDir), out, nBits = 5)
+      val emb = embDf(s, sfDir)
+      val mid = emb.agg(max(col("vec_id"))).as[Long].head() / 2
+      AnnStore.build(emb.filter(col("vec_id") <= mid), out, nBits = 5)
+      AnnStore.append(emb.filter(col("vec_id") > mid), out, nBits = 5)
       out
     })
   }

@@ -31,6 +31,22 @@ object AnnStore {
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir)
 
+  /** Incremental append: new vectors land in their bucket partitions at
+    * delta cost — one delta-sized shuffle, SaveMode Append, existing
+    * bucket files untouched; queries are oblivious (a probed bucket
+    * unions its files). The SRP bucket function is pure content hashing
+    * (md5 planes — no trained state), so an appended store's rows are
+    * IDENTICAL to a from-scratch build over the union (AnnStoreSpec pins
+    * it). Caller contract, same trust model as [[topK]]'s nBits param:
+    * pass the build's nBits, and keep vec_ids disjoint from the store's.
+    */
+  def append(emb: DataFrame, outDir: String, nBits: Int = 8): Unit =
+    Similarity.nonDegenerate(emb)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.bucketExpr(col("embedding"), nBits).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(outDir)
+
   /** Typed reader; `bucket` is a partition directory column, normalized
     * back to long (same convention as IndexStore).
     */

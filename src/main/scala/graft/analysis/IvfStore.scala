@@ -55,6 +55,24 @@ object IvfStore {
       .write.mode("overwrite").parquet(centroidsDir(outDir))
   }
 
+  /** Incremental append: assign the delta against the PERSISTED centroid
+    * sidecar (cells are frozen at build time — the classic IVF contract;
+    * re-train when distribution drift degrades recall) and land it in the
+    * cell partitions at delta cost (one delta-sized shuffle, SaveMode
+    * Append, existing cell files untouched). Queries are oblivious, and
+    * the nprobe = k setting stays EXACT brute force over the grown corpus
+    * no matter how the delta was assigned (IvfStoreSpec pins both).
+    * Caller contract: vec_ids disjoint from the store's.
+    */
+  def append(emb: DataFrame, outDir: String): Unit = {
+    val spark = emb.sparkSession
+    val best = Clustering.bestStructIds(col("embedding"),
+      loadCentroids(spark, outDir).map { case (j, c) => (j, c) }.toSeq)
+    emb.select(col("vec_id"), col("embedding"), best.getField("j").as("cluster"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(outDir)
+  }
+
   /** Typed reader; `cluster` is a partition directory column, normalized
     * back to long (same convention as AnnStore.load / IndexStore).
     */

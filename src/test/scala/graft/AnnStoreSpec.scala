@@ -53,6 +53,35 @@ class AnnStoreSpec extends AnyFunSuite {
       rows(Similarity.lshTopKMultiProbe(emb, 0L, 10, nBits = 5)))
   }
 
+  test("append == from-scratch build: rows identical, old bucket files untouched") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-ann-app")
+    AnnStore.build(emb.filter($"vec_id" < 50L), dir, nBits = 5)
+    // snapshot a pre-append bucket's files (mode Append never rewrites)
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.toString).toSeq
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified(), f.length())).toSet
+    val before = bucketDirs.map(d => d -> files(d)).toMap
+
+    AnnStore.append(emb.filter($"vec_id" >= 50L), dir, nBits = 5)
+    val appended = AnnStore.load(spark, dir)
+      .select($"vec_id", $"bucket").as[(Long, Long)].collect().toMap
+    val scratch = AnnStore.load(spark, storeDir)
+      .select($"vec_id", $"bucket").as[(Long, Long)].collect().toMap
+    assert(appended === scratch)
+    bucketDirs.foreach(d => assert(files(d).intersect(before(d)) === before(d),
+      s"$d lost or rewrote pre-append files"))
+    // query equivalence over the appended store
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qv = AnnStore.vectorOf(emb, 0L)
+    assert(rows(AnnStore.topK(AnnStore.load(spark, dir), qv, 10, 5,
+      multiProbe = true, excludeVecId = 0L)) ===
+      rows(Similarity.lshTopKMultiProbe(emb, 0L, 10, nBits = 5)))
+  }
+
   test("probe read prunes partitions: only probe buckets are scanned") {
     val store = AnnStore.load(spark, storeDir)
     val qv = AnnStore.vectorOf(emb, 0L)

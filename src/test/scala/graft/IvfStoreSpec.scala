@@ -48,6 +48,38 @@ class IvfStoreSpec extends AnyFunSuite {
       rows(Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)))
   }
 
+  test("append assigns the delta to PERSISTED centroids; nprobe = k stays exact") {
+    import spark.implicits._
+    val dir = SparkTestBase.tempDir("graft-ivf-app")
+    IvfStore.build(emb.filter($"vec_id" < 50L), dir, k = 8)
+    val centsBefore = IvfStore.loadCentroids(spark, dir)
+    IvfStore.append(emb.filter($"vec_id" >= 50L), dir)
+
+    // centroids frozen (the sidecar is build-time state, append reads it)
+    val centsAfter = IvfStore.loadCentroids(spark, dir)
+    assert(centsAfter.map(_._1).toSeq === centsBefore.map(_._1).toSeq)
+    centsAfter.zip(centsBefore).foreach { case ((_, a), (_, b)) =>
+      assert(a.toSeq === b.toSeq)
+    }
+    // every delta row landed in its nearest FROZEN centroid's cell
+    val persisted = IvfStore.load(spark, dir)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(persisted.size.toLong === emb.count())
+    emb.filter($"vec_id" >= 50L)
+      .select($"vec_id", transform($"embedding", _.cast("double")))
+      .as[(Long, Seq[Double])].collect().foreach { case (id, v) =>
+      val expect = IvfStore.probeClusters(centsBefore, v.toArray, 1).head
+      assert(persisted(id) === expect, s"vec $id")
+    }
+    // nprobe = k is exact over the grown corpus regardless of assignment
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qv = graft.analysis.AnnStore.vectorOf(emb, 0L)
+    assert(rows(IvfStore.topK(IvfStore.load(spark, dir), centsAfter, qv,
+      k = 10, nprobe = 8, excludeVecId = 0L)) ===
+      rows(Similarity.bruteForceTopK(emb, queryId = 0L, k = 10)))
+  }
+
   test("nprobe < k reads only probe-cell partitions (PartitionFilters)") {
     import spark.implicits._
     val store = IvfStore.load(spark, storeDir)
