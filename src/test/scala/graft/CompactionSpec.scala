@@ -144,6 +144,39 @@ class CompactionSpec extends AnyFunSuite {
     ids.unpersist()
   }
 
+  test("the flagship query path runs unchanged over a maintained index") {
+    // an index that lived: base build -> append -> delete -> compact must
+    // serve SearchEngine queries exactly like a fresh build over the same
+    // surviving corpus (blob identity makes this a consequence; this test
+    // pins the END-TO-END wiring, engine included)
+    import graft.engine.SearchEngine
+    val ids = corpus(60, seed = 35).persist() // docs 0..119
+    val cfg = BuildConfig(chunkDocs = 50)
+    val dir = SparkTestBase.tempDir("graft_cmp")
+    IndexBuilder.build(spark, ids.filter(_.docId < 100L), dir, cfg)
+    IndexBuilder.appendBuild(spark, ids.filter(_.docId >= 100L), dir, cfg)
+    IndexBuilder.markDeleted(spark, dir, toDs(Seq(7L, 55L, 111L)))
+    IndexBuilder.compact(spark, dir)
+    val full = SparkTestBase.tempDir("graft_cmp_full")
+    val survivors = ids.filter(d => !Seq(7L, 55L, 111L).contains(d.docId))
+    IndexBuilder.build(spark, survivors, full, cfg)
+
+    val maintained = new SearchEngine(spark, dir, 50)
+    val fresh = new SearchEngine(spark, full, 50)
+    // vocabulary comes from the seeded synthetic lexicon; probe with terms
+    // drawn from a surviving doc so at least one query returns hits
+    val sample = survivors.filter(_.docId == 0L).head().content
+      .split("\\s+").filter(_.matches("[A-Za-z]{1,19}")).take(2).map(_.toLowerCase)
+    val queries = Seq(sample.mkString(" "), sample.head, s"${sample.head} OR ${sample.last}")
+    queries.foreach { q =>
+      val got = maintained.search(q).map(h => (h.url, h.score))
+      val want = fresh.search(q).map(h => (h.url, h.score))
+      assert(got === want, s"query '$q'")
+    }
+    assert(queries.exists(q => fresh.search(q).nonEmpty))
+    ids.unpersist()
+  }
+
   test("append after compact keeps the docId high-water mark") {
     val ids = corpus(60, seed = 31).persist() // docs 0..119
     val cfg = BuildConfig(chunkDocs = 50)
