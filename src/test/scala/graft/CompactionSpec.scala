@@ -177,6 +177,33 @@ class CompactionSpec extends AnyFunSuite {
     ids.unpersist()
   }
 
+  test("property: random geometry/split/delete trials — maintained == fresh") {
+    // seeded-random sweep (house scalatest/scalacheck bridge, cf.
+    // CodecSpec): whatever the chunk geometry, append split point, and
+    // delete set, build -> append -> delete -> compact must equal a fresh
+    // build over the survivors
+    val rnd = new scala.util.Random(4242)
+    (1 to 4).foreach { trial =>
+      val n = 20 + rnd.nextInt(20) // files per repo; corpus = 2n docs
+      val ids = corpus(n, seed = 100 + trial).persist()
+      val total = 2L * n
+      val cd = Seq(20L, 30L, 50L)(rnd.nextInt(3))
+      val cfg = BuildConfig(chunkDocs = cd)
+      val split = 1L + rnd.nextInt((total - 1).toInt)
+      val dir = SparkTestBase.tempDir("graft_prop")
+      IndexBuilder.build(spark, ids.filter(_.docId < split), dir, cfg)
+      IndexBuilder.appendBuild(spark, ids.filter(_.docId >= split), dir, cfg)
+      val dead = (0L until total).filter(_ => rnd.nextDouble() < 0.15)
+      IndexBuilder.markDeleted(spark, dir, toDs(dead))
+      IndexBuilder.compact(spark, dir)
+      val full = SparkTestBase.tempDir("graft_prop_full")
+      IndexBuilder.build(spark, ids.filter(d => !dead.contains(d.docId)), full, cfg)
+      assert(canon(dir) === canon(full),
+        s"trial $trial (n=$n chunkDocs=$cd split=$split |dead|=${dead.size})")
+      ids.unpersist()
+    }
+  }
+
   test("append after compact keeps the docId high-water mark") {
     val ids = corpus(60, seed = 31).persist() // docs 0..119
     val cfg = BuildConfig(chunkDocs = 50)
