@@ -578,6 +578,16 @@ object SparkEntry {
     // context-window chunking: 64-token windows, stride 48 (25% overlap)
     "q_sliding_chunks" -> ((s, dir) =>
       TextAnalysis.slidingChunks(docsDf(s, dir), size = 64, stride = 48)),
+    // bigram-LM cross-entropy (the CCNet-style perplexity quality filter;
+    // LM = the corpus itself, add-one smoothing)
+    "q_lm_score" -> ((s, dir) => TextAnalysis.lmCrossEntropy(docsDf(s, dir))),
+    // snippet extraction: 3-token context around the first 'merge' hit
+    "q_snippets" -> ((s, dir) => TextAnalysis.snippets(docsDf(s, dir), "merge", 3)),
+    // deterministic training shards: the reproducible global shuffle
+    "q_train_shards" -> ((s, dir) =>
+      TextAnalysis.shardForTraining(docsDf(s, dir), numShards = 16)),
+    // per-doc top-5 TF-IDF keywords (curation/tagging)
+    "q_keywords" -> ((s, dir) => TextAnalysis.keywordsTfIdf(docsDf(s, dir), 5)),
 
     // ---- multimodal plumbing (decode stubbed; metadata is real) ----
     "q_multimodal_meta" -> ((s, dir) => Multimodal.metaSql(docsDf(s, dir))),
@@ -1292,6 +1302,63 @@ object SparkEntry {
         |       round(coalesce(1.0 - p.n_distinct * 1.0 / p.n_shingles, 0.0), 6) AS dup_ratio,
         |       round(coalesce(p.top_n * 1.0 / p.n_shingles, 0.0), 6) AS top_share
         |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin),
+
+      // bigram-LM twin: same lead-window bigram construction as the
+      // 2-shingle projection, same add-one smoothing, avg of -ln(p)
+      // rounded at 4 dp on both sides
+      "q_lm_score" -> (duckToks + """
+        |, b0 AS (
+        |  SELECT doc_id, term AS w1, lead(term, 1) OVER w AS w2
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |bg AS (SELECT doc_id, w1, w2 FROM b0 WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT term AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+        |v AS (SELECT count(DISTINCT term) AS v FROM toks),
+        |sc AS (
+        |  SELECT bg.doc_id, -ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS nl
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |per AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 4) AS xent
+        |        FROM sc GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       coalesce(p.xent, 0.0) AS xent
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin),
+
+      // snippet twin: first hit = min kept-token pos; the window slice is
+      // re-assembled by position-ordered string_agg over the same range
+      "q_snippets" -> (duckToks + """
+        |, hit AS (SELECT doc_id, min(pos) AS hit FROM toks
+        |          WHERE term = 'merge' GROUP BY 1)
+        |SELECT h.doc_id, h.hit AS first_pos,
+        |       string_agg(t.term, ' ' ORDER BY t.pos) AS snippet
+        |FROM hit h JOIN toks t USING (doc_id)
+        |WHERE t.pos BETWEEN GREATEST(h.hit - 3, 1) AND h.hit + 3
+        |GROUP BY h.doc_id, h.hit""".stripMargin),
+
+      // shard twin: identical integer modular mixing (overflow-safe by
+      // construction: doc_id is bounded to < 99991 before the multiply)
+      "q_train_shards" -> """
+        |SELECT doc_id,
+        |       CAST((doc_id % 99991) * 2654435761 % 104729 % 16 AS BIGINT) AS shard,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY (doc_id % 99991) * 2654435761 % 104729 % 16
+        |         ORDER BY (doc_id % 65521) * 40503 % 104729, doc_id) AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+
+      // TF-IDF keyword twin: both engines rank the 6-dp-ROUNDED score
+      // (term asc ties), so a cross-engine ulp cannot flip the kept set
+      "q_keywords" -> (duckToks + """
+        |, tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |         round(tf.tf * ln(n.n * 1.0 / df.df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY tfidf DESC, term) AS rk FROM sc)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM rk WHERE rk <= 5""".stripMargin),
 
       "q_sliding_chunks" -> (duckToks + """
         |, wins AS (

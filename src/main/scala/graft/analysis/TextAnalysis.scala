@@ -286,6 +286,119 @@ object TextAnalysis {
             x => x.getField("term")))).as("chunk_sha"))
   }
 
+  /** Bigram language-model scoring — the CCNet-style perplexity filter
+    * every web-scale training pipeline runs (score docs by how "normal"
+    * their token transitions are under a corpus-trained LM; outliers are
+    * boilerplate or noise). The LM is the corpus itself: add-one-smoothed
+    * bigram probabilities p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V) over
+    * the frozen kept-token stream, and the score is the per-doc mean
+    * negative log-probability (cross-entropy, nats/token). Docs with
+    * fewer than two kept tokens score (0, 0.0).
+    *
+    * Scale shape: bigrams are a per-row slice projection ([[shingles]]
+    * with n = 2 — no window exchange); the two count tables are one
+    * groupBy each; scoring joins the doc bigram stream to them on the
+    * bigram/unigram keys — shuffle joins at the information floor (the
+    * count tables are vocabulary-sized, too big to broadcast at corpus
+    * scale, and the join keys are exactly the model's keys). The vocab
+    * size V is a one-row aggregate, broadcast.
+    */
+  def lmCrossEntropy(docs: DataFrame): DataFrame = {
+    val bg = shingles(docs, 2).select(col("doc_id"),
+      substring_index(col("shingle"), " ", 1).as("w1"), col("shingle"))
+    val c2 = bg.groupBy(col("shingle")).agg(count(lit(1)).as("c2"))
+    val toks = tokens(docs)
+    val c1 = toks.groupBy(col("term").as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.agg(countDistinct(col("term")).as("v"))
+    val perDoc = bg
+      .join(c2, Seq("shingle"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (-log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("nl"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nl")), 4).as("xent"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("xent"), lit(0.0)).as("xent"))
+  }
+
+  /** Snippet extraction — the result-sink enrichment a search front-end
+    * needs (the reference returns bare url/title; a snippet around the
+    * first hit is the natural next column). For each doc containing
+    * `term` (lowercased kept-token match), emits the first hit's 1-based
+    * kept-token position and the `window`-token context on each side,
+    * clamped at the doc start (the end clamps itself: slice stops at the
+    * array bound). A pure per-row projection over the scan — zero
+    * shuffles, zero joins; at query time the same expression runs over
+    * the top-k rows only.
+    */
+  def snippets(docs: DataFrame, term: String, window: Int = 3): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    val kt = transform(keptTokens(col("text")), lower(_))
+    docs.select(col("doc_id"), kt.as("kt"))
+      .select(col("doc_id"), array_position(col("kt"), term).as("hit"), col("kt"))
+      .filter(col("hit") > 0)
+      .select(col("doc_id"), col("hit").as("first_pos"),
+        concat_ws(" ", slice(col("kt"),
+          greatest(col("hit") - window, lit(1L)).cast("int"),
+          (col("hit") + window - greatest(col("hit") - window, lit(1L)) + 1)
+            .cast("int"))).as("snippet"))
+  }
+
+  /** Deterministic training-shard assignment — the "global shuffle" a
+    * training run needs, as a reproducible operator: every doc gets a
+    * pseudo-random shard (0..numShards-1) and a dense 1-based position
+    * within its shard, both pure functions of doc_id (integer modular
+    * mixing, engine-portable and overflow-safe like [[sampleStratified]];
+    * no RNG state, so any engine re-derives the same order). Plan: the
+    * shard/sort keys are a projection; the only exchange is the
+    * row_number window on the shard key. Size numShards well above the
+    * executor count — each shard is one sort task, and shards ARE the
+    * training-reader parallelism unit.
+    */
+  def shardForTraining(docs: DataFrame, numShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(numShards > 0, "numShards must be positive")
+    val h1 = (col("doc_id") % 99991L) * 2654435761L % 104729L
+    val h2 = (col("doc_id") % 65521L) * 40503L % 104729L
+    docs.select(col("doc_id"), (h1 % numShards).cast("long").as("shard"),
+        h2.as("h2"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("h2"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** Per-doc top-k TF-IDF keywords — the curation/tagging primitive
+    * (label each doc by its most characteristic terms). tfidf =
+    * tf · ln(N / df), N = corpus doc count, rounded to 6 dp BEFORE the
+    * rank order (both engines rank the same rounded value; term asc
+    * breaks ties) so a cross-engine ulp can never flip the kept set.
+    * Plan: per-(doc, term) tf and per-term df are partial-agg groupBys;
+    * the df join keys on term (information floor — df is
+    * vocabulary-sized); N is a broadcast one-row aggregate; the only
+    * other exchange is the per-doc rank window.
+    */
+  def keywordsTfIdf(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "k must be positive")
+    val t = tokens(docs)
+    val tf = t.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = t.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(desc("tfidf"), asc("term"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rk"))
+  }
+
   /** Within-document repetition signals (the Gopher / RefinedWeb-style
     * quality rules): duplicate 3-gram mass and the heaviest 3-gram's
     * share. High values flag boilerplate/spam for pre-training filters.

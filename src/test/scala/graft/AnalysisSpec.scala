@@ -200,6 +200,84 @@ class AnalysisSpec extends AnyFunSuite {
     assert(out === Map(0L -> ((8L, 1L, 8L)), 1L -> ((6L, 5L, 10L)), 2L -> ((2L, 9L, 10L))))
   }
 
+  test("lmCrossEntropy: add-one bigram LM, hand-computed") {
+    import spark.implicits._
+    // corpus: doc1 tokens a,b,a,b; doc2 token z (widens V to 3, no
+    // bigram); doc3 empty after the kept-token filter
+    val d = Seq((1L, "a b a b"), (2L, "z"), (3L, "x9 y9"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmCrossEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // c1: a=2 b=2 z=1; V=3; c2: "a b"=2, "b a"=1
+    // p(a b)=(2+1)/(2+3)=0.6; p(b a)=(1+1)/(2+3)=0.4
+    val expected = math.rint(
+      -(2 * math.log(0.6) + math.log(0.4)) / 3 * 1e4) / 1e4
+    assert(out(1L) === ((3L, expected)))
+    assert(out(2L) === ((0L, 0.0)))
+    assert(out(3L) === ((0L, 0.0)))
+  }
+
+  test("snippets: window slice clamps at both doc boundaries, case-folds") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta merge gamma delta epsilon zeta"), // interior hit
+      (2L, "merge alpha beta"),                          // start clamp
+      (3L, "alpha beta gamma merge"),                    // end clamp
+      (4L, "no hit here"),                               // filtered out
+      (5L, "x Merge y"))                                 // kept-token lowering
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.snippets(d, "merge", window = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out === Map(
+      1L -> ((3L, "alpha beta merge gamma delta")),
+      2L -> ((1L, "merge alpha beta")),
+      3L -> ((4L, "beta gamma merge")),
+      5L -> ((2L, "x merge y"))))
+  }
+
+  test("shardForTraining: total, dense per-shard positions, deterministic") {
+    import spark.implicits._
+    val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val rows = TextAnalysis.shardForTraining(d, numShards = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 200) // total: every doc assigned exactly once
+    assert(rows.map(_._1).toSet === (0L until 200L).toSet)
+    rows.foreach { case (_, s, _) => assert(s >= 0 && s < 16) }
+    // positions are dense 1..n within each shard
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1L to g.length).toSeq,
+        s"shard $s positions not dense")
+    }
+    // reproducible: a second run yields the identical assignment
+    val again = TextAnalysis.shardForTraining(d, numShards = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.shardForTraining(d, numShards = 0)
+    }
+  }
+
+  test("keywordsTfIdf: hand-computed scores, rounded-value tie-break") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("doc_id", "text")
+    val out = TextAnalysis.keywordsTfIdf(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    assert(out((1L, "apple")) === ((2L, r6(2 * math.log(3.0)), 1L)))
+    assert(out((1L, "banana")) === ((1L, r6(math.log(1.5)), 2L)))
+    // doc2: banana and cherry tie exactly -> term asc breaks it
+    assert(out((2L, "banana"))._3 === 1L)
+    assert(out((2L, "cherry"))._3 === 2L)
+    // doc3: cherry (3·ln1.5 = 1.216395) outranks date (ln3 = 1.098612)
+    assert(out((3L, "cherry")) === ((3L, r6(3 * math.log(1.5)), 1L)))
+    assert(out((3L, "date")) === ((1L, r6(math.log(3.0)), 2L)))
+  }
+
   test("langId picks en for stopword-rich english text") {
     import spark.implicits._
     val d = Seq((1L, "the cat and the dog in a house"),
