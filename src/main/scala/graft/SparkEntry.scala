@@ -364,6 +364,45 @@ object SparkEntry {
     })
   }
 
+  /** One MAINTAINED ANN store per scale dir: full build, tombstone
+    * vec_id % 7 == 3 and COMPACT (physically purged), then tombstone
+    * vec_id % 11 == 5 left PENDING. q_ann_maint_topk probes the live
+    * view of THIS store, so the driver's oracle checks the vector
+    * delete/compact lifecycle end-to-end — both the purge and the
+    * pending-tombstone mask.
+    */
+  private val annMaintCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def annMaintDir(s: SparkSession, sfDir: String): String = synchronized {
+    annMaintCache.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_ann_m").toString
+      val emb = embDf(s, sfDir)
+      AnnStore.build(emb, out, nBits = 5)
+      AnnStore.markDeleted(emb.filter(col("vec_id") % 7 === 3), out, nBits = 5)
+      AnnStore.compact(s, out)
+      AnnStore.markDeleted(emb.filter(col("vec_id") % 11 === 5), out, nBits = 5)
+      out
+    })
+  }
+
+  /** The IVF twin of [[annMaintDir]]: tombstone vec_id % 9 == 4, compact,
+    * then tombstone vec_id % 13 == 6 left pending. q_ivf_maint_topk
+    * queries the live view at nprobe = k, which degenerates to EXACT
+    * brute-force top-k over the survivors — the strongest oracle shape
+    * (no cell CTEs to keep in lockstep).
+    */
+  private val ivfMaintCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def ivfMaintDir(s: SparkSession, sfDir: String): String = synchronized {
+    ivfMaintCache.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_ivf_m").toString
+      val emb = embDf(s, sfDir)
+      IvfStore.build(emb, out, k = 8)
+      IvfStore.markDeleted(emb.filter(col("vec_id") % 9 === 4), out)
+      IvfStore.compact(s, out)
+      IvfStore.markDeleted(emb.filter(col("vec_id") % 13 === 6), out)
+      out
+    })
+  }
+
   /** Flagship: index build + reference-scored search, end to end. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -531,6 +570,21 @@ object SparkEntry {
       val qv = AnnStore.vectorOf(embDf(s, dir), 0L)
       AnnStore.topK(store, qv, k = 10, nBits = 5, multiProbe = true,
         excludeVecId = 0L)
+    }),
+    // maintained (delete -> compact -> pending-delete) stores: the live
+    // view must rank exactly the surviving vectors
+    "q_ann_maint_topk" -> ((s, dir) => {
+      val store = AnnStore.loadLive(s, annMaintDir(s, dir))
+      val qv = AnnStore.vectorOf(embDf(s, dir), 0L)
+      AnnStore.topK(store, qv, k = 10, nBits = 5, multiProbe = true,
+        excludeVecId = 0L)
+    }),
+    "q_ivf_maint_topk" -> ((s, dir) => {
+      val d = ivfMaintDir(s, dir)
+      val store = IvfStore.loadLive(s, d)
+      val cents = IvfStore.loadCentroids(s, d)
+      IvfStore.topK(store, cents, AnnStore.vectorOf(embDf(s, dir), 0L),
+        k = 10, nprobe = 8, excludeVecId = 0L)
     }),
 
     // ---- text analysis ----
@@ -1176,6 +1230,27 @@ object SparkEntry {
       "q_ann_lsh_multiprobe" -> annMultiprobeSql,
       "q_ann_store_topk" -> annTopkSql,
       "q_ann_store_multiprobe" -> annMultiprobeSql,
+      // maintained-store twin: the multiprobe oracle restricted to the
+      // delete lifecycle's survivors (% 7 purged by compact, % 11 still
+      // pending) — derived STRUCTURALLY from annMultiprobeSql so the
+      // bucket CTEs cannot desynchronize
+      "q_ann_maint_topk" -> annMultiprobeSql.replace(
+        "cand AS (SELECT b.vec_id FROM buckets b JOIN probes USING (bucket)),",
+        "cand AS (SELECT b.vec_id FROM buckets b JOIN probes USING (bucket)\n" +
+          "        WHERE b.vec_id % 7 <> 3 AND b.vec_id % 11 <> 5),"),
+      // IVF maintained store at nprobe = k: EXACT brute-force top-k over
+      // the survivors (% 9 purged, % 13 pending)
+      "q_ivf_maint_topk" -> (duckEmbParts + """
+        |, q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+        |  FROM parts p JOIN q USING (dim)
+        |  WHERE p.vec_id % 9 <> 4 AND p.vec_id % 13 <> 6
+        |  GROUP BY 1),
+        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+        |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
+        |FROM cos CROSS JOIN nq WHERE vec_id <> 0
+        |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
 
       "q_lang_id" -> (duckToks + s"""
         |, hits AS (

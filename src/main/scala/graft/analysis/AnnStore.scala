@@ -53,6 +53,37 @@ object AnnStore {
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).withColumn("bucket", col("bucket").cast("long"))
 
+  /** O(delta) delete: tombstone rows re-derive their bucket from the
+    * deleted vectors' embeddings — the same pure SRP content hash the
+    * build/append used, so no store partition is read (the index twin is
+    * IndexBuilder.markDeleted, whose chunk is likewise derivable without
+    * touching the index). Caller contract: the build's nBits; degenerate
+    * embeddings were never stored, so they are filtered here too.
+    *
+    * @return number of distinct tombstones recorded
+    */
+  def markDeleted(emb: DataFrame, storeDir: String, nBits: Int = 8): Long =
+    VectorMaintenance.markDeleted(emb.sparkSession, storeDir, "bucket",
+      Similarity.nonDegenerate(emb).select(col("vec_id"),
+        Similarity.bucketExpr(col("embedding"), nBits).as("bucket")))
+
+  /** Between-compactions live view: [[load]] minus pending tombstones
+    * (left_anti on (bucket, vec_id); the tombstone side is delta-sized
+    * and the bucket key keeps probe-time PartitionFilters intact).
+    */
+  def loadLive(spark: SparkSession, dir: String): DataFrame =
+    VectorMaintenance.live(spark, load(spark, dir), dir, "bucket")
+
+  /** Purge tombstoned vectors by rewriting ONLY tombstone-bearing bucket
+    * partitions (row-identical to a from-scratch build over the
+    * survivors — VectorMaintenanceSpec pins it, plus file identity for
+    * untouched buckets and emptied-dir removal).
+    *
+    * @return the buckets compacted
+    */
+  def compact(spark: SparkSession, storeDir: String): Set[Long] =
+    VectorMaintenance.compact(spark, storeDir, "bucket")
+
   private val hexDigits = "0123456789abcdef"
 
   /** sign(plane, dim) — the scalar twin of the md5-parity convention in

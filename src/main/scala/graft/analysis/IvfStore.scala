@@ -79,6 +79,39 @@ object IvfStore {
   def load(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).withColumn("cluster", col("cluster").cast("long"))
 
+  /** O(delta) delete: tombstone rows re-derive their cell from the
+    * deleted vectors' embeddings against the FROZEN persisted centroids
+    * — exactly how [[append]] routed them in, so the tombstone lands in
+    * the partition that holds the row without reading the store. (A
+    * vector deleted before ever being appended is a harmless no-op
+    * tombstone: compact's set difference ignores it.)
+    *
+    * @return number of distinct tombstones recorded
+    */
+  def markDeleted(emb: DataFrame, storeDir: String): Long = {
+    val spark = emb.sparkSession
+    val best = Clustering.bestStructIds(col("embedding"),
+      loadCentroids(spark, storeDir).map { case (j, c) => (j, c) }.toSeq)
+    VectorMaintenance.markDeleted(spark, storeDir, "cluster",
+      emb.select(col("vec_id"), best.getField("j").as("cluster")))
+  }
+
+  /** Between-compactions live view: [[load]] minus pending tombstones
+    * (left_anti on (cluster, vec_id); cell-key join keeps probe-time
+    * PartitionFilters intact).
+    */
+  def loadLive(spark: SparkSession, dir: String): DataFrame =
+    VectorMaintenance.live(spark, load(spark, dir), dir, "cluster")
+
+  /** Purge tombstoned vectors by rewriting ONLY tombstone-bearing cell
+    * partitions; the centroid sidecar is untouched (cells stay frozen —
+    * the classic IVF contract, same as [[append]]).
+    *
+    * @return the cells compacted
+    */
+  def compact(spark: SparkSession, storeDir: String): Set[Long] =
+    VectorMaintenance.compact(spark, storeDir, "cluster")
+
   /** The k persisted centroids, driver-side (k x d — tiny by
     * construction; k is user-chosen, not data-sized).
     */

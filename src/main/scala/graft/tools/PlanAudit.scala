@@ -161,6 +161,29 @@ object PlanAudit {
       graft.analysis.Dedup.semanticNearDupsKmeans(emb, threshold = 0.35, k = 8)
     }
 
+    section("snippets: one projection over the scan (no Exchange, no Join)") {
+      // first-hit position + window slice are array expressions on the
+      // kept-token projection; nothing leaves the scan task
+      TextAnalysis.snippets(docsTbl, "merge", 3)
+    }
+
+    section("bigram LM score: per-row bigrams, count joins keyed on the model keys") {
+      // the bigram stream is the 2-shingle per-row projection (no Window);
+      // c2/c1 are partial/final HashAggregate pairs; the scoring joins key
+      // on (w1,w2)/(w1) — vocabulary-sized sides, shuffle joins at the
+      // information floor; V is a one-row broadcast
+      TextAnalysis.lmCrossEntropy(docsTbl)
+    }
+
+    section("training shards: shard/sort keys in the scan, ONE shard-keyed window exchange") {
+      // the window partitioning must be [shard] (never a global order)
+      TextAnalysis.shardForTraining(docsTbl, numShards = 16)
+    }
+
+    section("TF-IDF keywords: partial-agg tf/df, term-keyed join, ONE doc-keyed rank window") {
+      TextAnalysis.keywordsTfIdf(docsTbl, 5)
+    }
+
     section("stats read is column-pruned (no blob)") {
       IndexStore.readPostings(spark, out).toDF().groupBy($"chunk")
         .agg(count(lit(1)).as("uniqueTerms"))
