@@ -540,6 +540,10 @@ object SparkEntry {
     // pairs -> clusters: connected components over the LSH near-dup
     // pairs (min-label propagation to the fixpoint), keep = min doc_id
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docsDf(s, dir), 0.7)),
+    // leakage-safe split: near-dup clusters land on ONE side (singleton
+    // docs are their own component); 20% test by the component bucket
+    "q_leakage_split" -> ((s, dir) =>
+      Dedup.leakageSafeSplit(docsDf(s, dir), 0.7, testPermille = 200)),
     // threshold 0.35: the synthetic embeddings top out at cosine ~0.51,
     // so a production-style 0.95 would make the check vacuous
     "q_embed_neardup" -> ((s, dir) =>
@@ -586,6 +590,10 @@ object SparkEntry {
       IvfStore.topK(store, cents, AnnStore.vectorOf(embDf(s, dir), 0L),
         k = 10, nprobe = 8, excludeVecId = 0L)
     }),
+    // retrieval hard negatives: top-10 docs NOT containing 'spark'
+    // nearest the 'spark'-docs centroid (doc_id ≡ vec_id)
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(docsDf(s, dir), embDf(s, dir), "spark", 10)),
 
     // ---- text analysis ----
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docsDf(s, dir))),
@@ -764,6 +772,45 @@ object SparkEntry {
     val deL = TextAnalysis.stopwords("de").map("'" + _ + "'").mkString(", ")
     val allStops = TextAnalysis.stopwords.values.flatten.toSeq.distinct
       .map("'" + _ + "'").mkString(", ")
+    // shared LSH near-dup transitive-closure CTEs (through `walk`):
+    // q_dedup_clusters reads the components directly, q_leakage_split
+    // extends them with the singleton fallback + split rule — one text,
+    // so the closure logic cannot desynchronize
+    val duckComponents = duckToks.replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      duckShingles + duckMinhashSig + """
+        |, bands AS (
+        |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_sig FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        |), sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        |szs AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS i
+        |  FROM cand p
+        |  JOIN sets sa ON sa.doc_id = p.doc_a
+        |  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT p.doc_a, p.doc_b
+        |  FROM cand p
+        |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |  JOIN szs sa ON sa.doc_id = p.doc_a
+        |  JOIN szs sb ON sb.doc_id = p.doc_b
+        |  WHERE round(coalesce(i.i, 0) * 1.0 /
+        |        (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.7
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |walk(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r)""".stripMargin
     // the persisted-store ANN queries must return exactly what the
     // recompute-everything variants return, so they share one oracle text
     val annTopkSql = (duckEmbParts + duckLshBuckets + """
@@ -1107,44 +1154,21 @@ object SparkEntry {
       // recursive-CTE transitive closure — component = min reachable id,
       // the same engine-independent fixpoint the Spark min-label loop
       // converges to (the WITH needs RECURSIVE for the walk CTE)
-      "q_dedup_clusters" -> (duckToks.replaceFirst("^WITH ", "WITH RECURSIVE ")
-          + duckShingles + duckMinhashSig + """
-        |, bands AS (
-        |  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS band_sig FROM sig
-        |  UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-        |), sets AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        |szs AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY 1),
-        |inter AS (
-        |  SELECT p.doc_a, p.doc_b, count(*) AS i
-        |  FROM cand p
-        |  JOIN sets sa ON sa.doc_id = p.doc_a
-        |  JOIN sets sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT p.doc_a, p.doc_b
-        |  FROM cand p
-        |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-        |  JOIN szs sa ON sa.doc_id = p.doc_a
-        |  JOIN szs sb ON sb.doc_id = p.doc_b
-        |  WHERE round(coalesce(i.i, 0) * 1.0 /
-        |        (sa.sz + sb.sz - coalesce(i.i, 0)), 6) >= 0.7
-        |), edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs
-        |), nodes AS (SELECT DISTINCT a AS id FROM edges),
-        |walk(id, r) AS (
-        |  SELECT id, id FROM nodes
-        |  UNION
-        |  SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.r)
+      "q_dedup_clusters" -> (duckComponents + """
         |SELECT id AS doc_id, min(r) AS component,
         |       CAST(id = min(r) AS BIGINT) AS keep
         |FROM walk GROUP BY id""".stripMargin),
+
+      // leakage-safe split twin: same transitive closure, then docs in
+      // no pair fall back to their own singleton component, and the
+      // split is the same integer-mix bucket rule on the component
+      "q_leakage_split" -> (duckComponents + """
+        |, comp AS (SELECT id, min(r) AS component FROM walk GROUP BY id)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |       CASE WHEN (coalesce(c.component, d.doc_id) % 100003)
+        |                 * 2654435761 % 1000 < 200
+        |            THEN 'test' ELSE 'train' END AS split
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin),
 
       // duplicated-span removal twin: 8-gram slices over the lowered
       // kept-token array (same construction as Spark's shingles(n=8)),
@@ -1238,6 +1262,29 @@ object SparkEntry {
         "cand AS (SELECT b.vec_id FROM buckets b JOIN probes USING (bucket)),",
         "cand AS (SELECT b.vec_id FROM buckets b JOIN probes USING (bucket)\n" +
           "        WHERE b.vec_id % 7 <> 3 AND b.vec_id % 11 <> 5),"),
+      // hard-negative twin: positives from the SAME tokenization CTE,
+      // centroid rounded to 6 dp per dim BEFORE scoring on both engines
+      "q_hard_negatives" -> (duckToks + """
+        |, parts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |pos AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+        |cent AS (
+        |  SELECT dim, round(avg(v), 6) AS c
+        |  FROM parts JOIN pos ON parts.vec_id = pos.doc_id GROUP BY 1),
+        |nq AS (SELECT sqrt(sum(c * c)) AS nq FROM cent),
+        |neg AS (
+        |  SELECT DISTINCT vec_id FROM parts
+        |  WHERE vec_id NOT IN (SELECT doc_id FROM pos)),
+        |cos AS (
+        |  SELECT p.vec_id, sum(p.v * c.c) AS dot, sqrt(sum(p.v * p.v)) AS nv
+        |  FROM parts p JOIN neg USING (vec_id) JOIN cent c USING (dim)
+        |  GROUP BY 1)
+        |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
+        |FROM cos CROSS JOIN nq
+        |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
       // IVF maintained store at nprobe = k: EXACT brute-force top-k over
       // the survivors (% 9 purged, % 13 pending)
       "q_ivf_maint_topk" -> (duckEmbParts + """

@@ -213,6 +213,34 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component"),
         (col("id") === col("component")).cast("long").as("keep"))
 
+  /** Leakage-safe train/test split — the contamination-proof corpus
+    * split every eval-honest training pipeline needs: near-duplicate
+    * docs must land on the SAME side (a test doc whose near-twin is in
+    * train leaks the answer), so the split key is the near-dup CLUSTER,
+    * not the doc. Docs in no near-dup pair are their own singleton
+    * cluster (component = doc_id). The assignment is the deterministic
+    * integer-mix bucket of the component id (engine-portable, like
+    * TextAnalysis.sampleStratified), so any engine re-derives the same
+    * split. Cost on top of [[dedupClusters]]: one left join from the
+    * corpus to the (edge-docs-only, near-dup-sized) cluster table plus
+    * a projection.
+    */
+  def leakageSafeSplit(docs: DataFrame, threshold: Double = 0.7,
+                       testPermille: Int = 200): DataFrame = {
+    require(testPermille >= 0 && testPermille <= 1000,
+      "testPermille must be in [0, 1000]")
+    val clusters = dedupClusters(docs, threshold)
+      .select(col("doc_id"), col("component"))
+    val withComp = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+    val bucket = (col("component") % 100003L) * 2654435761L % 1000L
+    withComp.select(col("doc_id"), col("component"),
+      when(bucket < testPermille, lit("test")).otherwise(lit("train"))
+        .as("split"))
+  }
+
   /** Sub-document dedup: C4/RefinedWeb-style duplicated-span REMOVAL.
     * Any n-token span (8 by default, C4's three-sentence analog) that
     * appears in >= minDocs distinct documents is scrubbed from every

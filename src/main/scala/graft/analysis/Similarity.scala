@@ -83,6 +83,40 @@ object Similarity {
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
 
+  /** Retrieval hard-negative mining — the training-data op behind every
+    * dense-retriever fine-tune: for a query term, the positives are the
+    * docs containing it (frozen kept-token rule; doc_id ≡ vec_id), and
+    * the hard negatives are the top-k docs that do NOT contain the term
+    * ranked by cosine to the positives' centroid. Plan shape: the
+    * positive flag is a per-row projection; the centroid is one
+    * partial-agg (dim, mean) aggregate collected to the driver (d
+    * doubles — never data-sized) and re-broadcast as a literal; scoring
+    * is the zero-shuffle cosine projection over the anti-joined
+    * negatives + TakeOrdered. The centroid components are rounded to 6
+    * dp BEFORE scoring so both engines rank against the identical
+    * vector (the mean's summation-order noise never reaches the score).
+    */
+  def hardNegatives(docs: DataFrame, emb: DataFrame, term: String,
+                    k: Int): DataFrame = {
+    val kt = transform(TextAnalysis.keptTokens(col("text")), lower(_))
+    val posIds = docs.filter(array_contains(kt, term)).select(col("doc_id"))
+    val centroid = nonDegenerate(emb)
+      .join(posIds, emb("vec_id") === posIds("doc_id"))
+      .select(posexplode(vecD(col("embedding"))))
+      .groupBy(col("pos")).agg(round(avg(col("col")), 6).as("c"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
+    require(centroid.nonEmpty, s"hardNegatives: no positive docs for '$term'")
+    val qlit = typedLit(centroid.toSeq)
+    val nq = math.sqrt(centroid.map(x => x * x).sum)
+    val vd = vecD(col("embedding"))
+    nonDegenerate(emb)
+      .join(posIds, emb("vec_id") === posIds("doc_id"), "left_anti")
+      .select(col("vec_id"),
+        round(dotCol(vd, qlit) / (normCol(vd) * lit(nq)), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** The SRP bucket of an embedding column as ONE codegen'd expression:
     * bit j = 1 iff sum_i sign(j, i) * v_i > 0, with sign(j, i) = +1 when
     * ascii(first hex char of md5(j || '_' || i)) is odd else -1 (i

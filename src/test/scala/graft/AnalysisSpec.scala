@@ -278,6 +278,51 @@ class AnalysisSpec extends AnyFunSuite {
     assert(out((3L, "date")) === ((1L, r6(math.log(3.0)), 2L)))
   }
 
+  test("hardNegatives: ranks non-matching docs by cosine to the positives' centroid") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "apple pie"), (2L, "apple tart"),
+      (3L, "banana"), (4L, "cherry"), (5L, "plum"))
+      .toDF("doc_id", "text")
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), // centroid (0.5, 0.5)
+      (3L, Seq(1.0f, 1.0f)),   // cosine 1.0
+      (4L, Seq(1.0f, 0.0f)),   // cosine sqrt(0.5)
+      (5L, Seq(-1.0f, -1.0f))) // cosine -1.0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(d, e, "apple", 2).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq === Seq(3L, 4L))
+    assert(out(0)._2 === 1.0)
+    assert(out(1)._2 === math.rint(math.sqrt(0.5) * 1e6) / 1e6)
+    // positives themselves are never negatives
+    assert(!out.map(_._1).contains(1L) && !out.map(_._1).contains(2L))
+    // no positive docs -> fail loudly, not an empty centroid
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(d, e, "zzzmissing", 2)
+    }
+  }
+
+  test("leakageSafeSplit: near-dup twins share a side; every doc assigned") {
+    val twins = docs.limit(3).withColumn("doc_id", col("doc_id") + 10000)
+    val corpus = docs.unionByName(twins)
+    val out = Dedup.leakageSafeSplit(corpus, 0.99, testPermille = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length.toLong === corpus.count())
+    val byId = out.map(r => r._1 -> r).toMap
+    (0 until 3).foreach { i =>
+      assert(byId(i.toLong)._2 === byId(i + 10000L)._2, s"twin $i component differs")
+      assert(byId(i.toLong)._3 === byId(i + 10000L)._3, s"twin $i split apart")
+    }
+    assert(out.map(_._3).toSet.subsetOf(Set("train", "test")))
+    assert(out.count(_._3 == "test") > 0 && out.count(_._3 == "train") > 0,
+      "vacuous: one-sided split")
+    // reproducible end to end
+    val again = Dedup.leakageSafeSplit(corpus, 0.99, testPermille = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("langId picks en for stopword-rich english text") {
     import spark.implicits._
     val d = Seq((1L, "the cat and the dog in a house"),
