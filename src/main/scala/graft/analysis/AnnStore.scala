@@ -47,6 +47,50 @@ object AnnStore {
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(outDir)
 
+  /** Replay-idempotent append — the streaming-maintenance entry point
+    * (graft.streaming.StreamingIngest.appendToAnnStore feeds foreachBatch
+    * micro-batches here, which are at-least-once: a crashed batch re-runs
+    * in full). The delta is anti-joined against the store rows in ONLY
+    * the buckets the delta touches (partition-pruned read — IO stays
+    * delta-proportional, never store-sized), so re-running a committed
+    * batch appends nothing, and a batch overlapping earlier data appends
+    * just its genuinely-new rows. The plain [[append]] (no probe read)
+    * remains the batch path where the caller guarantees disjoint ids.
+    *
+    * @return rows actually appended
+    */
+  def appendIdempotent(emb: DataFrame, outDir: String, nBits: Int = 8): Long = {
+    val spark = emb.sparkSession
+    val bucketed = Similarity.nonDegenerate(emb)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.bucketExpr(col("embedding"), nBits).as("bucket"))
+      .persist() // feeds the touched-bucket probe AND the write
+    try {
+      if (!VectorMaintenance.pathExists(spark, outDir)) {
+        val n = bucketed.count()
+        if (n > 0L)
+          bucketed.repartition(col("bucket"))
+            .write.mode("append").partitionBy("bucket").parquet(outDir)
+        return n
+      }
+      val touched = bucketed.select(col("bucket")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (touched.isEmpty) return 0L
+      val existing = load(spark, outDir)
+        .filter(col("bucket").isin(touched: _*))
+        .select(col("bucket"), col("vec_id"))
+      val fresh = bucketed.join(existing, Seq("bucket", "vec_id"), "left_anti")
+        .persist()
+      try {
+        val n = fresh.count() // materialized BEFORE the append commit
+        if (n > 0L)
+          fresh.repartition(col("bucket"))
+            .write.mode("append").partitionBy("bucket").parquet(outDir)
+        n
+      } finally fresh.unpersist()
+    } finally bucketed.unpersist()
+  }
+
   /** Typed reader; `bucket` is a partition directory column, normalized
     * back to long (same convention as IndexStore).
     */

@@ -49,7 +49,7 @@ object VectorMaintenance {
     * same dispatch rule as IndexBuilder.pathExists: java.io probes would
     * misreport every non-local URI.
     */
-  private def pathExists(spark: SparkSession, dir: String): Boolean = {
+  private[analysis] def pathExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }

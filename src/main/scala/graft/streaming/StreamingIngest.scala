@@ -91,6 +91,35 @@ object StreamingIngest {
       .start()
   }
 
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming ANN-store maintenance — the vector sibling of
+    * [[appendToIndex]]: embeddings landing in `srcDir` (parquet files of
+    * (vec_id, embedding) shape) are appended to the EXISTING AnnStore at
+    * `storeDir` per micro-batch through
+    * [[graft.analysis.AnnStore.appendIdempotent]]. Exactly-once EFFECT
+    * from at-least-once delivery comes from the append itself: each batch
+    * is anti-joined against the store rows in only the buckets it touches
+    * (partition-pruned, delta-proportional), so a replayed batch — full or
+    * partial — appends exactly the rows not yet present. No high-water
+    * mark is needed (and none would suffice: bucket routing is
+    * content-keyed, not id-ordered).
+    */
+  def appendToAnnStore(spark: SparkSession, srcDir: String, storeDir: String,
+                       checkpointDir: String, nBits: Int = 8) = {
+    val stream = spark.readStream.schema(embSchema).parquet(srcDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.analysis.AnnStore.appendIdempotent(batch, storeDir, nBits)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, start_ts: Long, end_ts: Long,

@@ -184,6 +184,17 @@ object PlanAudit {
       TextAnalysis.keywordsTfIdf(docsTbl, 5)
     }
 
+    section("hard negatives: centroid-literal cosine projection + anti-join, no wide exchange") {
+      // the centroid was collected (d doubles) before this plan exists;
+      // scoring shows scan -> anti-join (broadcast at this scale) ->
+      // project -> TakeOrderedAndProject
+      Similarity.hardNegatives(docsTbl, emb, "merge", 10)
+    }
+
+    section("leakage-safe split: corpus left-joins the near-dup-sized cluster table") {
+      graft.analysis.Dedup.leakageSafeSplit(docsTbl, 0.7, 200)
+    }
+
     section("stats read is column-pruned (no blob)") {
       IndexStore.readPostings(spark, out).toDF().groupBy($"chunk")
         .agg(count(lit(1)).as("uniqueTerms"))

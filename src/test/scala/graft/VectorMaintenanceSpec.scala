@@ -136,6 +136,56 @@ class VectorMaintenanceSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("appendIdempotent: overlapping deltas append only the new rows") {
+    val dir = SparkTestBase.tempDir("vm_ann_idem")
+    val half = emb.filter(col("vec_id") < 250)
+    AnnStore.build(half, dir, nBits = 5)
+    val base = canon(AnnStore.load(spark, dir), "bucket")
+    // full replay of already-present rows: nothing appended
+    assert(AnnStore.appendIdempotent(half, dir, nBits = 5) === 0L)
+    assert(canon(AnnStore.load(spark, dir), "bucket") === base)
+    // overlapping delta (200..499): only 250..499 are new
+    val overlap = emb.filter(col("vec_id") >= 200)
+    val expectedNew = emb.filter(col("vec_id") >= 250).count()
+    assert(AnnStore.appendIdempotent(overlap, dir, nBits = 5) === expectedNew)
+    // grown store == from-scratch build over the union
+    val fresh = SparkTestBase.tempDir("vm_ann_idem_fresh")
+    AnnStore.build(emb, fresh, nBits = 5)
+    assert(canon(AnnStore.load(spark, dir), "bucket") ===
+      canon(AnnStore.load(spark, fresh), "bucket"))
+    // second replay of the overlap: a no-op again
+    assert(AnnStore.appendIdempotent(overlap, dir, nBits = 5) === 0L)
+  }
+
+  test("streaming appendToAnnStore: catch-up, checkpoint resume, replay no-op") {
+    val storeDir = SparkTestBase.tempDir("vm_ann_stream")
+    AnnStore.build(emb.filter(col("vec_id") < 200), storeDir, nBits = 5)
+    val srcDir = SparkTestBase.tempDir("vm_ann_src")
+    val ckDir = SparkTestBase.tempDir("vm_ann_ck")
+    emb.filter(col("vec_id") >= 200 && col("vec_id") < 350)
+      .write.mode("append").parquet(srcDir)
+    val q1 = graft.streaming.StreamingIngest.appendToAnnStore(
+      spark, srcDir, storeDir, ckDir, nBits = 5)
+    q1.awaitTermination()
+    // new files land; same checkpoint -> only the new delta appends
+    emb.filter(col("vec_id") >= 350).write.mode("append").parquet(srcDir)
+    val q2 = graft.streaming.StreamingIngest.appendToAnnStore(
+      spark, srcDir, storeDir, ckDir, nBits = 5)
+    q2.awaitTermination()
+    val fresh = SparkTestBase.tempDir("vm_ann_stream_fresh")
+    AnnStore.build(emb, fresh, nBits = 5)
+    assert(canon(AnnStore.load(spark, storeDir), "bucket") ===
+      canon(AnnStore.load(spark, fresh), "bucket"))
+    // a FRESH checkpoint replays every landed file; the bucket-pruned
+    // anti-join must make the replay a no-op
+    val ck2 = SparkTestBase.tempDir("vm_ann_ck2")
+    val q3 = graft.streaming.StreamingIngest.appendToAnnStore(
+      spark, srcDir, storeDir, ck2, nBits = 5)
+    q3.awaitTermination()
+    assert(canon(AnnStore.load(spark, storeDir), "bucket") ===
+      canon(AnnStore.load(spark, fresh), "bucket"))
+  }
+
   test("markDeleted refuses a missing store") {
     intercept[IllegalArgumentException] {
       AnnStore.markDeleted(emb.limit(1),
