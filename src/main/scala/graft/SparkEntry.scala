@@ -57,6 +57,24 @@ object SparkEntry {
       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       |), grams AS (SELECT doc_id, pos, gram FROM g0 WHERE gram IS NOT NULL)""".stripMargin
 
+  /** Bigram-LM per-doc score CTEs (on top of duckToks): lead-window
+    * bigrams, add-one smoothing, avg -ln(p) rounded at 4 dp — `per` is
+    * (doc_id, n_bigrams, xent). Shared by q_lm_score and q_ppl_buckets.
+    */
+  private val duckLmPer =
+    """, b0 AS (
+      |  SELECT doc_id, term AS w1, lead(term, 1) OVER w AS w2
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |bg AS (SELECT doc_id, w1, w2 FROM b0 WHERE w2 IS NOT NULL),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT term AS w1, count(*) AS c1 FROM toks GROUP BY 1),
+      |v AS (SELECT count(DISTINCT term) AS v FROM toks),
+      |sc AS (
+      |  SELECT bg.doc_id, -ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS nl
+      |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+      |per AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 4) AS xent
+      |        FROM sc GROUP BY 1)""".stripMargin
+
   /** k-means assignment over `parts` (from [[duckEmbParts]]): seeds are
     * the 8 smallest vec_ids ranked in vec_id order; each vector joins
     * every centroid's dims, dist2 = sum of squared diffs, argmin via
@@ -643,6 +661,14 @@ object SparkEntry {
     // bigram-LM cross-entropy (the CCNet-style perplexity quality filter;
     // LM = the corpus itself, add-one smoothing)
     "q_lm_score" -> ((s, dir) => TextAnalysis.lmCrossEntropy(docsDf(s, dir))),
+    // per-language token-budget mixing: kept set = docs whose exclusive
+    // prefix sum (reproducible hash order) starts under the lang budget
+    "q_token_mix" -> ((s, dir) =>
+      TextAnalysis.tokenBudgetMix(docsDf(s, dir),
+        Map("en" -> 3000L, "fr" -> 1200L, "zh" -> 400L), defaultBudget = 800L)),
+    // CCNet-style per-language head/middle/tail tiers over the LM score
+    "q_ppl_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(docsDf(s, dir), nBuckets = 3)),
     // snippet extraction: 3-token context around the first 'merge' hit
     "q_snippets" -> ((s, dir) => TextAnalysis.snippets(docsDf(s, dir), "merge", 3)),
     // deterministic training shards: the reproducible global shuffle
@@ -1427,23 +1453,52 @@ object SparkEntry {
 
       // bigram-LM twin: same lead-window bigram construction as the
       // 2-shingle projection, same add-one smoothing, avg of -ln(p)
-      // rounded at 4 dp on both sides
-      "q_lm_score" -> (duckToks + """
-        |, b0 AS (
-        |  SELECT doc_id, term AS w1, lead(term, 1) OVER w AS w2
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |bg AS (SELECT doc_id, w1, w2 FROM b0 WHERE w2 IS NOT NULL),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT term AS w1, count(*) AS c1 FROM toks GROUP BY 1),
-        |v AS (SELECT count(DISTINCT term) AS v FROM toks),
-        |sc AS (
-        |  SELECT bg.doc_id, -ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS nl
-        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
-        |per AS (SELECT doc_id, count(*) AS n_bigrams, round(avg(nl), 4) AS xent
-        |        FROM sc GROUP BY 1)
+      // rounded at 4 dp on both sides (duckLmPer — shared with
+      // q_ppl_buckets)
+      "q_lm_score" -> (duckToks + duckLmPer + """
         |SELECT d.doc_id, CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
         |       coalesce(p.xent, 0.0) AS xent
         |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin),
+
+      // token-budget mix twin: same kept-token counts, same modular-mix
+      // ordering hash as q_train_shards, exclusive per-language prefix
+      // sum (window form — the operator's bucketed prefix sum computes
+      // the identical offsets), keep iff start_offset < the lang budget
+      "q_token_mix" -> (duckToks + """
+        |, kept AS (
+        |  SELECT d.doc_id, d.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens,
+        |         (d.doc_id % 99991) * 2654435761 % 104729 AS h
+        |  FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) c
+        |    USING (doc_id)),
+        |pre AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |           ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |           AS start_offset
+        |  FROM kept)
+        |SELECT doc_id, lang, n_tokens, start_offset
+        |FROM pre
+        |WHERE start_offset < CASE lang WHEN 'en' THEN 3000 WHEN 'fr' THEN 1200
+        |                               WHEN 'zh' THEN 400 ELSE 800 END""".stripMargin),
+
+      // perplexity-bucket twin: rank the 4-dp-rounded xent per language
+      // (doc_id ties), bucket = integral (3*(rnk-1)) // n on both engines
+      "q_ppl_buckets" -> (duckToks + duckLmPer + """
+        |, scored AS (
+        |  SELECT d.doc_id, d.lang, coalesce(p.xent, 0.0) AS xent
+        |  FROM documents d LEFT JOIN per p USING (doc_id)),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY xent, doc_id) AS rnk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM scored)
+        |SELECT doc_id, lang, xent,
+        |       CAST((3 * (rnk - 1)) // n AS BIGINT) AS ppl_bucket,
+        |       CASE WHEN (3 * (rnk - 1)) // n = 0 THEN 'head'
+        |            WHEN (3 * (rnk - 1)) // n = 2 THEN 'tail'
+        |            ELSE 'middle' END AS tier
+        |FROM rk""".stripMargin),
 
       // snippet twin: first hit = min kept-token pos; the window slice is
       // re-assembled by position-ordered string_agg over the same range

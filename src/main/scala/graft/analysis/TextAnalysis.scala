@@ -399,6 +399,99 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rk"))
   }
 
+  /** Per-language token-budget sampling — the data-MIXING step of a
+    * pre-training pipeline (each language gets a token budget; the
+    * corpus is consumed in a reproducible pseudo-random order until each
+    * budget fills). Docs are ordered per language by the same integer
+    * modular mixing as [[shardForTraining]] (a reproducible global
+    * shuffle — no RNG state, so any engine re-derives the order); a doc
+    * is KEPT iff its exclusive per-language prefix sum of kept-token
+    * counts is still below the budget, i.e. the boundary doc is kept and
+    * a filled budget always carries >= budget tokens (the
+    * [[Packing]] "where the first token lands" rule).
+    *
+    * Scale shape: a naive per-language window is ONE sort task per
+    * language — a single language can be half a 100 TB corpus. This is
+    * [[Packing.packSequences]]'s declarative distributed prefix sum,
+    * range-bucketed by the ORDER key h (buckets are contiguous h-ranges,
+    * so bucket order extends the (h, doc_id) order): per-(lang, bucket)
+    * totals are one tiny partial-agg job (langs x parts rows to the
+    * driver), their per-language exclusive scan becomes a broadcast
+    * offset, and the within-bucket window is partitioned by
+    * (lang, bucket) — every window task holds ~1/parts of a language.
+    */
+  def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
+                     defaultBudget: Long = 0L,
+                     numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "budgets must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(keptTokens(col("text"))).cast("long").as("n_tokens"),
+      ((col("doc_id") % 99991L) * 2654435761L % 104729L).as("h"))
+    val parts = if (numPartitions > 0) numPartitions
+                else spark.sessionState.conf.numShufflePartitions
+    val width = math.max(1L, 104729L / parts + 1)
+    val bucketed = base.withColumn("bucket",
+      floor(col("h") / width).cast("long"))
+
+    // per-(lang, bucket) totals -> per-language exclusive scan on the
+    // driver (langs x parts longs)
+    val sums = bucketed.groupBy(col("lang"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val offsets = sums.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map {
+        case ((l, b, _), off) => (l, b, off)
+      }
+    }
+    val offsetDf = offsets.toDF("lang", "bucket", "bucket_offset")
+
+    val w = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (lang, b)) => when(col("lang") === lang, lit(b)).otherwise(acc)
+    }
+    bucketed
+      .join(broadcast(offsetDf), Seq("lang", "bucket"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("bucket_offset"))
+      .filter(col("start_offset") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_offset"))
+  }
+
+  /** CCNet-style perplexity bucketing — after [[lmCrossEntropy]] scores
+    * every doc, split each language into `nBuckets` equal-frequency
+    * tiers by score (bucket 0 = most-normal "head", last = "tail");
+    * training mixtures then sample the tiers at different rates. Rank is
+    * over the 4-dp-ROUNDED score with doc_id tiebreak (the
+    * [[qualityGate]] lesson: comparing raw doubles lets a cross-engine
+    * ulp flip boundary docs) and the bucket index is the INTEGRAL
+    * division nBuckets·(rank-1) div n — both engines compute the exact
+    * same integer, so the bucket SETS are identical. One lang-keyed
+    * window exchange on top of the LM scoring joins.
+    */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, "nBuckets must be positive")
+    val byLang = Window.partitionBy(col("lang"))
+    lmCrossEntropy(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("rnk",
+        row_number().over(byLang.orderBy(col("xent"), col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("ppl_bucket",
+        expr(s"($nBuckets * (CAST(rnk AS BIGINT) - 1)) div n"))
+      .select(col("doc_id"), col("lang"), col("xent"), col("ppl_bucket"),
+        when(col("ppl_bucket") === 0, lit("head"))
+          .when(col("ppl_bucket") === nBuckets - 1, lit("tail"))
+          .otherwise(lit("middle")).as("tier"))
+  }
+
   /** Within-document repetition signals (the Gopher / RefinedWeb-style
     * quality rules): duplicate 3-gram mass and the heaviest 3-gram's
     * share. High values flag boilerplate/spam for pre-training filters.

@@ -184,6 +184,19 @@ object PlanAudit {
       TextAnalysis.keywordsTfIdf(docsTbl, 5)
     }
 
+    section("token-budget mix: window partitioned by (lang, BUCKET) + broadcast offsets") {
+      // same contract as sequence packing: the prefix-sum window must be
+      // partitioned by (lang, bucket) — never lang alone (one language
+      // can be half the corpus = one sort task); the per-bucket offsets
+      // ride a BroadcastExchange
+      TextAnalysis.tokenBudgetMix(docsTbl,
+        Map("en" -> 3000L, "fr" -> 1200L), defaultBudget = 800L)
+    }
+
+    section("perplexity buckets: ONE lang-keyed rank window over the LM-score joins") {
+      TextAnalysis.perplexityBuckets(docsTbl, 3)
+    }
+
     section("hard negatives: centroid-literal cosine projection + anti-join, no wide exchange") {
       // the centroid was collected (d doubles) before this plan exists;
       // scoring shows scan -> anti-join (broadcast at this scale) ->

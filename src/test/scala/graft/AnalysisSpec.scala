@@ -323,6 +323,96 @@ class AnalysisSpec extends AnyFunSuite {
     assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("tokenBudgetMix: prefix-sum kept set, bucket-count invariance, budget edges") {
+    import spark.implicits._
+    // doc i carries i kept tokens (all-alpha 'alpha' repeats), so the
+    // prefix sums are knowable; the ORDER is the operator's own hash
+    // h(doc_id) — the reference below is an independent sequential fold
+    // over that order, which is exactly the semantics the distributed
+    // bucketed prefix sum must reproduce
+    val fx = (1 to 6).map(i => (i.toLong, "en", Seq.fill(i)("alpha").mkString(" "))) ++
+             (11 to 14).map(i => (i.toLong, "fr", Seq.fill(i - 10)("beta").mkString(" "))) ++
+             Seq((21L, "zz", "gamma gamma gamma")) // lang outside the map
+    val df = fx.toDF("doc_id", "lang", "text")
+    def h(id: Long) = (id % 99991L) * 2654435761L % 104729L
+    def expected(budget: Map[String, Long], dflt: Long): Set[Long] = {
+      fx.groupBy(_._2).flatMap { case (lang, rows) =>
+        val b = budget.getOrElse(lang, dflt)
+        val ordered = rows.map(_._1).sortBy(id => (h(id), id))
+        val nTok = rows.map(r => r._1 -> r._3.split("\\s+").length.toLong).toMap
+        ordered.zip(ordered.scanLeft(0L)(_ + nTok(_)))
+          .collect { case (id, start) if start < b => id }
+      }.toSet
+    }
+    val budgets = Map("en" -> 9L, "fr" -> 4L)
+    val want = expected(budgets, 2L)
+    // sanity on the fixture: the budget must cut INSIDE both languages
+    // (some docs kept, some dropped) or the test is vacuous
+    for (lang <- Seq("en", "fr")) {
+      val ids = fx.filter(_._2 == lang).map(_._1).toSet
+      assert((want & ids).nonEmpty && (ids -- want).nonEmpty, s"vacuous for $lang")
+    }
+    for (parts <- Seq(1, 3, 7)) {
+      val got = TextAnalysis.tokenBudgetMix(df, budgets, defaultBudget = 2L,
+        numPartitions = parts).collect().map(_.getLong(0)).toSet
+      assert(got === want, s"parts=$parts")
+    }
+    // the boundary doc is KEPT (exclusive prefix < budget): a lang whose
+    // first doc alone exceeds the budget still yields that one doc
+    val tiny = TextAnalysis.tokenBudgetMix(df, Map("en" -> 1L, "fr" -> 1L),
+      defaultBudget = 1L).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny === Map("en" -> 1L, "fr" -> 1L, "zz" -> 1L))
+    // budget 0 = lang fully dropped
+    val none = TextAnalysis.tokenBudgetMix(df, Map("en" -> 0L), defaultBudget = 100L)
+    assert(none.filter(col("lang") === "en").count() === 0L)
+    assert(none.filter(col("lang") === "fr").count() === 4L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.tokenBudgetMix(df, Map("en" -> -1L))
+    }
+  }
+
+  test("perplexityBuckets: per-lang rank tiers over the 4-dp score, div rule") {
+    import spark.implicits._
+    // 7 en docs + 3 fr docs; expected buckets re-derived by an
+    // independent fold over the (spec-pinned) lmCrossEntropy output:
+    // rank by (xent, doc_id) per lang, bucket = 3*(rnk-1) div n —
+    // for n=7 that is sizes 3/2/2, for n=3 sizes 1/1/1
+    val texts = Seq(
+      "alpha beta alpha beta alpha beta",      // repetitive -> low xent
+      "alpha beta gamma delta epsilon zeta",
+      "gamma alpha delta beta zeta epsilon",
+      "one two three four five six",
+      "six five four three two one",
+      "alpha alpha alpha alpha",
+      "beta gamma beta gamma")
+    val fx = texts.zipWithIndex.map { case (t, i) => ((i + 1).toLong, "en", t) } ++
+      Seq((11L, "fr", "un deux un deux"), (12L, "fr", "deux trois quatre"),
+          (13L, "fr", "un un un"))
+    val df = fx.toDF("doc_id", "lang", "text")
+    val xent = TextAnalysis.lmCrossEntropy(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val langOf = fx.map(r => r._1 -> r._2).toMap
+    val want = fx.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.map(_._1).sortBy(id => (xent(id), id))
+      val n = ordered.size
+      ordered.zipWithIndex.map { case (id, i) => id -> (3L * i / n) }
+    }
+    val got = TextAnalysis.perplexityBuckets(df, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getString(4)))
+    assert(got.map(r => r._1 -> r._3).toMap === want)
+    got.foreach { case (id, lang, b, tier) =>
+      assert(lang === langOf(id))
+      assert(tier === (if (b == 0) "head" else if (b == 2) "tail" else "middle"))
+    }
+    // en sizes 3/2/2, fr 1/1/1
+    val sizes = got.filter(_._2 == "en").groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes === Map(0L -> 3, 1L -> 2, 2L -> 2))
+    // nBuckets = 1: everything is head/0
+    val one = TextAnalysis.perplexityBuckets(df, 1).collect()
+    assert(one.forall(r => r.getLong(3) == 0L && r.getString(4) == "head"))
+  }
+
   test("langId picks en for stopword-rich english text") {
     import spark.implicits._
     val d = Seq((1L, "the cat and the dog in a house"),
