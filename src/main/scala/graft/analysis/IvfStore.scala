@@ -73,6 +73,49 @@ object IvfStore {
       .write.mode("append").partitionBy("cluster").parquet(outDir)
   }
 
+  /** Replay-idempotent append — the streaming-maintenance entry point
+    * (the IVF twin of [[AnnStore.appendIdempotent]]; fed by
+    * graft.streaming.StreamingIngest.appendToIvfStore's at-least-once
+    * foreachBatch micro-batches). The delta is routed by the FROZEN
+    * persisted centroids exactly as [[append]] routes it — so a
+    * replayed row lands in the same cell it first landed in, which is
+    * what makes a per-cell probe a complete replay guard — then
+    * anti-joined against the store rows in ONLY the cells the delta
+    * touches (partition-pruned read, delta-proportional IO). Re-running
+    * a committed batch appends nothing; an overlapping batch appends
+    * just its genuinely-new rows. Unlike the AnnStore twin this CANNOT
+    * create a missing store: cells are frozen at build time, so there
+    * are no centroids to route by before [[build]] has run.
+    *
+    * @return rows actually appended
+    */
+  def appendIdempotent(emb: DataFrame, outDir: String): Long = {
+    val spark = emb.sparkSession
+    require(VectorMaintenance.pathExists(spark, outDir),
+      s"IvfStore.appendIdempotent: no store at $outDir (build first — cells are frozen at build time)")
+    val best = Clustering.bestStructIds(col("embedding"),
+      loadCentroids(spark, outDir).map { case (j, c) => (j, c) }.toSeq)
+    val routed = emb.select(col("vec_id"), col("embedding"),
+      best.getField("j").as("cluster")).persist()
+    try {
+      val touched = routed.select(col("cluster")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (touched.isEmpty) return 0L
+      val existing = load(spark, outDir)
+        .filter(col("cluster").isin(touched: _*))
+        .select(col("cluster"), col("vec_id"))
+      val fresh = routed.join(existing, Seq("cluster", "vec_id"), "left_anti")
+        .persist()
+      try {
+        val n = fresh.count() // materialized BEFORE the append commit
+        if (n > 0L)
+          fresh.repartition(col("cluster"))
+            .write.mode("append").partitionBy("cluster").parquet(outDir)
+        n
+      } finally fresh.unpersist()
+    } finally routed.unpersist()
+  }
+
   /** Typed reader; `cluster` is a partition directory column, normalized
     * back to long (same convention as AnnStore.load / IndexStore).
     */

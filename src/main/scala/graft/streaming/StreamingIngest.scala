@@ -120,6 +120,26 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming IVF-store maintenance — [[appendToAnnStore]]'s twin for
+    * the centroid-partitioned store: micro-batches append through
+    * [[graft.analysis.IvfStore.appendIdempotent]], whose frozen-centroid
+    * routing + cell-pruned anti-join make every replay — full or
+    * partial — idempotent. The store must already exist (cells are
+    * frozen at build time).
+    */
+  def appendToIvfStore(spark: SparkSession, srcDir: String, storeDir: String,
+                       checkpointDir: String) = {
+    val stream = spark.readStream.schema(embSchema).parquet(srcDir)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.analysis.IvfStore.appendIdempotent(batch, storeDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, start_ts: Long, end_ts: Long,

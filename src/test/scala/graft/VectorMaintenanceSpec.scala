@@ -186,6 +186,64 @@ class VectorMaintenanceSpec extends AnyFunSuite {
       canon(AnnStore.load(spark, fresh), "bucket"))
   }
 
+  test("IvfStore.appendIdempotent: overlapping deltas append only the new rows") {
+    val dir = SparkTestBase.tempDir("vm_ivf_idem")
+    val half = emb.filter(col("vec_id") < 250)
+    IvfStore.build(half, dir, k = 8)
+    val base = canon(IvfStore.load(spark, dir), "cluster")
+    // full replay of already-present rows: nothing appended
+    assert(IvfStore.appendIdempotent(half, dir) === 0L)
+    assert(canon(IvfStore.load(spark, dir), "cluster") === base)
+    // overlapping delta (200..499): only 250..499 are new
+    val overlap = emb.filter(col("vec_id") >= 200)
+    val expectedNew = emb.filter(col("vec_id") >= 250).count()
+    assert(IvfStore.appendIdempotent(overlap, dir) === expectedNew)
+    // grown store == plain disjoint-delta append onto the same build
+    // (NOT a from-scratch build over the union: that would re-seed the
+    // centroids — cells are frozen, so the plain append IS the contract)
+    val twin = SparkTestBase.tempDir("vm_ivf_idem_twin")
+    IvfStore.build(half, twin, k = 8)
+    IvfStore.append(emb.filter(col("vec_id") >= 250), twin)
+    assert(canon(IvfStore.load(spark, dir), "cluster") ===
+      canon(IvfStore.load(spark, twin), "cluster"))
+    // second replay of the overlap: a no-op again
+    assert(IvfStore.appendIdempotent(overlap, dir) === 0L)
+    // no store, no centroids to route by: refuse loudly
+    intercept[IllegalArgumentException] {
+      IvfStore.appendIdempotent(emb.limit(1),
+        SparkTestBase.tempDir("vm_ivf_idem_none") + "/nope")
+    }
+  }
+
+  test("streaming appendToIvfStore: catch-up, checkpoint resume, replay no-op") {
+    val storeDir = SparkTestBase.tempDir("vm_ivf_stream")
+    IvfStore.build(emb.filter(col("vec_id") < 200), storeDir, k = 8)
+    val srcDir = SparkTestBase.tempDir("vm_ivf_src")
+    val ckDir = SparkTestBase.tempDir("vm_ivf_ck")
+    emb.filter(col("vec_id") >= 200 && col("vec_id") < 350)
+      .write.mode("append").parquet(srcDir)
+    val q1 = graft.streaming.StreamingIngest.appendToIvfStore(
+      spark, srcDir, storeDir, ckDir)
+    q1.awaitTermination()
+    emb.filter(col("vec_id") >= 350).write.mode("append").parquet(srcDir)
+    val q2 = graft.streaming.StreamingIngest.appendToIvfStore(
+      spark, srcDir, storeDir, ckDir)
+    q2.awaitTermination()
+    val twin = SparkTestBase.tempDir("vm_ivf_stream_twin")
+    IvfStore.build(emb.filter(col("vec_id") < 200), twin, k = 8)
+    IvfStore.append(emb.filter(col("vec_id") >= 200), twin)
+    assert(canon(IvfStore.load(spark, storeDir), "cluster") ===
+      canon(IvfStore.load(spark, twin), "cluster"))
+    // a FRESH checkpoint replays every landed file; the cell-pruned
+    // anti-join must make the replay a no-op
+    val ck2 = SparkTestBase.tempDir("vm_ivf_ck2")
+    val q3 = graft.streaming.StreamingIngest.appendToIvfStore(
+      spark, srcDir, storeDir, ck2)
+    q3.awaitTermination()
+    assert(canon(IvfStore.load(spark, storeDir), "cluster") ===
+      canon(IvfStore.load(spark, twin), "cluster"))
+  }
+
   test("markDeleted refuses a missing store") {
     intercept[IllegalArgumentException] {
       AnnStore.markDeleted(emb.limit(1),
