@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Clustering, Decontamination, Dedup, IvfStore, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.analysis.{AnnStore, Clustering, Decontamination, Dedup, IvfStore, Multimodal, Packing, Quantization, Similarity, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
 import graft.index.{IndexBuilder, IndexStore}
@@ -279,6 +279,25 @@ object SparkEntry {
     * lockstep with Similarity.lshBuckets' plane-hash convention; factored
     * so the four LSH oracles cannot desynchronize.
     */
+  /** SQ8 scalar-quantization CTEs (on top of duckEmbParts): per-dim
+    * envelope, floor-coded levels (256, clamped at 255), midpoint
+    * dequantization rounded 6 dp BEFORE any dot — operation order
+    * matches Quantization.quantize exactly (per-dim scalar IEEE ops, no
+    * summation, so the floor is cross-engine exact).
+    */
+  private val duckQuant =
+    """, env AS (SELECT dim, min(v) AS vmin, max(v) AS vmax FROM parts GROUP BY 1),
+      |qz AS (
+      |  SELECT p.vec_id, p.dim,
+      |         CASE WHEN e.vmax = e.vmin THEN CAST(0 AS BIGINT)
+      |              ELSE CAST(least(floor((p.v - e.vmin) * 256 / (e.vmax - e.vmin)), 255) AS BIGINT)
+      |         END AS code
+      |  FROM parts p JOIN env e USING (dim)),
+      |rec AS (
+      |  SELECT q.vec_id, q.dim, q.code,
+      |         round(e.vmin + (q.code + 0.5) * (e.vmax - e.vmin) / 256, 6) AS recon
+      |  FROM qz q JOIN env e USING (dim))""".stripMargin
+
   private val duckLshBuckets =
     """, signed AS (
       |  SELECT vec_id, plane,
@@ -572,6 +591,13 @@ object SparkEntry {
     // ---- similarity search ----
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(embDf(s, dir), queryId = 0L, k = 10)),
+    // SQ8 scalar quantization: per-dim envelope codes + midpoint
+    // dequantization (exploded per-dim view for the oracle), and the
+    // asymmetric (raw query vs reconstructed corpus) quantized top-k
+    "q_quantize" -> ((s, dir) =>
+      Quantization.quantizeExploded(embDf(s, dir), levels = 256)),
+    "q_quant_topk" -> ((s, dir) =>
+      Quantization.quantizedTopK(embDf(s, dir), queryId = 0L, k = 10, levels = 256)),
     "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir), nBits = 5)),
     "q_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
@@ -1275,6 +1301,22 @@ object SparkEntry {
 
       "q_ann_lsh_buckets" -> (duckEmbParts + duckLshBuckets + """
         |SELECT vec_id, bucket FROM buckets""".stripMargin),
+
+      "q_quantize" -> (duckEmbParts + duckQuant + """
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim, code, recon FROM rec""".stripMargin),
+
+      // asymmetric quantized top-k: q_ann_brute's cosine shape over the
+      // RECONSTRUCTED corpus values (rounded 6 dp before the dot)
+      "q_quant_topk" -> (duckEmbParts + duckQuant + """
+        |, q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+        |cos AS (
+        |  SELECT r.vec_id, sum(r.recon * q.qv) AS dot,
+        |         sqrt(sum(r.recon * r.recon)) AS nv
+        |  FROM rec r JOIN q USING (dim) GROUP BY 1),
+        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+        |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
+        |FROM cos CROSS JOIN nq WHERE vec_id <> 0
+        |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
 
       "q_ann_lsh_topk" -> annTopkSql,
       "q_ann_lsh_multiprobe" -> annMultiprobeSql,
