@@ -11,6 +11,27 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] masters (Bench's executor-scaling phase,
+// ScalingProbe cluster mode) need SPARK_HOME in the forked JVM's env so
+// the in-process standalone worker can launch executor JVMs — and
+// SPARK_SCALA_VERSION, because the worker builds the executor command
+// through the launcher library directly (never bin/spark-class, whose
+// load-spark-env.sh would otherwise set it); without it
+// getScalaVersion() dies with "Cannot find any build directories".
+// SPARK_LOCAL_DIRS: standalone workers IGNORE spark.local.dir (the
+// "overridden by the cluster manager" warning) and default executor
+// shuffle/spill to disk — on this one-disk VM that serializes the
+// 4-executor side (measured: n4 build 17.6 s -> 32.6 s, efficiency
+// 0.87 -> 0.54). The env var is the only channel that reaches the
+// in-process worker; tmpfs IS this VM's stand-in for per-executor SSDs.
+run / envVars ++= Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_LOCAL_DIRS" -> "/dev/shm/graft-local")
+Test / envVars ++= Map(
+  "SPARK_HOME" -> sys.env.getOrElse("SPARK_HOME", "/opt/spark"),
+  "SPARK_SCALA_VERSION" -> "2.13",
+  "SPARK_LOCAL_DIRS" -> "/dev/shm/graft-local")
 // Forked mains print RAW to stdout (no sbt "[info] " prefix) so the
 // driver can json-parse Bench's one-line output directly from stdout.
 outputStrategy := Some(StdoutOutput)
