@@ -298,6 +298,46 @@ object SparkEntry {
       |         round(e.vmin + (q.code + 0.5) * (e.vmax - e.vmin) / 256, 6) AS recon
       |  FROM qz q JOIN env e USING (dim))""".stripMargin
 
+  /** Product-quantization CTEs (on top of duckEmbParts), m=4 subspaces
+    * of 16 dims, k=8 seed codebooks (the 8 smallest vec_ids' subvectors,
+    * cid = rank), ONE Lloyd step: seed argmin (ties to lowest cid) ->
+    * re-centered means rounded 6 dp (matching pqCodebooks' HALF_UP
+    * driver rounding) -> final argmin = the codes. Mirrors the
+    * q_kmeans_iter2 replay, generalized per subspace.
+    */
+  private val duckPq =
+    """, sp AS (
+      |  SELECT vec_id, CAST((dim - 1) // 16 AS BIGINT) AS sub,
+      |         CAST((dim - 1) % 16 AS BIGINT) AS dimw, v
+      |  FROM parts),
+      |pseed AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid
+      |  FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+      |pc0 AS (SELECT s.cid, p.sub, p.dimw, p.v AS cv
+      |        FROM sp p JOIN pseed s USING (vec_id)),
+      |pd0 AS (
+      |  SELECT p.vec_id, p.sub, c.cid, sum((p.v - c.cv) * (p.v - c.cv)) AS dist2
+      |  FROM sp p JOIN pc0 c ON p.sub = c.sub AND p.dimw = c.dimw
+      |  GROUP BY 1, 2, 3),
+      |pa0 AS (
+      |  SELECT vec_id, sub, cid FROM (
+      |    SELECT vec_id, sub, cid,
+      |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn
+      |    FROM pd0) WHERE rn = 1),
+      |pc1 AS (
+      |  SELECT a.cid, p.sub, p.dimw, round(avg(p.v), 6) AS cv
+      |  FROM sp p JOIN pa0 a ON p.vec_id = a.vec_id AND p.sub = a.sub
+      |  GROUP BY 1, 2, 3),
+      |pd1 AS (
+      |  SELECT p.vec_id, p.sub, c.cid, sum((p.v - c.cv) * (p.v - c.cv)) AS dist2
+      |  FROM sp p JOIN pc1 c ON p.sub = c.sub AND p.dimw = c.dimw
+      |  GROUP BY 1, 2, 3),
+      |pcode AS (
+      |  SELECT vec_id, sub, cid AS code FROM (
+      |    SELECT vec_id, sub, cid,
+      |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn
+      |    FROM pd1) WHERE rn = 1)""".stripMargin
+
   private val duckLshBuckets =
     """, signed AS (
       |  SELECT vec_id, plane,
@@ -598,6 +638,13 @@ object SparkEntry {
       Quantization.quantizeExploded(embDf(s, dir), levels = 256)),
     "q_quant_topk" -> ((s, dir) =>
       Quantization.quantizedTopK(embDf(s, dir), queryId = 0L, k = 10, levels = 256)),
+    // product quantization: m=4 subspace codebooks (k=8, one Lloyd
+    // step from deterministic seeds), per-vector codes, and the ADC
+    // top-k scored purely from per-subspace lookup tables
+    "q_pq_codes" -> ((s, dir) =>
+      Quantization.pqCodes(embDf(s, dir), m = 4, k = 8, iters = 1)),
+    "q_pq_topk" -> ((s, dir) =>
+      Quantization.pqTopK(embDf(s, dir), queryId = 0L, k = 10, m = 4, kCents = 8, iters = 1)),
     "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir), nBits = 5)),
     "q_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
@@ -1317,6 +1364,27 @@ object SparkEntry {
         |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
         |FROM cos CROSS JOIN nq WHERE vec_id <> 0
         |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
+      "q_pq_codes" -> (duckEmbParts + duckPq + """
+        |SELECT vec_id, sub, code FROM pcode""".stripMargin),
+
+      // PQ ADC top-k: dot and |recon|^2 assembled from per-subspace
+      // lookup tables over the trained (rounded) codebooks — subspaces
+      // are orthogonal blocks, so norms add across them
+      "q_pq_topk" -> (duckEmbParts + duckPq + """
+        |, pqv AS (SELECT sub, dimw, v AS qv FROM sp WHERE vec_id = 0),
+        |plut AS (
+        |  SELECT c.sub, c.cid, sum(c.cv * q.qv) AS dt, sum(c.cv * c.cv) AS n2
+        |  FROM pc1 c JOIN pqv q ON c.sub = q.sub AND c.dimw = q.dimw
+        |  GROUP BY 1, 2),
+        |psc AS (
+        |  SELECT cd.vec_id, sum(l.dt) AS dot, sqrt(sum(l.n2)) AS nv
+        |  FROM pcode cd JOIN plut l ON cd.sub = l.sub AND cd.code = l.cid
+        |  GROUP BY 1),
+        |pnq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM pqv)
+        |SELECT vec_id, round(dot / (nv * pnq.nq), 6) AS cosine
+        |FROM psc CROSS JOIN pnq WHERE vec_id <> 0
+        |ORDER BY round(dot / (nv * pnq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
 
       "q_ann_lsh_topk" -> annTopkSql,
       "q_ann_lsh_multiprobe" -> annMultiprobeSql,
