@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Clustering, Decontamination, Dedup, IvfStore, Multimodal, Packing, Quantization, Similarity, TextAnalysis}
+import graft.analysis.{AnnStore, Clustering, Decontamination, Dedup, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Similarity, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
 import graft.index.{IndexBuilder, IndexStore}
@@ -441,6 +441,27 @@ object SparkEntry {
     })
   }
 
+  /** One persisted IVF-PQ store per scale dir (kCells=8 in lockstep with
+    * duckKmeansAssign, m=4/kCents=8/iters=1 in lockstep with duckPq):
+    * trained once on the full table (what duckPq replays), then ADDED in
+    * two frozen-model batches split at the median vec_id — so
+    * q_ivfpq_topk drives the FAISS-style train/add split and the
+    * incremental add path end-to-end.
+    */
+  private val ivfpqCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def ivfpqDir(s: SparkSession, sfDir: String): String = synchronized {
+    ivfpqCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+      val emb = embDf(s, sfDir)
+      val mid = emb.agg(max(col("vec_id"))).as[Long].head() / 2
+      IvfPqStore.train(emb, out, kCells = 8, m = 4, kCents = 8, iters = 1)
+      IvfPqStore.add(emb.filter(col("vec_id") <= mid), out)
+      IvfPqStore.add(emb.filter(col("vec_id") > mid), out)
+      out
+    })
+  }
+
   /** One MAINTAINED ANN store per scale dir: full build, tombstone
     * vec_id % 7 == 3 and COMPACT (physically purged), then tombstone
     * vec_id % 11 == 5 left PENDING. q_ann_maint_topk probes the live
@@ -645,6 +666,14 @@ object SparkEntry {
       Quantization.pqCodes(embDf(s, dir), m = 4, k = 8, iters = 1)),
     "q_pq_topk" -> ((s, dir) =>
       Quantization.pqTopK(embDf(s, dir), queryId = 0L, k = 10, m = 4, kCents = 8, iters = 1)),
+    // IVF-PQ: the persisted composition — probe the 3 nearest cells of
+    // the trained-then-added-in-two-batches store, ADC-score codes only
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val d = ivfpqDir(s, dir)
+      IvfPqStore.topK(IvfPqStore.load(s, d), IvfPqStore.loadCentroids(s, d),
+        IvfPqStore.loadCodebooks(s, d), AnnStore.vectorOf(embDf(s, dir), 0L),
+        k = 10, nprobe = 3, excludeVecId = 0L)
+    }),
     "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir), nBits = 5)),
     "q_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
@@ -1380,6 +1409,30 @@ object SparkEntry {
         |psc AS (
         |  SELECT cd.vec_id, sum(l.dt) AS dot, sqrt(sum(l.n2)) AS nv
         |  FROM pcode cd JOIN plut l ON cd.sub = l.sub AND cd.code = l.cid
+        |  GROUP BY 1),
+        |pnq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM pqv)
+        |SELECT vec_id, round(dot / (nv * pnq.nq), 6) AS cosine
+        |FROM psc CROSS JOIN pnq WHERE vec_id <> 0
+        |ORDER BY round(dot / (nv * pnq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
+      // IVF-PQ over the persisted store: probe cells = the 3 seed
+      // centroids nearest the query (duckKmeansAssign's d2, ties to the
+      // lowest cid — IvfStore.probeClusters' order), candidates = the
+      // vectors assigned to those cells, scored by the SAME ADC lookup
+      // tables as q_pq_topk restricted to the candidates
+      "q_ivfpq_topk" -> (duckEmbParts + duckKmeansAssign + duckPq + """
+        |, qd AS (SELECT cid, dist2 FROM d2 WHERE vec_id = 0),
+        |probes AS (SELECT cid FROM qd ORDER BY dist2, cid LIMIT 3),
+        |cand AS (SELECT a.vec_id FROM asg a JOIN probes p ON a.cluster = p.cid),
+        |pqv AS (SELECT sub, dimw, v AS qv FROM sp WHERE vec_id = 0),
+        |plut AS (
+        |  SELECT c.sub, c.cid, sum(c.cv * q.qv) AS dt, sum(c.cv * c.cv) AS n2
+        |  FROM pc1 c JOIN pqv q ON c.sub = q.sub AND c.dimw = q.dimw
+        |  GROUP BY 1, 2),
+        |psc AS (
+        |  SELECT cd.vec_id, sum(l.dt) AS dot, sqrt(sum(l.n2)) AS nv
+        |  FROM pcode cd JOIN cand USING (vec_id)
+        |       JOIN plut l ON cd.sub = l.sub AND cd.code = l.cid
         |  GROUP BY 1),
         |pnq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM pqv)
         |SELECT vec_id, round(dot / (nv * pnq.nq), 6) AS cosine

@@ -131,7 +131,7 @@ object Quantization {
     * of the result array is the argmin codebook id for the vector's
     * s-th subvector (ties to the lowest id — Clustering.bestStructIds).
     */
-  private def pqAssignArray(m: Int, dsub: Int,
+  private[analysis] def pqAssignArray(m: Int, dsub: Int,
                             books: Seq[Seq[(Long, Array[Double])]]): org.apache.spark.sql.Column =
     array((0 until m).map { s =>
       Clustering.bestStructIds(
@@ -215,13 +215,33 @@ object Quantization {
     val books = pqCodebooks(emb, m, kCents, iters)
     val dsub = books.head.head._2.length
     val q = AnnStore.vectorOf(emb, queryId)
+    Similarity.nonDegenerate(emb)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), pqAssignArray(m, dsub, books).as("codes"))
+      .select(col("vec_id"), adcCosine(col("codes"), books, q).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** The ADC cosine as one codegen'd column over a `codes` array:
+    * dot = sum_s LUT_dot[s][code_s], |recon|^2 = sum_s LUT_n2[s][code_s],
+    * both LUTs m x k driver doubles shipped as literals (indexed by
+    * seed-rank cid; a dropped cluster keeps a 0.0 slot that no emitted
+    * code ever references). Shared by [[pqTopK]] and the persisted
+    * [[IvfPqStore]]'s probe path. Rounded to 6 dp like every cosine
+    * oracle.
+    */
+  private[analysis] def adcCosine(codes: org.apache.spark.sql.Column,
+                                  books: Seq[Seq[(Long, Array[Double])]],
+                                  q: Array[Double]): org.apache.spark.sql.Column = {
+    val m = books.length
+    val dsub = books.head.head._2.length
     require(q.length == m * dsub, s"query dim ${q.length} != ${m * dsub}")
+    val slots = (books.flatMap(_.map(_._1)).max + 1).toInt
     val nq = math.sqrt(q.map(x => x * x).sum)
-    // LUTs indexed by seed-rank cid; a dropped cluster keeps a 0.0 slot
-    // that no emitted code ever references
     def lut(f: (Int, Array[Double]) => Double): Seq[Seq[Double]] =
       (0 until m).map { s =>
-        val t = Array.fill(kCents)(0.0)
+        val t = Array.fill(slots)(0.0)
         books(s).foreach { case (cid, c) => t(cid.toInt) = f(s, c) }
         t.toSeq
       }
@@ -230,14 +250,9 @@ object Quantization {
     val n2Lit = typedLit(lut((_, c) => c.map(x => x * x).sum))
     def lookAt(l: org.apache.spark.sql.Column, s: Int) =
       element_at(element_at(l, s + 1),
-        (element_at(col("codes"), s + 1) + 1).cast("int"))
+        (element_at(codes, s + 1) + 1).cast("int"))
     val dot = (0 until m).map(s => lookAt(dotLit, s)).reduce(_ + _)
     val n2 = (0 until m).map(s => lookAt(n2Lit, s)).reduce(_ + _)
-    Similarity.nonDegenerate(emb)
-      .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), pqAssignArray(m, dsub, books).as("codes"))
-      .select(col("vec_id"), round(dot / (sqrt(n2) * lit(nq)), 6).as("cosine"))
-      .orderBy(desc("cosine"), asc("vec_id"))
-      .limit(k)
+    round(dot / (sqrt(n2) * lit(nq)), 6)
   }
 }
