@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Clustering, Decontamination, Dedup, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Similarity, TextAnalysis}
+import graft.analysis.{AnnStore, Bpe, Clustering, Decontamination, Dedup, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Rerank, Similarity, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
 import graft.index.{IndexBuilder, IndexStore}
@@ -337,6 +337,99 @@ object SparkEntry {
       |    SELECT vec_id, sub, cid,
       |           row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cid) AS rn
       |    FROM pd1) WHERE rn = 1)""".stripMargin
+
+  /** BPE-training CTEs (on top of duckToks): the corpus word-frequency
+    * table, char segmentation, then per greedy round a pair-count CTE,
+    * a (cnt DESC, lhs, rhs) argmax CTE, and a `list_reduce` fold that
+    * applies the merge left-to-right non-overlapping with a space-joined
+    * string accumulator — symbol-boundary-exact because kept tokens are
+    * all-alpha (no spaces or LIKE metacharacters inside symbols).
+    * Replays Bpe.trainLoop's rounds; pure string/integer arithmetic, so
+    * the match is exact, not rounded. CTEs are MATERIALIZED: each
+    * seg_{i-1} is referenced twice (p_i and seg_i), so default inlining
+    * would re-tokenize the corpus 2^rounds times.
+    */
+  private def duckBpe(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """, words AS MATERIALIZED (SELECT term AS w, count(*) AS freq FROM toks GROUP BY 1),
+      |seg0 AS MATERIALIZED (
+      |  SELECT w, freq, [substring(w, i, 1) FOR i IN range(1, length(w) + 1)] AS seg
+      |  FROM words)""".stripMargin
+    (1 to rounds).foreach { i =>
+      sb ++= s""",
+        |p$i AS MATERIALIZED (
+        |  SELECT z[1] AS lhs, z[2] AS rhs, sum(freq) AS cnt
+        |  FROM seg${i - 1}, unnest(list_zip(seg, seg[2:])) t(z)
+        |  WHERE z[2] IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+        |seg$i AS MATERIALIZED (
+        |  SELECT w, freq,
+        |         str_split(list_reduce(seg, (acc, x) ->
+        |           CASE WHEN x = m.rhs AND (acc = m.lhs OR acc LIKE '%' || ' ' || m.lhs)
+        |                THEN CASE WHEN acc = m.lhs THEN m.lhs || m.rhs
+        |                     ELSE left(acc, length(acc) - length(m.lhs)) || m.lhs || m.rhs END
+        |                ELSE acc || ' ' || x END), ' ') AS seg
+        |  FROM seg${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** MMR greedy-walk CTEs (on top of duckEmbParts): pool = cosine
+    * top-`pool` of vec 0 (rel rounded 6 dp), psim = pairwise pool
+    * cosines (rounded 6 dp), then ONE argmax CTE PER GREEDY STEP —
+    * step i scores every unpicked candidate as
+    * lambda*rel - (1-lambda)*max(sim to sel_{i-1}) rounded 6 dp and
+    * keeps the (score DESC, vec_id) winner, exactly Rerank.mmrTopK's
+    * driver loop. Generated (not recursive) because the argmax-over-
+    * aggregate per step sits outside what recursive terms allow; the
+    * lambda literals are Double.toString of the Scala doubles so both
+    * engines multiply by bit-identical constants. The per-step CTEs are
+    * MATERIALIZED: each sel_i references sel_{i-1} twice, so DuckDB's
+    * default inlining would expand the chain exponentially (observed as
+    * an FD blow-up re-opening the parquet thousands of times).
+    */
+  private def duckMmr(k: Int, pool: Int, lambda: Double): String = {
+    val L = lambda.toString
+    val M = (1 - lambda).toString
+    val sb = new StringBuilder
+    sb ++= s""", q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+      |cosq AS (
+      |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+      |  FROM parts p JOIN q USING (dim) GROUP BY 1),
+      |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+      |pool AS MATERIALIZED (
+      |  SELECT vec_id, round(dot / (nv * nq.nq), 6) AS rel
+      |  FROM cosq CROSS JOIN nq WHERE vec_id <> 0
+      |  ORDER BY rel DESC, vec_id LIMIT $pool),
+      |psim AS MATERIALIZED (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |         round(sum(x.v * y.v) /
+      |               (sqrt(sum(x.v * x.v)) * sqrt(sum(y.v * y.v))), 6) AS sim
+      |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id
+      |       JOIN parts x ON x.vec_id = a.vec_id
+      |       JOIN parts y ON y.vec_id = b.vec_id AND y.dim = x.dim
+      |  GROUP BY 1, 2),
+      |s1 AS MATERIALIZED (
+      |  SELECT vec_id, round($L * rel, 6) AS sc FROM pool
+      |  ORDER BY sc DESC, vec_id LIMIT 1),
+      |sel1 AS MATERIALIZED (SELECT vec_id FROM s1)""".stripMargin
+    (2 to k).foreach { i =>
+      sb ++= s""",
+        |s$i AS MATERIALIZED (
+        |  SELECT p.vec_id, round($L * p.rel - $M * max(s.sim), 6) AS sc
+        |  FROM pool p JOIN psim s ON s.ia = p.vec_id
+        |       AND s.ib IN (SELECT vec_id FROM sel${i - 1})
+        |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+        |  GROUP BY p.vec_id, p.rel
+        |  ORDER BY sc DESC, vec_id LIMIT 1),
+        |sel$i AS MATERIALIZED (SELECT vec_id FROM sel${i - 1} UNION ALL SELECT vec_id FROM s$i)""".stripMargin
+    }
+    sb ++= "\n" + (1 to k)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS rank, vec_id, sc AS mmr_score FROM s$i")
+      .mkString("", "\nUNION ALL ", "")
+    sb.toString
+  }
 
   private val duckLshBuckets =
     """, signed AS (
@@ -674,6 +767,14 @@ object SparkEntry {
         IvfPqStore.loadCodebooks(s, d), AnnStore.vectorOf(embDf(s, dir), 0L),
         k = 10, nprobe = 3, excludeVecId = 0L)
     }),
+    // MMR diversity rerank: distributed top-20 retrieval, driver greedy
+    // walk (lambda=0.7) — the post-retrieval diversity stage
+    "q_mmr_topk" -> ((s, dir) =>
+      Rerank.mmrTopK(embDf(s, dir), queryId = 0L, k = 10, pool = 20, lambda = 0.7)),
+    // k-NN graph within k-means cells (kCells=8 in lockstep with
+    // duckKmeansAssign): every vector's 5 nearest cell-mates
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(embDf(s, dir), k = 5, kCells = 8)),
     "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir), nBits = 5)),
     "q_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
@@ -720,6 +821,12 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextAnalysis.quality(docsDf(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docsDf(s, dir))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docsDf(s, dir))),
+    // BPE tokenizer training: round-0 pair counts, the 3-round greedy
+    // merge table, and every word's segmentation after those merges
+    "q_bpe_pairs" -> ((s, dir) =>
+      Bpe.pairCounts(Bpe.initialSegments(docsDf(s, dir)))),
+    "q_bpe_merges" -> ((s, dir) => Bpe.merges(docsDf(s, dir), rounds = 3)),
+    "q_bpe_segments" -> ((s, dir) => Bpe.segments(docsDf(s, dir), rounds = 3)),
     // PII scrub: the synthetic corpus carries no natural PII (checked),
     // so the wiring plants deterministic PII derived from doc_id (the
     // oracle re-derives the same suffix). The plantings DISCRIMINATE the
@@ -1378,6 +1485,30 @@ object SparkEntry {
       "q_ann_lsh_buckets" -> (duckEmbParts + duckLshBuckets + """
         |SELECT vec_id, bucket FROM buckets""".stripMargin),
 
+      "q_mmr_topk" -> (duckEmbParts + duckMmr(k = 10, pool = 20, lambda = 0.7)),
+
+      // k-NN graph: pairs within each k-means cell (both directions),
+      // exact cosine, per-source rank — ties to the lower vec_b like
+      // knnGraph's (cosine DESC, vec_b) window
+      "q_knn_graph" -> (duckEmbParts + duckKmeansAssign + """
+        |, prs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM asg a JOIN asg b
+        |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+        |cs AS (
+        |  SELECT pr.vec_a, pr.vec_b,
+        |         round(sum(x.v * y.v) /
+        |               (sqrt(sum(x.v * x.v)) * sqrt(sum(y.v * y.v))), 6) AS cosine
+        |  FROM prs pr JOIN parts x ON x.vec_id = pr.vec_a
+        |       JOIN parts y ON y.vec_id = pr.vec_b AND y.dim = x.dim
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT vec_a, vec_b, cosine,
+        |         row_number() OVER (PARTITION BY vec_a ORDER BY cosine DESC, vec_b) AS rnk
+        |  FROM cs)
+        |SELECT vec_a, vec_b, cosine, CAST(rnk AS BIGINT) AS rnk
+        |FROM rk WHERE rnk <= 5""".stripMargin),
+
       "q_quantize" -> (duckEmbParts + duckQuant + """
         |SELECT vec_id, CAST(dim AS BIGINT) AS dim, code, recon FROM rec""".stripMargin),
 
@@ -1599,6 +1730,19 @@ object SparkEntry {
         |         AS n_nums,
         |       regexp_replace(t2, '${TextAnalysis.PiiLongNum}', '<NUM>', 'g') AS clean_text
         |FROM r2""".stripMargin,
+
+      "q_bpe_pairs" -> (duckToks + duckBpe(1) + """
+        |SELECT lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM p1""".stripMargin),
+
+      "q_bpe_merges" -> (duckToks + duckBpe(3) + "\n" +
+        (1 to 3).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS round, lhs, rhs, CAST(cnt AS BIGINT) AS cnt FROM m$i")
+          .mkString("\nUNION ALL ")),
+
+      "q_bpe_segments" -> (duckToks + duckBpe(3) + """
+        |SELECT w AS word, CAST(freq AS BIGINT) AS freq,
+        |       array_to_string(seg, ' ') AS seg
+        |FROM seg3""".stripMargin),
 
       "q_repetition" -> (duckToks + duckShingles + """
         |, per AS (

@@ -195,4 +195,38 @@ object Similarity {
       .unionByName(qb).distinct()
     probeTopK(emb, probes, queryId, k, nBits)
   }
+
+  /** k-NN GRAPH within k-means cells — the all-vectors sibling of the
+    * single-query top-k and the building block of graph-ANN indexes
+    * (NN-descent seeds, HNSW base layers) and SemDeDup-style curation:
+    * every vector's k nearest neighbors AMONG ITS CELL'S MEMBERS by
+    * cosine (ties to the lower vec_id), emitted as
+    * (vec_a, vec_b, cosine, rnk 1-based).
+    *
+    * Scale shape: the cell id is a per-row argmin projection over the
+    * kCells deterministic seed centroids (zero shuffles to derive — the
+    * [[Dedup.semanticNearDupsKmeans]] pattern); candidates come from ONE
+    * cluster equi-self-join whose pair volume is sum(cell^2), never N^2;
+    * the top-k cut is one rank window partitioned by the SOURCE VECTOR
+    * (cells partition the corpus, so no global order materializes).
+    */
+  def knnGraph(emb: DataFrame, k: Int, kCells: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Clustering.seedCentroids(emb, kCells)
+    val rows = nonDegenerate(emb)
+      .select(col("vec_id"),
+        Clustering.bestStruct(col("embedding"), cents).getField("j").as("cluster"),
+        vecD(col("embedding")).as("vd"))
+      .withColumn("nrm", normCol(col("vd")))
+    val pairs = rows.as("a").join(rows.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dotCol(col("a.vd"), col("b.vd")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
+    pairs
+      .withColumn("rnk", row_number()
+        .over(Window.partitionBy(col("vec_a")).orderBy(desc("cosine"), asc("vec_b")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -155,6 +155,25 @@ object PlanAudit {
         AnnStore.vectorOf(emb, 0L), k = 10, nprobe = 3)
     }
 
+    val ivfpqOut = java.nio.file.Files.createTempDirectory("audit_ivfpq").toString
+    graft.analysis.IvfPqStore.build(emb, ivfpqOut, kCells = 8, m = 4, kCents = 8)
+    section("IVF-PQ probe: cluster PartitionFilters over the CODES-ONLY store, ADC projection") {
+      // the scan must open only the nprobe cell dirs AND read no
+      // embedding column (ReadSchema is (vec_id, codes)); scoring is
+      // literal-LUT lookups in the projection, no Exchange, no Join
+      val store = graft.analysis.IvfPqStore.load(spark, ivfpqOut)
+      graft.analysis.IvfPqStore.topK(store,
+        graft.analysis.IvfPqStore.loadCentroids(spark, ivfpqOut),
+        graft.analysis.IvfPqStore.loadCodebooks(spark, ivfpqOut),
+        AnnStore.vectorOf(emb, 0L), k = 10, nprobe = 3)
+    }
+
+    section("BPE pair counts: posexplode projection into ONE partial agg (vocab-keyed)") {
+      // the corpus-sized job is wordFreqs' groupBy; the pair count's
+      // exchange is keyed by (lhs, rhs) — symbol-vocabulary-bounded
+      graft.analysis.Bpe.pairCounts(graft.analysis.Bpe.initialSegments(docsTbl))
+    }
+
     section("semantic near-dup: per-row cell projection, ONE equi-join shuffle on cluster") {
       // cell assignment must be a projection (no join-back-by-vec_id);
       // the only wide exchange is the cluster equi-join's
