@@ -198,6 +198,25 @@ object Bench {
     val files = (if (baseDocs >= 0) baseDocs
                  else spark.read.parquet(s"$sfDir/documents.parquet").count()) * factor
     val strategy = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRATEGY", "bychunk")
+    // cluster mode launches FRESH executor JVMs per trial; without an
+    // in-session warmup the timed region absorbs ~10-15 s of per-JVM
+    // cold start (JIT, classloading, codec init) — a fixed term that
+    // reads as t = W + c at every core count and caps measured
+    // efficiency at (W+c)/(W+4c) ~ 0.62 even on a silent host (measured
+    // 2026-08-19 at 0.6175 clean-paired; ScalingProbe's warm long-lived
+    // sessions read 0.869 on the same build). The north rule's
+    // 10^12-file cluster runs are hours long — warm executors are the
+    // faithful model — so each trial warms its executors with an
+    // UNTIMED build of the SAME factor first (a factor/10 warmup left
+    // the big per-doc loops part-compiled: 0.7341 vs the probe's 0.869;
+    // full-factor warmup is exactly the probe's measured condition).
+    if (benchMode == "cluster" && factor > 1) {
+      val warmOut = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), s"graft_warm_$cores").toString
+      IndexBuilder.build(spark, src, warmOut,
+        IndexBuilder.BuildConfig(chunkDocs = chunkDocs, strategy = strategy))
+      graft.util.Host.rmTree(warmOut)
+    }
     val s0 = stealSec()
     val (_, dt) = timed {
       IndexBuilder.build(spark, src, out,

@@ -431,6 +431,36 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Recall@k eval CTEs (on top of duckEmbParts + duckLshBuckets), one
+    * block per query id: exact top-k, single-bucket candidates, ANN
+    * top-k within them, |∩|/k — Similarity.recallAtK's loop replayed.
+    */
+  private def duckAnnRecall(ids: Seq[Long], k: Int): String = {
+    val blocks = ids.map { i =>
+      s""", q$i AS (SELECT dim, v AS qv FROM parts WHERE vec_id = $i),
+        |nq$i AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q$i),
+        |cos$i AS (
+        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+        |  FROM parts p JOIN q$i q USING (dim) GROUP BY 1),
+        |brute$i AS (
+        |  SELECT vec_id FROM cos$i CROSS JOIN nq$i WHERE vec_id <> $i
+        |  ORDER BY round(dot / (nv * nq$i.nq), 6) DESC, vec_id LIMIT $k),
+        |cand$i AS (
+        |  SELECT b.vec_id FROM buckets b
+        |  JOIN (SELECT bucket FROM buckets WHERE vec_id = $i) qb USING (bucket)),
+        |ann$i AS (
+        |  SELECT c.vec_id FROM cos$i c JOIN cand$i USING (vec_id) CROSS JOIN nq$i
+        |  WHERE c.vec_id <> $i
+        |  ORDER BY round(dot / (nv * nq$i.nq), 6) DESC, vec_id LIMIT $k),
+        |rec$i AS (
+        |  SELECT CAST($i AS BIGINT) AS query_id,
+        |         round((SELECT count(*) FROM ann$i JOIN brute$i USING (vec_id))
+        |               / CAST($k AS DOUBLE), 6) AS recall)""".stripMargin
+    }.mkString("\n")
+    blocks + "\n" +
+      ids.map(i => s"SELECT query_id, recall FROM rec$i").mkString("\nUNION ALL ")
+  }
+
   private val duckLshBuckets =
     """, signed AS (
       |  SELECT vec_id, plane,
@@ -775,6 +805,10 @@ object SparkEntry {
     // duckKmeansAssign): every vector's 5 nearest cell-mates
     "q_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(embDf(s, dir), k = 5, kCells = 8)),
+    // ANN eval harness: recall@10 of single-bucket LSH vs brute force
+    // over a 3-query sample (nBits=5, the q_ann_* convention)
+    "q_ann_recall" -> ((s, dir) =>
+      Similarity.recallAtK(embDf(s, dir), queryIds = Seq(0L, 1L, 2L), k = 10, nBits = 5)),
     "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir), nBits = 5)),
     "q_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
@@ -1486,6 +1520,9 @@ object SparkEntry {
         |SELECT vec_id, bucket FROM buckets""".stripMargin),
 
       "q_mmr_topk" -> (duckEmbParts + duckMmr(k = 10, pool = 20, lambda = 0.7)),
+
+      "q_ann_recall" -> (duckEmbParts + duckLshBuckets +
+        duckAnnRecall(Seq(0L, 1L, 2L), k = 10)),
 
       // k-NN graph: pairs within each k-means cell (both directions),
       // exact cosine, per-source rank — ties to the lower vec_b like

@@ -196,6 +196,32 @@ object Similarity {
     probeTopK(emb, probes, queryId, k, nBits)
   }
 
+  /** ANN quality evaluation — recall@k of the single-bucket LSH search
+    * against exact brute force, per query: |ann top-k ∩ true top-k| / k.
+    * The eval harness every production ANN deployment runs before
+    * trusting an index (FAISS's own benchmarks report exactly this).
+    *
+    * Scale shape: the query SAMPLE is small by definition (an eval set,
+    * not the corpus) — a driver loop issues two distributed top-k jobs
+    * per query and collects k ids from each (bounded collects, the
+    * [[graft.engine.SearchEngine]] merge model). Rounded to 6 dp like
+    * every scored oracle.
+    */
+  def recallAtK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                nBits: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    queryIds.map { qid =>
+      val brute = bruteForceTopK(emb, qid, k)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val ann = lshTopK(emb, qid, k, nBits)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val recall = BigDecimal((ann & brute).size.toDouble / k)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (qid, recall)
+    }.toDF("query_id", "recall")
+  }
+
   /** k-NN GRAPH within k-means cells — the all-vectors sibling of the
     * single-query top-k and the building block of graph-ANN indexes
     * (NN-descent seeds, HNSW base layers) and SemDeDup-style curation:
@@ -207,8 +233,12 @@ object Similarity {
     * kCells deterministic seed centroids (zero shuffles to derive — the
     * [[Dedup.semanticNearDupsKmeans]] pattern); candidates come from ONE
     * cluster equi-self-join whose pair volume is sum(cell^2), never N^2;
-    * the top-k cut is one rank window partitioned by the SOURCE VECTOR
-    * (cells partition the corpus, so no global order materializes).
+    * the top-k cut is one rank window partitioned by
+    * (cluster, SOURCE VECTOR) — vec_a determines its cluster, so the
+    * semantics equal a vec_a-only window, but hash(cluster) from the
+    * join already satisfies the clustering requirement (subset rule) and
+    * the sum(cell^2)-sized pair set is NEVER re-shuffled (KnnGraphSpec
+    * asserts the single Exchange).
     */
   def knnGraph(emb: DataFrame, k: Int, kCells: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -220,13 +250,16 @@ object Similarity {
       .withColumn("nrm", normCol(col("vd")))
     val pairs = rows.as("a").join(rows.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(col("a.cluster").as("cluster"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dotCol(col("a.vd"), col("b.vd")) /
           (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
     pairs
       .withColumn("rnk", row_number()
-        .over(Window.partitionBy(col("vec_a")).orderBy(desc("cosine"), asc("vec_b")))
+        .over(Window.partitionBy(col("cluster"), col("vec_a"))
+          .orderBy(desc("cosine"), asc("vec_b")))
         .cast("long"))
       .filter(col("rnk") <= k)
+      .select(col("vec_a"), col("vec_b"), col("cosine"), col("rnk"))
   }
 }

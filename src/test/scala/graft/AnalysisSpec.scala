@@ -176,6 +176,25 @@ class AnalysisSpec extends AnyFunSuite {
     multi.foreach { case (id, c) => brute.get(id).foreach(b => assert(b === c)) }
   }
 
+  test("similarity: recallAtK equals the structural |ann ∩ brute|/k twin") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ids = Seq(0L, 1L, 2L)
+    val got = Similarity.recallAtK(emb, ids, k = 10, nBits = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got.keySet === ids.toSet)
+    ids.foreach { qid =>
+      val brute = Similarity.bruteForceTopK(emb, qid, 10).collect()
+        .map(_.getLong(0)).toSet
+      val ann = Similarity.lshTopK(emb, qid, 10, nBits = 5).collect()
+        .map(_.getLong(0)).toSet
+      assert(got(qid) === r6((ann & brute).size / 10.0), s"query $qid")
+      assert(got(qid) >= 0.0 && got(qid) <= 1.0)
+    }
+    // anti-vacuity: the single-bucket search finds SOMETHING true
+    assert(got.values.max > 0.0)
+  }
+
   test("repetition: dup-3gram mass and top-shingle share, hand-computed") {
     import spark.implicits._
     val d = Seq(

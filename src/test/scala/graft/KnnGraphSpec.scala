@@ -68,6 +68,17 @@ class KnnGraphSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("plan: ONE wide exchange — the rank window reuses the join's cluster partitioning") {
+    val plan = Similarity.knnGraph(emb, k = 5, kCells = 8)
+      .queryExecution.executedPlan.toString
+    val wide = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    // the cluster equi-join's two build/probe exchanges are the only
+    // wide shuffles; the (cluster, vec_a) window must NOT add a third
+    // re-shuffle of the sum(cell^2)-sized pair set
+    assert(wide <= 2, plan.take(3000))
+  }
+
   test("contracts: no self edges, dense ranks from 1, rnk <= k") {
     val rows = Similarity.knnGraph(emb, k = 3, kCells = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
