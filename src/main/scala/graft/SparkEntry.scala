@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Bpe, Clustering, Decontamination, Dedup, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Rerank, Similarity, TextAnalysis}
+import graft.analysis.{AnnStore, Bpe, Clustering, Decontamination, Dedup, Dsir, Fusion, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Rerank, Similarity, Sketches, SpellCorrect, TemporalJoins, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
 import graft.index.{IndexBuilder, IndexStore}
@@ -979,6 +979,88 @@ object SparkEntry {
         .sessionizeSessionWindowReplay(s, ev, gapSeconds = 1800, latenessSeconds = 600)
         .select(col("user_id"), col("start_ts"), col("end_ts"), col("n_events"),
           round(col("total_value"), 4).as("total_value"))
+    }),
+
+    // ---- AS-OF join (TemporalJoins.asofJoin): every non-purchase event
+    // matched to the user's latest purchase at or before it; right side
+    // deduped per (user, second) by max event_id; no-match rows keep the
+    // -1/0 sentinels so the output is null-free on both engines ----
+    "q_asof_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val t = floor(col("ts").cast("timestamp").cast("double")).cast("long").as("t")
+      val l = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), t, col("event_id"), col("event_type"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), t, col("event_id"), col("value"))
+        .groupBy(col("user_id"), col("t"))
+        .agg(max_by(col("value"), col("event_id")).as("pvalue"))
+      TemporalJoins.asofJoin(l, r, key = "user_id", t = "t")
+        .select(col("event_id"), col("user_id"), col("t"), col("event_type"),
+          coalesce(col("r_t"), lit(-1L)).as("purchase_t"),
+          round(coalesce(col("r_pvalue"), lit(0.0)), 4).as("purchase_value"))
+    }),
+
+    // ---- bucketed RANGE join (TemporalJoins.rangeJoinBucketed): session
+    // concurrency — per gap session, how many events (and distinct
+    // users) from OTHER users fall inside its [start, end] window ----
+    "q_range_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val sess = graft.streaming.StreamingIngest.sessionizeSql(
+          ev.select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("value")), gapSeconds = 1800)
+        .select(col("user_id"), col("start_ts"), col("end_ts"))
+      val pts = ev.select(col("user_id").as("p_user"),
+        col("event_id").as("p_event"),
+        floor(col("ts").cast("timestamp").cast("double")).cast("long").as("p_t"))
+      TemporalJoins.rangeJoinBucketed(sess, pts, "start_ts", "end_ts", "p_t",
+          bucketSec = 3600, joinType = "left_outer")
+        .groupBy(col("user_id"), col("start_ts"), col("end_ts"))
+        .agg(
+          count(when(col("p_user") =!= col("user_id"), col("p_event")))
+            .as("n_other_events"),
+          countDistinct(when(col("p_user") =!= col("user_id"), col("p_user")))
+            .as("n_other_users"))
+    }),
+
+    // ---- KMV distinct sketch (Sketches.kmvDistinct): per-language
+    // distinct-term estimate from the 16 smallest portable hashes
+    // (k=16 < the synthetic corpus's per-language vocab, so the driver
+    // gate exercises the ESTIMATOR branch; the below-k exact branch is
+    // spec-pinned) ----
+    "q_kmv_distinct" -> ((s, dir) => Sketches.kmvDistinct(docsDf(s, dir), k = 16)),
+
+    // ---- DSIR importance weights (Dsir.importanceWeights): hashed-
+    // bigram log-likelihood ratio of the lang='en' target distribution
+    // vs the whole corpus; integer micro-unit scores so both engines
+    // sum exactly ----
+    "q_dsir_weights" -> ((s, dir) =>
+      Dsir.importanceWeights(docsDf(s, dir), targetLang = "en", nBuckets = 64)),
+
+    // ---- SymSpell spelling suggestion (SpellCorrect.suggest): delete-1
+    // variant equi-join + exact levenshtein verify; 'jion' (a
+    // transposition, distance 2) must produce NO row — the verify step
+    // rejecting a shared-variant candidate ----
+    "q_spell_correct" -> ((s, dir) => SpellCorrect.suggest(docsDf(s, dir),
+      queries = Seq("quary", "scann", "ort", "jion", "hash"), k = 3)),
+
+    // ---- hybrid retrieval fusion (Fusion.rrf): the dense leg (exact
+    // cosine top-10 to vec 0) fused with a sparse leg (docs containing
+    // 'spark' by tf) via reciprocal-rank fusion; doc_id ≡ vec_id in the
+    // testdata (the hardNegatives identity) ----
+    "q_rrf_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dense = Similarity.bruteForceTopK(embDf(s, dir), queryId = 0L, k = 10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("cosine"), asc("vec_id"))).cast("long"))
+        .select(col("vec_id").as("id"), col("rnk"))
+      val sparse = TextAnalysis.tokens(docsDf(s, dir))
+        .filter(col("term") === "spark")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), asc("doc_id")).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(desc("tf"), asc("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("rnk"))
+      Fusion.rrf(Seq(dense, sparse), k0 = 60, topK = 10)
     }),
 
     // ---- benchmark decontamination: docs sharing any probe 5-gram are
@@ -1967,6 +2049,178 @@ object SparkEntry {
       // and merge-capable windows equal the same batch fold — one oracle
       // checks both streaming sessionizers
       "q_sessionize_window_stream" -> duckReplaySessions,
+
+      // AS-OF join: DuckDB's NATIVE ASOF LEFT JOIN is the independent
+      // second engine (l.t >= r.t inclusive, exactly asofJoin's
+      // right-before-left-at-equal-t order); right deduped per
+      // (user, second) by arg_max(value, event_id) like the Spark side
+      "q_asof_join" -> """
+        |WITH l AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         event_id, event_type
+        |  FROM events WHERE event_type <> 'purchase'),
+        |r AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         arg_max(value, event_id) AS pvalue
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.t, l.event_type,
+        |       coalesce(r.t, -1) AS purchase_t,
+        |       round(coalesce(r.pvalue, 0.0), 4) AS purchase_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.t >= r.t""".stripMargin,
+
+      // RANGE join: DuckDB plans the BETWEEN predicate natively
+      // (IEJoin) — the independent check that the bucketed equi-join
+      // emits each (session, event) containment pair exactly once
+      "q_range_join" -> """
+        |WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800
+        |            THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |sess AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |            ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |s AS (
+        |  SELECT user_id, min(t) AS start_ts, max(t) AS end_ts
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT s.user_id, s.start_ts, s.end_ts,
+        |       count(CASE WHEN e2.user_id <> s.user_id THEN e2.event_id END)
+        |         AS n_other_events,
+        |       count(DISTINCT CASE WHEN e2.user_id <> s.user_id
+        |                      THEN e2.user_id END) AS n_other_users
+        |FROM s LEFT JOIN e e2 ON e2.t BETWEEN s.start_ts AND s.end_ts
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+      // KMV distinct sketch: the polynomial-fold hash replayed with
+      // list_reduce (init 0 via list_prepend = the Spark aggregate's
+      // zero), same mix, same [1, 2^31] range, same order statistic
+      "q_kmv_distinct" -> """
+        |WITH dt AS (
+        |  SELECT DISTINCT lang, lower(tok) AS term FROM (
+        |    SELECT lang, unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20),
+        |h0 AS (
+        |  SELECT lang,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483647) AS f
+        |  FROM dt),
+        |hs AS (SELECT DISTINCT lang, (f * 2654435761) % 2147483647 + 1 AS h FROM h0),
+        |rk AS (SELECT lang, h,
+        |              row_number() OVER (PARTITION BY lang ORDER BY h) AS rnk
+        |       FROM hs)
+        |SELECT lang, count(*) AS n_kept, max(h) AS kth_h,
+        |       round(CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+        |             ELSE 15.0 * 2147483648.0 / max(h) END, 4) AS est_distinct
+        |FROM rk WHERE rnk <= 16 GROUP BY lang""".stripMargin,
+
+      // DSIR: bigrams via the lead-window construction, the same
+      // portable hash fold as q_kmv_distinct (+1 then mod 64 buckets),
+      // add-one-smoothed target/source log ratios FROZEN to integer
+      // micro-units before the per-doc sum — so the only doubles the
+      // engines compare are a division and a 4-dp round of an integer
+      "q_dsir_weights" -> (duckToks + """
+        |, dl AS (
+        |  SELECT t.doc_id, t.term, t.pos, d.lang
+        |  FROM toks t JOIN documents d USING (doc_id)),
+        |bg0 AS (
+        |  SELECT doc_id, lang,
+        |         term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+        |  FROM dl),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |         ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split(bg, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 2147483647)
+        |           * 2654435761) % 2147483647 + 1) % 64 AS bkt
+        |  FROM bg0 WHERE bg IS NOT NULL),
+        |cnt AS (
+        |  SELECT bkt, count(*) AS cs,
+        |         count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+        |  FROM bg GROUP BY 1),
+        |tot AS (SELECT sum(cs) AS s_tot, sum(ct) AS t_tot FROM cnt),
+        |lr AS (
+        |  SELECT bkt,
+        |         CAST(round((ln((ct + 1) / (t_tot + 64.0))
+        |                   - ln((cs + 1) / (s_tot + 64.0))) * 1000000) AS BIGINT) AS lrm
+        |  FROM cnt CROSS JOIN tot),
+        |per AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams, sum(l.lrm) AS micro
+        |  FROM bg b JOIN lr l USING (bkt) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+        |       CAST(coalesce(p.micro, 0) AS BIGINT) AS dsir_micro,
+        |       round(CAST(coalesce(p.micro, 0) AS BIGINT) / 1000000.0, 4) AS dsir_score
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin),
+
+      // SymSpell: delete-1 variants via list_transform/range, candidates
+      // from the shared-variant join, exact levenshtein verify, ranked
+      // (dist, tf DESC, term)
+      "q_spell_correct" -> (duckToks + """
+        |, dict AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+        |dv AS (
+        |  SELECT term, tf, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(term) + 1),
+        |      i -> substr(term, 1, i - 1) || substr(term, i + 1, length(term) - i)),
+        |    term))) AS variant
+        |  FROM dict),
+        |qs AS (SELECT unnest(['quary', 'scann', 'ort', 'jion', 'hash']) AS q),
+        |qv AS (
+        |  SELECT q, unnest(list_distinct(list_append(
+        |    list_transform(range(1, length(q) + 1),
+        |      i -> substr(q, 1, i - 1) || substr(q, i + 1, length(q) - i)),
+        |    q))) AS variant
+        |  FROM qs),
+        |cand AS (
+        |  SELECT DISTINCT q, term, tf, CAST(levenshtein(q, term) AS BIGINT) AS dist
+        |  FROM qv JOIN dv USING (variant)
+        |  WHERE levenshtein(q, term) <= 1),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY q
+        |                 ORDER BY dist, tf DESC, term) AS rnk
+        |       FROM cand)
+        |SELECT q, term, tf, dist, rnk FROM rk WHERE rnk <= 3""".stripMargin),
+
+      // RRF hybrid fusion: dense leg = exact cosine ranking to vec 0
+      // (rank over the 6-dp-rounded cosine like q_ann_brute), sparse
+      // leg = tf ranking of 'spark' docs; contributions frozen to
+      // integer nano-units round(1e9/(60+rnk)) before the sum
+      "q_rrf_hybrid" -> (duckToks + """
+        |, parts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+        |cos AS (
+        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+        |  FROM parts p JOIN q USING (dim) GROUP BY 1),
+        |dense AS (
+        |  SELECT id, rnk FROM (
+        |    SELECT vec_id AS id,
+        |           row_number() OVER (ORDER BY round(dot / (nv * nq.nq), 6) DESC,
+        |                              vec_id) AS rnk
+        |    FROM cos CROSS JOIN nq WHERE vec_id <> 0)
+        |  WHERE rnk <= 10),
+        |sp AS (SELECT doc_id AS id, count(*) AS tf FROM toks
+        |       WHERE term = 'spark' GROUP BY 1),
+        |sparse AS (
+        |  SELECT id, rnk FROM (
+        |    SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS rnk FROM sp)
+        |  WHERE rnk <= 10),
+        |fused AS (
+        |  SELECT id, sum(CAST(round(1000000000.0 / (60 + rnk)) AS BIGINT)) AS nano,
+        |         count(*) AS n_lists
+        |  FROM (SELECT * FROM dense UNION ALL SELECT * FROM sparse)
+        |  GROUP BY 1)
+        |SELECT id, rrf_nano, n_lists, rnk FROM (
+        |  SELECT id, CAST(nano AS BIGINT) AS rrf_nano, n_lists,
+        |         row_number() OVER (ORDER BY nano DESC, id) AS rnk
+        |  FROM fused)
+        |WHERE rnk <= 10""".stripMargin),
 
       // decontamination: 5-grams via the lead-window construction (the
       // proven 3-shingle pattern widened); probe set re-derived in SQL

@@ -1,0 +1,71 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch operators. Unlike HyperLogLog (whose register layout
+  * differs engine to engine, so `approx_count_distinct` can never be
+  * oracle-checked), KMV — the K-Minimum-Values distinct-count sketch of
+  * Bar-Yossef et al. — is DEFINED by an order statistic: keep the k
+  * smallest distinct hash values; the k-th smallest estimates the
+  * distinct count as (k-1)/fraction-of-hash-space. Any engine that
+  * computes the same hash computes the same sketch bit for bit, which
+  * makes it the one distinct-count sketch a DuckDB oracle can replay
+  * exactly.
+  */
+object Sketches {
+
+  /** Hash-space modulus (2^31 - 1). Hash values land in [1, P]. */
+  val P: Long = 2147483647L
+
+  /** Engine-portable string hash: a 31x polynomial fold over the
+    * term's character codes mod P, then one multiplicative mix. Pure
+    * bounded integer arithmetic (max intermediate < 2^63) so DuckDB
+    * replays it exactly — the md5->int alternative needs hex-to-integer
+    * conversions that differ across engines. The `filter(length > 0)`
+    * drops the trailing empty string Java's `split("")` keeps under
+    * Spark's limit=-1 (DuckDB's `string_split` never emits it).
+    */
+  private[graft] def portableTermHash(term: Column): Column = {
+    val chars = filter(split(term, ""), c => length(c) > 0)
+    val folded = aggregate(chars, lit(0L),
+      (h, c) => (h * 31 + ascii(c)) % P)
+    (folded * 2654435761L) % P + 1
+  }
+
+  /** Per-language distinct-term estimate via a KMV sketch of size k.
+    *
+    * Output: `(lang, n_kept, kth_h, est_distinct)` where `n_kept` =
+    * min(k, distinct hashes), `kth_h` = the n_kept-th smallest hash,
+    * and `est_distinct` = (k-1) * 2^31 / kth_h when the sketch is full,
+    * or the exact count when fewer than k distinct values exist (the
+    * standard KMV exact-below-k rule). Rounded to 4 dp.
+    *
+    * Plan shape: tokens explode with `lang` carried from the same row —
+    * no join back to the documents table. The first `distinct` is the
+    * only corpus-sized exchange and its OUTPUT is vocabulary-sized (the
+    * same information floor as any df computation); everything after —
+    * the hash projection, the per-language rank window, the final
+    * aggregate — runs over distinct (lang, hash) rows, i.e. vocabulary
+    * rows, never corpus rows. Two terms colliding to one hash collapse
+    * to one sketch entry in BOTH engines (hash-multiset semantics), so
+    * collisions cost a little estimator accuracy, never determinism.
+    */
+  def kmvDistinct(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 1, "k must be > 1")
+    val dt = docs
+      .select(col("lang"), explode(TextAnalysis.keptTokens(col("text"))).as("tok"))
+      .select(col("lang"), lower(col("tok")).as("term"))
+      .distinct()
+    val hs = dt.select(col("lang"), portableTermHash(col("term")).as("h")).distinct()
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+    hs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_h"))
+      .select(col("lang"), col("n_kept"), col("kth_h"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * 2147483648.0) / col("kth_h")), 4)
+          .as("est_distinct"))
+  }
+}

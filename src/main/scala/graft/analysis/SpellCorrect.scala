@@ -1,0 +1,65 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SymSpell-style spelling suggestion over the corpus vocabulary (the
+  * query-side "did you mean" a search front end bolts onto the engine).
+  * The scale trick is Garbe's delete-variant index: matching on shared
+  * delete-1 strings turns "every dictionary term within edit distance 1"
+  * into an EQUI-join — the naive alternative computes levenshtein
+  * against the whole vocabulary per query. Shared-variant candidacy
+  * overshoots (e.g. a transposition like `jion`/`join` shares `jon`
+  * but is Levenshtein distance 2), so every candidate is verified with
+  * the exact `levenshtein` built-in — which both Spark and DuckDB
+  * implement identically over integers, making the whole operator
+  * oracle-exact.
+  */
+object SpellCorrect {
+
+  /** A term's probe set: itself plus every delete-1 variant (SymSpell's
+    * index rows). Pure array expressions — the per-term fan-out is
+    * term length + 1.
+    */
+  private[graft] def deleteVariants(term: Column): Column =
+    array_distinct(concat(
+      transform(sequence(lit(1), length(term)),
+        i => concat(term.substr(lit(1), i - 1),
+          term.substr(i + 1, length(term) - i))),
+      array(term)))
+
+  /** Top-k suggestions per query term: candidates from the delete-1
+    * equi-join, kept iff levenshtein <= maxDist (1 = classic SymSpell-1;
+    * the delete-1 index is candidate-COMPLETE only to distance 1),
+    * ranked (dist asc, tf desc, term asc).
+    *
+    * Plan shape: the dictionary build is the tf groupBy (information
+    * floor); the variant explode is VOCABULARY-sized x avg term length,
+    * never corpus-sized; the query side is a literal handful of rows,
+    * broadcast into the join — the corpus-sized token stream is never
+    * reshuffled. The rank window partitions by query term (tiny).
+    */
+  def suggest(docs: DataFrame, queries: Seq[String], k: Int = 3,
+              maxDist: Int = 1): DataFrame = {
+    require(queries.nonEmpty, "need at least one query term")
+    require(k > 0 && maxDist >= 0, "k > 0, maxDist >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dict = TextAnalysis.tokens(docs)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val dictVar = dict.select(col("term"), col("tf"),
+      explode(deleteVariants(col("term"))).as("variant"))
+    val qVar = queries.toDF("q").select(col("q"),
+      explode(deleteVariants(col("q"))).as("variant"))
+    broadcast(qVar).join(dictVar, "variant")
+      .select(col("q"), col("term"), col("tf"),
+        levenshtein(col("q"), col("term")).cast("long").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q"))
+          .orderBy(asc("dist"), desc("tf"), asc("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

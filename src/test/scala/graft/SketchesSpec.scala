@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.analysis.Sketches
+
+/** KMV distinct-count sketch: the portable hash against a plain-Scala
+  * twin (pins Spark's split("")-trailing-empty handling), the exact
+  * below-k rule, the full-sketch estimator on a hand fixture, and an
+  * accuracy sanity band on the real corpus.
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val P = 2147483647L
+
+  /** Independent reference implementation of the portable hash. */
+  private def refHash(term: String): Long = {
+    val f = term.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P)
+    (f * 2654435761L) % P + 1
+  }
+
+  private def r4(x: Double) =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("portableTermHash equals the plain-Scala fold (split('') trailing empty filtered)") {
+    import spark.implicits._
+    val terms = Seq("a", "ab", "the", "zzzz", "quick", "nineteencharstring")
+    val got = terms.toDF("term")
+      .select(col("term"), Sketches.portableTermHash(col("term")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach { t =>
+      assert(got(t) === refHash(t), s"term '$t'")
+      assert(got(t) >= 1L && got(t) <= P)
+    }
+  }
+
+  test("below-k rule: fewer distinct terms than k reports the exact count") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "beta gamma alpha", "en") // same 3 distinct terms
+    ).toDF("doc_id", "text", "lang")
+    val row = Sketches.kmvDistinct(docs, k = 64).collect()
+    assert(row.length === 1)
+    assert(row.head.getLong(1) === 3L)       // n_kept
+    assert(row.head.getDouble(3) === 3.0)    // est = exact
+    assert(row.head.getLong(2) === Seq("alpha", "beta", "gamma").map(refHash).max)
+  }
+
+  test("full sketch: hand fixture replays the (k-1) * 2^31 / kth estimator") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => ('a' + i % 26).toChar.toString * (i / 26 + 1))
+    val docs = Seq((1L, words.mkString(" "), "en")).toDF("doc_id", "text", "lang")
+    val k = 8
+    val hashes = words.distinct.map(refHash).distinct.sorted
+    val kth = hashes(k - 1)
+    val row = Sketches.kmvDistinct(docs, k).collect().head
+    assert(row.getLong(1) === k.toLong)
+    assert(row.getLong(2) === kth)
+    assert(row.getDouble(3) === r4((k - 1).toDouble * 2147483648.0 / kth))
+  }
+
+  test("estimator sanity on the real corpus: within a loose band of exact distinct") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.analysis.TextAnalysis.tokens(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).agg(countDistinct(col("term")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.kmvDistinct(docs, k = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toList
+    assert(est.map(_._1).toSet === exact.keySet)
+    est.foreach { case (lang, nKept, e) =>
+      val x = exact(lang)
+      if (nKept < 64) assert(e === x.toDouble, s"$lang exact path")
+      else assert(e > x / 3.0 && e < x * 3.0, s"$lang est $e vs exact $x")
+    }
+  }
+}
