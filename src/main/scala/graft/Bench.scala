@@ -185,7 +185,7 @@ object Bench {
   private[graft] def buildOnce(cores: Int, sfDir: String, factor: Int,
                                chunkDocs: Long,
                                baseDocs: Long = -1L,
-                               timedReps: Int = 2): (Trial, Long) = {
+                               timedReps: Int = 3): (Trial, Long) = {
     val spark = session(cores, forBuild = true)
     val src = replicated(spark, sfDir, factor)
     // file count = base docs x factor; the base count is constant across

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Bpe, Clustering, Decontamination, Dedup, Dsir, Fusion, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Rerank, Similarity, Sketches, SpellCorrect, TemporalJoins, TextAnalysis}
+import graft.analysis.{AnnStore, Bpe, Clustering, Decontamination, Dedup, Dsir, Fusion, Graph, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Rerank, Similarity, Sketches, SpellCorrect, TemporalJoins, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
 import graft.index.{IndexBuilder, IndexStore}
@@ -809,6 +809,16 @@ object SparkEntry {
     // over a 3-query sample (nBits=5, the q_ann_* convention)
     "q_ann_recall" -> ((s, dir) =>
       Similarity.recallAtK(embDf(s, dir), queryIds = Seq(0L, 1L, 2L), k = 10, nBits = 5)),
+    // integer-exact PageRank over the k-NN graph (2 rounds): vector
+    // centrality — the link-analysis operator applied to the derived
+    // neighbor graph
+    "q_pagerank_knn" -> ((s, dir) => {
+      val emb = embDf(s, dir)
+      Graph.pageRank(
+        Similarity.knnGraph(emb, k = 5, kCells = 8)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")),
+        emb.select(col("vec_id").as("id")), iters = 2)
+    }),
     "q_ann_lsh_buckets" -> ((s, dir) => Similarity.lshBuckets(embDf(s, dir), nBits = 5)),
     "q_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(embDf(s, dir), queryId = 0L, k = 10, nBits = 5)),
@@ -1042,6 +1052,11 @@ object SparkEntry {
     // rejecting a shared-variant candidate ----
     "q_spell_correct" -> ((s, dir) => SpellCorrect.suggest(docsDf(s, dir),
       queries = Seq("quary", "scann", "ort", "jion", "hash"), k = 3)),
+
+    // autocomplete serving index: every vocabulary prefix -> top-3
+    // completions by corpus frequency
+    "q_autocomplete" -> ((s, dir) =>
+      SpellCorrect.prefixIndex(docsDf(s, dir), k = 3)),
 
     // ---- hybrid retrieval fusion (Fusion.rrf): the dense leg (exact
     // cosine top-10 to vec 0) fused with a sparse leg (docs containing
@@ -1628,6 +1643,54 @@ object SparkEntry {
         |SELECT vec_a, vec_b, cosine, CAST(rnk AS BIGINT) AS rnk
         |FROM rk WHERE rnk <= 5""".stripMargin),
 
+      // PageRank over the k-NN edges, 2 integer-exact rounds: micro-unit
+      // ranks, contributions pr // outdeg, damping (inflow * 85) // 100 —
+      // pure integer arithmetic after the two driver-rounded literals
+      // round(1e6/N) and round(150000.0/N). The edge CTE materializes
+      // (referenced by odeg + both inflow rounds).
+      "q_pagerank_knn" -> (duckEmbParts + duckKmeansAssign + """
+        |, prs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM asg a JOIN asg b
+        |    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id),
+        |cs AS (
+        |  SELECT pr.vec_a, pr.vec_b,
+        |         round(sum(x.v * y.v) /
+        |               (sqrt(sum(x.v * x.v)) * sqrt(sum(y.v * y.v))), 6) AS cosine
+        |  FROM prs pr JOIN parts x ON x.vec_id = pr.vec_a
+        |       JOIN parts y ON y.vec_id = pr.vec_b AND y.dim = x.dim
+        |  GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT vec_a AS src, vec_b AS dst FROM (
+        |    SELECT vec_a, vec_b,
+        |           row_number() OVER (PARTITION BY vec_a
+        |                              ORDER BY cosine DESC, vec_b) AS rnk
+        |    FROM cs)
+        |  WHERE rnk <= 5),
+        |nodes AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |odeg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |pr0 AS (SELECT id, CAST(round(1000000.0 / n) AS BIGINT) AS pr
+        |        FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT o.src, p.pr // o.deg AS c
+        |       FROM pr0 p JOIN odeg o ON p.id = o.src),
+        |i1 AS (SELECT e.dst AS id, sum(c1.c) AS inflow
+        |       FROM e JOIN c1 USING (src) GROUP BY 1),
+        |pr1 AS (SELECT nodes.id,
+        |        CAST(round(150000.0 / n) AS BIGINT)
+        |          + (CAST(coalesce(i1.inflow, 0) AS BIGINT) * 85) // 100 AS pr
+        |        FROM nodes CROSS JOIN nn LEFT JOIN i1 USING (id)),
+        |c2 AS (SELECT o.src, p.pr // o.deg AS c
+        |       FROM pr1 p JOIN odeg o ON p.id = o.src),
+        |i2 AS (SELECT e.dst AS id, sum(c2.c) AS inflow
+        |       FROM e JOIN c2 USING (src) GROUP BY 1),
+        |pr2 AS (SELECT nodes.id,
+        |        CAST(round(150000.0 / n) AS BIGINT)
+        |          + (CAST(coalesce(i2.inflow, 0) AS BIGINT) * 85) // 100 AS pr
+        |        FROM nodes CROSS JOIN nn LEFT JOIN i2 USING (id))
+        |SELECT id, pr AS pr_micro, round(pr / 1000000.0, 6) AS pr
+        |FROM pr2""".stripMargin),
+
       "q_quantize" -> (duckEmbParts + duckQuant + """
         |SELECT vec_id, CAST(dim AS BIGINT) AS dim, code, recon FROM rec""".stripMargin),
 
@@ -2183,6 +2246,21 @@ object SparkEntry {
         |                 ORDER BY dist, tf DESC, term) AS rnk
         |       FROM cand)
         |SELECT q, term, tf, dist, rnk FROM rk WHERE rnk <= 3""".stripMargin),
+
+      // autocomplete: prefixes via list_transform/range substr, top-3
+      // per prefix by (tf DESC, term)
+      "q_autocomplete" -> (duckToks + """
+        |, dict AS (SELECT term, count(*) AS tf FROM toks GROUP BY 1),
+        |px AS (
+        |  SELECT term, tf,
+        |         unnest(list_transform(range(1, length(term) + 1),
+        |                i -> substr(term, 1, i))) AS prefix
+        |  FROM dict),
+        |rk AS (SELECT prefix, term, tf,
+        |              row_number() OVER (PARTITION BY prefix
+        |                                 ORDER BY tf DESC, term) AS rnk
+        |       FROM px)
+        |SELECT prefix, term, tf, rnk FROM rk WHERE rnk <= 3""".stripMargin),
 
       // RRF hybrid fusion: dense leg = exact cosine ranking to vec 0
       // (rank over the 6-dp-rounded cosine like q_ann_brute), sparse

@@ -40,6 +40,32 @@ object SpellCorrect {
     * broadcast into the join — the corpus-sized token stream is never
     * reshuffled. The rank window partitions by query term (tiny).
     */
+  /** Query autocomplete index: every prefix of every vocabulary term
+    * mapped to its top-k completions by corpus frequency — the
+    * PRECOMPUTED serving table a search box reads with a point lookup
+    * (persist it partitioned/bucketed by prefix; lookups never touch
+    * the corpus).
+    *
+    * Plan shape: the dictionary tf groupBy is the only corpus-sized
+    * exchange (information floor); the prefix explode fans out
+    * VOCABULARY x term-length (terms are < 20 chars by the frozen
+    * token rule) and the rank window keys by prefix — prefixes
+    * partition the vocabulary, so no global order materializes.
+    */
+  def prefixIndex(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val dict = TextAnalysis.tokens(docs)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    dict.select(col("term"), col("tf"),
+        explode(transform(sequence(lit(1), length(col("term"))),
+          i => col("term").substr(lit(1), i))).as("prefix"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("prefix"))
+          .orderBy(desc("tf"), asc("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("prefix"), col("term"), col("tf"), col("rnk"))
+  }
+
   def suggest(docs: DataFrame, queries: Seq[String], k: Int = 3,
               maxDist: Int = 1): DataFrame = {
     require(queries.nonEmpty, "need at least one query term")

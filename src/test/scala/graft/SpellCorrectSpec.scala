@@ -70,6 +70,41 @@ class SpellCorrectSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("prefixIndex: hand corpus — shared prefixes rank by tf then term, every prefix present") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "scan scan scan sort sort so", "en")).toDF("doc_id", "text", "lang")
+    val got = graft.analysis.SpellCorrect.prefixIndex(docs, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // vocab: scan(3), sort(2), so(1); prefix "s"/"sc"... k=2 keeps top 2
+    val expect = Set(
+      ("s", "scan", 3L, 1L), ("s", "sort", 2L, 2L),
+      ("sc", "scan", 3L, 1L), ("sca", "scan", 3L, 1L), ("scan", "scan", 3L, 1L),
+      ("so", "sort", 2L, 1L), ("so", "so", 1L, 2L),
+      ("sor", "sort", 2L, 1L), ("sort", "sort", 2L, 1L))
+    assert(got === expect)
+  }
+
+  test("prefixIndex: every (prefix, term) pair of the real vocabulary is indexed within k") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val vocab = graft.analysis.TextAnalysis.tokens(docs)
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val k = 4
+    val got = graft.analysis.SpellCorrect.prefixIndex(docs, k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val byPrefix = got.groupBy(_._1)
+    // twin: for each prefix, the top-k completions by (tf desc, term)
+    val prefixes = vocab.flatMap { case (t, _) => (1 to t.length).map(t.take) }.distinct
+    prefixes.foreach { p =>
+      val expect = vocab.filter(_._1.startsWith(p))
+        .sortBy { case (t, tf) => (-tf, t) }.take(k).map(_._1).toList
+      val gotTerms = byPrefix(p).sortBy(_._3).map(_._2).toList
+      assert(gotTerms === expect, s"prefix '$p'")
+    }
+  }
+
   test("completeness twin on the real corpus: every distance<=1 term is suggested") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val vocab = graft.analysis.TextAnalysis.tokens(docs)
