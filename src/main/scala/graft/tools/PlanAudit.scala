@@ -231,6 +231,38 @@ object PlanAudit {
       IndexStore.readPostings(spark, out).toDF().groupBy($"chunk")
         .agg(count(lit(1)).as("uniqueTerms"))
     }
+
+    val eventsTbl = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evT = floor($"ts".cast("timestamp").cast("double")).cast("long")
+
+    section("as-of join: union -> ONE key exchange -> running-last window (no nested loop)") {
+      graft.analysis.TemporalJoins.asofJoin(
+        eventsTbl.filter($"event_type" =!= "purchase")
+          .select($"user_id", evT.as("t"), $"event_id"),
+        eventsTbl.filter($"event_type" === "purchase")
+          .select($"user_id", evT.as("t"), $"event_id", $"value")
+          .groupBy($"user_id", $"t")
+          .agg(max_by($"value", $"event_id").as("v")),
+        key = "user_id", t = "t")
+    }
+
+    section("bucketed range join: interval explode + bucket EQUI-join (no BNLJ/Cartesian)") {
+      graft.analysis.TemporalJoins.rangeJoinBucketed(
+        graft.streaming.StreamingIngest.sessionizeSql(
+          eventsTbl.select($"user_id", $"ts".cast("timestamp").as("ts"), $"value"))
+          .select($"user_id", $"start_ts", $"end_ts"),
+        eventsTbl.select($"user_id".as("p_user"), $"event_id".as("p_event"),
+          evT.as("p_t")),
+        "start_ts", "end_ts", "p_t", bucketSec = 3600)
+    }
+
+    section("DSIR scoring: scan -> literal-LUT fold projection (no Exchange, no Join)") {
+      graft.analysis.Dsir.importanceWeights(docsTbl, targetLang = "en", nBuckets = 16)
+    }
+
+    section("spell suggest: vocab-sized variant explode, query side BROADCAST into the join") {
+      graft.analysis.SpellCorrect.suggest(docsTbl, Seq("quary"), k = 3)
+    }
     spark.stop()
   }
 }
