@@ -513,6 +513,33 @@ object SparkEntry {
     })
   }
 
+  /** One MERGED index per scale dir: two indexes built independently over
+    * the two corpus halves — the SECOND half REBASED to docId 0, so both
+    * docId spaces collide, the per-shard build reality — then folded into
+    * one via IndexBuilder.mergeIndexes (chunk-aligned docId shift + blob
+    * transcode, no re-tokenization). q_merge_term_stats reads THIS index,
+    * so the driver's DuckDB oracle checks the segment-merge operator
+    * end-to-end: term stats are docId-shift-invariant, so the merged
+    * index must answer exactly the whole-corpus tokenization truth.
+    */
+  private val mergeIdxCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def mergeIdxDir(s: SparkSession, sfDir: String): String = synchronized {
+    mergeIdxCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
+      val dest = java.nio.file.Files.createTempDirectory("graft_idx_mrg").toString
+      val src = java.nio.file.Files.createTempDirectory("graft_idx_mrg_src").toString
+      val ids = Corpus.fromDocumentsParquet(s, sfDir)
+      val mid = ids.agg(max($"docId")).as[Long].head() / 2
+      val cfg = IndexBuilder.BuildConfig(chunkDocs = 200)
+      IndexBuilder.build(s, ids.filter(_.docId <= mid), dest, cfg)
+      IndexBuilder.build(s,
+        ids.filter(_.docId > mid).map(d => d.copy(docId = d.docId - mid - 1)),
+        src, cfg)
+      IndexBuilder.mergeIndexes(s, dest, src)
+      dest
+    })
+  }
+
   /** One DELETE-then-COMPACT index per scale dir: full build, tombstone
     * every doc with docId % 5 == 3 (markDeleted), purge (compact).
     * q_compact_term_stats reads THIS index, so the driver's DuckDB oracle
@@ -642,6 +669,16 @@ object SparkEntry {
     // tokenization truth over the whole corpus — i.e. append == full build
     "q_append_term_stats" -> ((s, dir) =>
       IndexStore.readPostings(s, appendIdxDir(s, dir)).toDF()
+        .filter(!col("term").startsWith("#"))
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+        .orderBy(desc("tf"), asc("term"))),
+    // term stats read FROM the segment-MERGED index (two per-shard builds
+    // with colliding docId spaces folded into one): shift-invariant term
+    // stats must equal the whole-corpus DuckDB tokenization truth —
+    // i.e. merge == full build, without re-tokenizing a document
+    "q_merge_term_stats" -> ((s, dir) =>
+      IndexStore.readPostings(s, mergeIdxDir(s, dir)).toDF()
         .filter(!col("term").startsWith("#"))
         .groupBy(col("term"))
         .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
@@ -1226,6 +1263,13 @@ object SparkEntry {
       // same truth as q_term_stats — the Spark side answers from the
       // incrementally-appended index instead of re-tokenizing
       "q_append_term_stats" -> (duckToks + """
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
+
+      // same truth again — the Spark side answers from an index produced
+      // by MERGING two independently-built shard indexes (docId spaces
+      // collided, then chunk-aligned shift + blob transcode)
+      "q_merge_term_stats" -> (duckToks + """
         |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
 

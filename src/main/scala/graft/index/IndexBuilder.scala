@@ -884,6 +884,113 @@ object IndexBuilder {
       $"chunk".between(loChunk, lastNewChunk), useCfg)
   }
 
+  /** Merge an INDEPENDENTLY-BUILT index into `destDir` — the segment-merge
+    * half of index maintenance that [[appendBuild]] (which ingests raw
+    * docs) cannot cover: per-shard / per-datacenter / per-language indexes
+    * built in isolation (each starting its docId space at 0) are combined
+    * into one queryable index WITHOUT re-tokenizing a single document.
+    * The reference's fleet holds 8 forever-separate per-machine indexes
+    * (configs/config.h:5 NUM_INDEX_MACHINE; index/indexServer.cpp serves
+    * one chunk set per process) — this operator is the missing
+    * consolidation step, expressed over the same chunk-roll geometry
+    * (index/index.h:84-120).
+    *
+    * Mechanics: src docIds are shifted by a CHUNK-ALIGNED offset (the
+    * first chunk boundary strictly past dest's docId high-water mark), so
+    * `chunkOf` commutes with the shift — src chunk k lands verbatim in
+    * dest chunk k + offset/chunkDocs with its within-chunk structure
+    * intact. Posting blobs are transcoded (decode → shift docIds →
+    * re-encode): positions are doc-local and untouched, run order and
+    * block boundaries are shift-invariant, so the result is blob-identical
+    * to a from-scratch build over (dest docs ∪ shifted src docs) — pinned
+    * by IndexMergeSpec. Doc rows shift (chunk, docId) only.
+    *
+    * Cost model (the 100 TB story):
+    *  - ZERO shuffle in the default combined layout: src's
+    *    chunk-partitioned rows map 1:1 into fresh dest partitions (narrow
+    *    transcode, no Exchange; the legacy two-table compat path pays one
+    *    repartition per table via [[writeTableChunks]]);
+    *  - content is never read or re-tokenized — the transcode touches
+    *    integer streams only, so merge cost is ∝ src INDEX bytes, not
+    *    corpus bytes;
+    *  - writes go through dynamic partition overwrite into all-new
+    *    partitions (driver-side commit rename ∝ src chunk count — merge
+    *    the smaller index into the larger, the classic segment-merge
+    *    policy);
+    *  - stats/lineage refresh incrementally for the new chunks only.
+    *
+    * Replay contract (same shape as appendBuild): lineage lands LAST, so
+    * the docId high-water mark — and with it the computed offset — moves
+    * only once the merge is fully applied; a replay over a partially-
+    * applied merge recomputes the SAME offset and dynamic overwrite makes
+    * the partition rewrites idempotent. Re-running an already-COMPLETED
+    * merge is a second merge (new offset, duplicated content) — the
+    * caller contract, exactly like feeding appendBuild the same delta
+    * re-numbered.
+    *
+    * Both indexes must share chunk geometry (persisted chunkDocs), and
+    * src must carry no pending tombstones (compact it first — merges are
+    * the natural purge point, so shipping tombstones across would hide
+    * deleted docs inside fresh partitions). The docId gap this leaves
+    * (< chunkDocs slots) is fine: docIds are never required contiguous
+    * (lineage keeps the high-water mark).
+    *
+    * @return (docId offset applied to src, dest chunks written)
+    */
+  def mergeIndexes(spark: SparkSession, destDir: String, srcDir: String): (Long, Set[Long]) = {
+    import spark.implicits._
+    require(pathExists(spark, postingsDir(destDir)),
+      s"mergeIndexes: no index at dest $destDir")
+    require(pathExists(spark, postingsDir(srcDir)),
+      s"mergeIndexes: no index at src $srcDir")
+    require(pathExists(spark, lineageDir(destDir)),
+      s"mergeIndexes: dest index at $destDir has no lineage table; cannot derive the corpus extent")
+    val cdDest = IndexStore.readStats(spark, destDir).agg(max($"chunkDocs")).as[Long].head()
+    val cdSrc = IndexStore.readStats(spark, srcDir).agg(max($"chunkDocs")).as[Long].head()
+    require(cdDest > 0 && cdSrc > 0,
+      s"mergeIndexes: both indexes need the persisted chunkDocs stats column " +
+        s"(dest=$cdDest, src=$cdSrc); rebuild stats first")
+    require(cdDest == cdSrc,
+      s"mergeIndexes: chunk geometry must match (dest chunkDocs=$cdDest, src=$cdSrc) " +
+        "— a shifted src chunk would otherwise straddle dest chunk boundaries")
+    require(IndexStore.readTombstones(spark, srcDir).head(1).isEmpty,
+      s"mergeIndexes: src index at $srcDir has pending tombstones; compact it first")
+    val destMax = docIdHighWater(spark, destDir)
+    val offset = (chunkOf(destMax, cdDest) + 1) * cdDest
+    val base = offset / cdDest
+
+    // merged partitions are all new; dynamic overwrite makes partial
+    // replays rewrite rather than duplicate them
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val off = offset // serialize primitives, not the enclosing object
+    val b = base
+    val shiftedP = IndexStore.readPostings(spark, srcDir).map { r =>
+      val runs = graft.codec.PostingCodec.decode(r.df, r.postingsBlob)
+        .map { case (d, ps) => (d + off, ps) }
+      val (df2, tf2, blocks, blob) = graft.codec.PostingCodec.encode(runs)
+      PostingRow(r.chunk + b, r.term, df2, tf2, blocks, blob)
+    }
+    val shiftedD = IndexStore.readDocs(spark, srcDir)
+      .map(d => d.copy(chunk = d.chunk + b, docId = d.docId + off))
+
+    val combinedLayout = !pathExists(spark, docsDir(destDir))
+    if (combinedLayout) {
+      writeCombinedChunks(shiftedP.map(IndexRow.ofPosting)
+        .unionByName(shiftedD.map(IndexRow.ofDoc)), destDir)
+    } else {
+      // legacy two-table compat: separate pipelines per table (the reads
+      // come from SRC, so the shared-pipeline re-read hazard doesn't
+      // apply, but uniformity keeps the invariant obvious)
+      writeTableChunks(shiftedP.toDF(), postingsDir(destDir))
+      writeTableChunks(shiftedD.toDF(), docsDir(destDir))
+    }
+
+    val written = refreshStatsAndLineage(spark, destDir, $"chunk" >= b,
+      BuildConfig(chunkDocs = cdDest))
+    (offset, written)
+  }
+
   /** Combined layout: ONE chunk-partitioned write of the union schema into
     * the index's postings table. Caller must have set dynamic partition
     * overwrite when only touched partitions should be replaced.

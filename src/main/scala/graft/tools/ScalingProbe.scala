@@ -36,6 +36,12 @@ object ScalingProbe {
     // A/B against alternatives.
     //  SPARK_GRAFT_PROBE_SHUFFLE_MULT — shuffle partitions = n * mult
     //  SPARK_GRAFT_PROBE_COALESCE    — AQE partition coalescing on/off
+    //  SPARK_GRAFT_PROBE_IO_CODEC    — spark.io.compression.codec
+    //    (shuffle/spill/broadcast payload; lz4 default vs zstd: bychunk's
+    //    shuffle bytes == corpus bytes, so codec ratio is a direct lever
+    //    on the memory-bandwidth term that bends this VM's N->4N curve)
+    //  SPARK_GRAFT_PROBE_PARQUET_CODEC — spark.sql.parquet.compression.codec
+    //    (index sink bytes; snappy default vs zstd)
     val shuffleMult = sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUFFLE_MULT", "16").toInt
     val b = SparkSession.builder()
       .master(master)
@@ -43,6 +49,10 @@ object ScalingProbe {
       .config("spark.sql.shuffle.partitions", math.max(n * shuffleMult, 8).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_COALESCE", "false"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_IO_CODEC", "lz4"))
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_PARQUET_CODEC", "snappy"))
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
