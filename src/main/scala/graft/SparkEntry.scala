@@ -478,6 +478,20 @@ object SparkEntry {
   private def embDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Events as a deterministic change log: one row per (user_id,
+    * second), ties broken by max event_id — the one-row-per-(key, t)
+    * contract TemporalJoins.scd2/snapshotAsOf require. */
+  private def eventChanges(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    ev.select(col("user_id"),
+        floor(col("ts").cast("timestamp").cast("double")).cast("long").as("t"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"), col("t"))
+      .agg(max_by(struct(col("event_type"), col("value")), col("event_id")).as("__c"))
+      .select(col("user_id"), col("t"),
+        col("__c.event_type").as("event_type"), col("__c.value").as("value"))
+  }
+
   /** One compressed index per scale dir, built on first use. */
   private val indexCache = scala.collection.mutable.HashMap.empty[String, String]
   private def indexDir(s: SparkSession, sfDir: String): String = synchronized {
@@ -1094,6 +1108,52 @@ object SparkEntry {
     // completions by corpus frequency
     "q_autocomplete" -> ((s, dir) =>
       SpellCorrect.prefixIndex(docsDf(s, dir), k = 3)),
+
+    // ---- Count-Min sketch (Sketches.cmsCounters): the full 4x512
+    // counter grid over corpus term frequencies — every cell exactly
+    // reproducible from the portable hash, unlike any engine's built-in
+    // approx sketch registers ----
+    "q_cms_counters" -> ((s, dir) =>
+      Sketches.cmsCounters(docsDf(s, dir), depth = 4, width = 512)
+        .select(col("row").as("hrow"), col("col").as("hcol"), col("counter"))),
+
+    // ---- CMS point estimates (Sketches.cmsEstimate): min-over-rows
+    // lookups beside the exact tf (est >= true, the one-sided CMS error;
+    // the absent probe must read 0 unless every one of its 4 cells
+    // collided) ----
+    "q_cms_estimate" -> ((s, dir) =>
+      Sketches.cmsEstimate(docsDf(s, dir), depth = 4, width = 512,
+        probes = Seq("spark", "merge", "the", "dup", "zzzznotaterm"))),
+
+    // ---- SCD2 versioning (TemporalJoins.scd2): the events change log
+    // as version intervals — valid_to = next change (exclusive), -1
+    // sentinel for the current version; one row per (user, second)
+    // via max_by(event_id) dedupe ----
+    "q_scd2" -> ((s, dir) => {
+      val ch = eventChanges(s, dir)
+      TemporalJoins.scd2(ch, key = "user_id", t = "t")
+        .select(col("user_id"), col("valid_from"),
+          coalesce(col("valid_to"), lit(-1L)).as("valid_to"), col("version"),
+          col("event_type"), round(col("value"), 4).as("value"))
+    }),
+
+    // ---- point-in-time snapshot (TemporalJoins.snapshotAsOf): each
+    // user's state as of 2024-01-03T00:00Z — filter + argmax, never a
+    // history sort ----
+    "q_snapshot_asof" -> ((s, dir) => {
+      val ch = eventChanges(s, dir)
+      TemporalJoins.snapshotAsOf(ch, key = "user_id", t = "t",
+          at = lit(1704240000L))
+        .select(col("user_id"), col("t"),
+          col("event_type"), round(col("value"), 4).as("value"))
+    }),
+
+    // ---- PMI related terms (TextAnalysis.relatedTerms): top-20
+    // co-occurring pairs over the top-64 df vocabulary, ranked by the
+    // integer-exact monotone PMI transform ----
+    "q_related_terms" -> ((s, dir) =>
+      TextAnalysis.relatedTerms(docsDf(s, dir), vocabSize = 64,
+        minPairDocs = 2, k = 20)),
 
     // ---- hybrid retrieval fusion (Fusion.rrf): the dense leg (exact
     // cosine top-10 to vec 0) fused with a sparse leg (docs containing
@@ -2225,6 +2285,121 @@ object SparkEntry {
         |       round(CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
         |             ELSE 15.0 * 2147483648.0 / max(h) END, 4) AS est_distinct
         |FROM rk WHERE rnk <= 16 GROUP BY lang""".stripMargin,
+
+      // Count-Min sketch grid: the same polynomial fold with the row
+      // index folded in before the mix, reduced mod width; sum(BIGINT)
+      // is HUGEINT in DuckDB -> cast back
+      "q_cms_counters" -> """
+        |WITH kept AS (
+        |  SELECT lower(tok) AS term FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20),
+        |tf AS (SELECT term, count(*) AS tf FROM kept GROUP BY 1),
+        |cells AS (
+        |  SELECT r AS hrow,
+        |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, b) -> (a * 31 + b) % 2147483647) + r * 131) % 2147483647
+        |           * 2654435761) % 2147483647 + 1) % 512 AS hcol,
+        |         tf
+        |  FROM tf CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rs)
+        |SELECT hrow, hcol, CAST(sum(tf) AS BIGINT) AS counter
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+
+      // CMS point estimates: min over the 4 row cells each probe hashes
+      // to, 0 for empty cells, beside the exact tf
+      "q_cms_estimate" -> """
+        |WITH kept AS (
+        |  SELECT lower(tok) AS term FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20),
+        |tf AS (SELECT term, count(*) AS tf FROM kept GROUP BY 1),
+        |grid AS (
+        |  SELECT r, (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, b) -> (a * 31 + b) % 2147483647) + r * 131) % 2147483647
+        |           * 2654435761) % 2147483647 + 1) % 512 AS c,
+        |         CAST(sum(tf) AS BIGINT) AS counter
+        |  FROM tf CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rs
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT term, r,
+        |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, b) -> (a * 31 + b) % 2147483647) + r * 131) % 2147483647
+        |           * 2654435761) % 2147483647 + 1) % 512 AS c
+        |  FROM (SELECT unnest(['spark', 'merge', 'the', 'dup', 'zzzznotaterm']) AS term)
+        |  CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rs)
+        |SELECT p.term,
+        |       CAST(min(coalesce(g.counter, 0)) AS BIGINT) AS est_tf,
+        |       CAST(coalesce(any_value(t.tf), 0) AS BIGINT) AS true_tf
+        |FROM probes p
+        |LEFT JOIN grid g ON p.r = g.r AND p.c = g.c
+        |LEFT JOIN tf t ON t.term = p.term
+        |GROUP BY p.term""".stripMargin,
+
+      // SCD2 versioning: lead/row_number over the deduped change log;
+      // per-column arg_max on the unique event_id equals the Spark
+      // side's one max_by(struct) row
+      "q_scd2" -> """
+        |WITH c0 AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         event_id, event_type, value
+        |  FROM events),
+        |c1 AS (
+        |  SELECT user_id, t,
+        |         arg_max(event_type, event_id) AS event_type,
+        |         arg_max(value, event_id) AS value
+        |  FROM c0 GROUP BY 1, 2)
+        |SELECT user_id, t AS valid_from,
+        |       coalesce(lead(t) OVER w, -1) AS valid_to,
+        |       row_number() OVER w AS version,
+        |       event_type, round(value, 4) AS value
+        |FROM c1 WINDOW w AS (PARTITION BY user_id ORDER BY t)""".stripMargin,
+
+      // point-in-time snapshot: per-user argmax over changes at or
+      // before the instant (2024-01-03T00:00Z = 1704240000)
+      "q_snapshot_asof" -> """
+        |WITH c0 AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |         event_id, event_type, value
+        |  FROM events),
+        |c1 AS (
+        |  SELECT user_id, t,
+        |         arg_max(event_type, event_id) AS event_type,
+        |         arg_max(value, event_id) AS value
+        |  FROM c0 GROUP BY 1, 2)
+        |SELECT user_id, arg_max(t, t) AS t,
+        |       arg_max(event_type, t) AS event_type,
+        |       round(arg_max(value, t), 4) AS value
+        |FROM c1 WHERE t <= 1704240000
+        |GROUP BY user_id""".stripMargin,
+
+      // PMI related terms: doc-level co-occurrence over the top-64 df
+      // vocabulary; score = (c_xy * n * 1e6) // (c_x * c_y) — the
+      // integer-exact monotone PMI transform (// = div, both positive)
+      "q_related_terms" -> """
+        |WITH dt AS (
+        |  SELECT DISTINCT doc_id, lower(tok) AS term FROM (
+        |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20),
+        |dfd AS (SELECT term, count(*) AS df FROM dt GROUP BY 1),
+        |vocab AS (SELECT term, df FROM dfd ORDER BY df DESC, term LIMIT 64),
+        |dv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab v ON dt.term = v.term),
+        |cxy AS (
+        |  SELECT x.term AS a, y.term AS b, count(*) AS c_xy
+        |  FROM dv x JOIN dv y ON x.doc_id = y.doc_id AND x.term < y.term
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT a, b, c_xy,
+        |       (c_xy * n.n * 1000000) // (va.df * vb.df) AS score_micro
+        |FROM cxy CROSS JOIN n
+        |JOIN vocab va ON va.term = cxy.a
+        |JOIN vocab vb ON vb.term = cxy.b
+        |ORDER BY score_micro DESC, a, b LIMIT 20""".stripMargin,
 
       // DSIR: bigrams via the lead-window construction, the same
       // portable hash fold as q_kmv_distinct (+1 then mod 64 buckets),

@@ -68,4 +68,80 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble * 2147483648.0) / col("kth_h")), 4)
           .as("est_distinct"))
   }
+
+  /** Row-r Count-Min hash column: the same polynomial fold as
+    * [[portableTermHash]] with the row index folded in BEFORE the
+    * multiplicative mix (so the d rows are d genuinely different hash
+    * functions, not d rotations of one), reduced to a column index in
+    * [0, width). All intermediates stay below 2^63 (fold < 2^31,
+    * + r*131 tiny, mix constant ~2^31.3), so DuckDB replays it exactly.
+    */
+  private[graft] def cmsCol(term: Column, row: Column, width: Int): Column = {
+    val chars = filter(split(term, ""), c => length(c) > 0)
+    val folded = aggregate(chars, lit(0L),
+      (h, c) => (h * 31 + ascii(c)) % P)
+    (((folded + row * 131L) % P * 2654435761L) % P + 1L) % width
+  }
+
+  /** Count-Min sketch (Cormode & Muthukrishnan) of corpus term
+    * frequencies: a `depth` x `width` grid of counters where
+    * `counter(r, c)` = Σ tf over terms whose row-r hash lands in column
+    * c. Point estimates (see [[cmsEstimate]]) take the min over rows and
+    * can only OVER-estimate — the sketch never undercounts.
+    *
+    * Output: `(row, col, counter)` — the full grid, every cell exactly
+    * reproducible by any engine computing the same hash (the reason this
+    * sketch is driver-checkable while an engine's built-in
+    * `approx_count_distinct` registers never are).
+    *
+    * Plan shape: tokens collapse to the per-term tf table first (ONE
+    * corpus-sized exchange, vocabulary-sized output — the information
+    * floor shared with any df/tf computation); the depth-way fan-out and
+    * the (row, col) grid aggregation then run over vocab-sized rows, and
+    * the grid itself is depth·width rows — constant-sized, mergeable by
+    * cell-wise sum across corpus shards, which is the whole point of a
+    * CMS at 100 TB: a bounded summary that a later pass (or a stream)
+    * can keep adding to.
+    */
+  def cmsCounters(docs: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 1, "depth must be > 0, width > 1")
+    val tf = docs
+      .select(explode(TextAnalysis.keptTokens(col("text"))).as("tok"))
+      .select(lower(col("tok")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    tf.select(col("term"), col("tf"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("row"))
+      .select(col("row"), cmsCol(col("term"), col("row"), width).as("col"),
+        col("tf"))
+      .groupBy(col("row"), col("col"))
+      .agg(sum(col("tf")).as("counter"))
+  }
+
+  /** Point-query the CMS grid for `probes`: est_tf = min over rows of
+    * the counter each probe hashes to (0 when the cell is empty — the
+    * term never occurred and nothing collided into its cells), beside
+    * the exact tf so the one-sided error (`est_tf >= tf`, equality when
+    * no collision) is visible in the output. The grid side of the join
+    * is depth·width rows — broadcast — and the probe side is |probes|
+    * rows; nothing corpus-sized moves.
+    */
+  def cmsEstimate(docs: DataFrame, depth: Int, width: Int,
+                  probes: Seq[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grid = cmsCounters(docs, depth, width)
+    val cells = probes.toDF("term")
+      .select(col("term"), explode(sequence(lit(0L), lit(depth - 1L))).as("row"))
+      .select(col("term"), col("row"), cmsCol(col("term"), col("row"), width).as("col"))
+      .join(broadcast(grid), Seq("row", "col"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("counter"), lit(0L))).as("est_tf"))
+    val exact = docs
+      .select(explode(TextAnalysis.keptTokens(col("text"))).as("tok"))
+      .select(lower(col("tok")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    cells.join(exact, Seq("term"), "left")
+      .select(col("term"), col("est_tf"),
+        coalesce(col("tf"), lit(0L)).as("true_tf"))
+  }
 }

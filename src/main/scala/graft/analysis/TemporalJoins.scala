@@ -1,6 +1,6 @@
 package graft.analysis
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -117,5 +117,49 @@ object TemporalJoins {
           col(tCol) >= col(startCol) && col(tCol) <= col(endCol),
         joinType)
       .drop("__ibkt", "__pbkt")
+  }
+
+  /** SCD2 versioning (Kimball slowly-changing-dimension type 2): turn a
+    * change log — one row per `(key, t)` state change — into version
+    * intervals `[valid_from, valid_to)` where `valid_to` is the NEXT
+    * change's timestamp (exclusive, the standard SCD2 convention) and
+    * null marks the current version. `version` numbers each key's
+    * versions from 1 in time order.
+    *
+    * Plan shape: ONE exchange on `key`; both `lead` and `row_number`
+    * share the same window sort, so Catalyst plans a single
+    * Exchange+Sort feeding one Window operator. Nothing per-key is
+    * buffered beyond the one-row lead lookahead — a key with a billion
+    * changes streams through its task.
+    *
+    * Determinism contract (same as [[asofJoin]]): callers dedupe to one
+    * row per `(key, t)` first — two changes at the same instant leave
+    * "the" next version undefined in any engine.
+    */
+  def scd2(changes: DataFrame, key: String, t: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("valid_from").asc)
+    val payload = changes.columns.filterNot(c => c == key || c == t).toSeq
+    changes.select(
+      (col(key) :: col(t).as("valid_from") :: payload.map(col).toList): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("version", row_number().over(w))
+  }
+
+  /** Point-in-time snapshot: each key's state as of instant `at`
+    * (inclusive — a change AT `at` is visible). Implemented as a
+    * filter + per-key argmax (`max_by` over the change struct), i.e.
+    * one partial-aggregated exchange over only the rows at or before
+    * `at` — NOT a window sort, and not a join against [[scd2]] output,
+    * so a snapshot never pays for history later than `at`.
+    * Keys whose first change is after `at` are absent (they did not
+    * exist yet). Same one-row-per-`(key, t)` contract as [[scd2]].
+    */
+  def snapshotAsOf(changes: DataFrame, key: String, t: String,
+                   at: Column): DataFrame = {
+    val payload = changes.columns.filterNot(c => c == key || c == t).toSeq
+    changes.filter(col(t) <= at)
+      .groupBy(col(key))
+      .agg(max_by(struct(col(t) +: payload.map(col): _*), col(t)).as("__s"))
+      .select(col(key) +: (col(s"__s.$t") +: payload.map(c => col(s"__s.$c"))): _*)
   }
 }

@@ -32,6 +32,55 @@ object TextAnalysis {
       .select(col("doc_id"), lower(col("col")).as("term"),
         (col("pos") + 1).cast("long").as("pos"))
 
+  /** PMI-ranked related-term pairs — the "related searches" /
+    * query-expansion table: doc-level co-occurrence over the
+    * top-`vocabSize` document-frequency vocabulary, ranked by
+    * `score_micro = (c_xy · n_docs · 10^6) div (c_x · c_y)` — an
+    * integer-exact MONOTONE transform of PMI = ln(n·c_xy/(c_x·c_y))
+    * (ln is increasing), so both engines rank identically with zero
+    * transcendental exposure. Integer bound: c_xy·n·10^6 < 2^63 holds
+    * to n ≈ 3·10^6 docs per counted shard; a 10^12-doc run would rank
+    * on the double log form (ranking tolerates ulp noise there because
+    * nothing downstream re-sums it) or rescale the constant — the
+    * oracle pins the integer form.
+    *
+    * Plan shape: vocabulary selection is one corpus exchange collapsing
+    * to df rows, top-V collected driver-side (V rows — the k-means
+    * centroid pattern) and shipped back as literals; pair generation is
+    * then a PURE PROJECTION per doc (sorted vocab-filtered terms →
+    * ordered pairs, fan-out ≤ V(V-1)/2 with V a config constant), and
+    * one (a, b) groupBy — never a corpus-sized self-join on doc_id.
+    */
+  def relatedTerms(docs: DataFrame, vocabSize: Int = 64,
+                   minPairDocs: Long = 2, k: Int = 20): DataFrame = {
+    require(vocabSize > 1 && k > 0, "vocabSize must be > 1, k > 0")
+    val docTerms = docs.select(col("doc_id"),
+      array_distinct(transform(keptTokens(col("text")), t => lower(t))).as("ts"))
+    val vocab = docTerms.select(explode(col("ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("term")).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val nDocs = docs.count()
+    val vlit = array(vocab.map(v => lit(v._1)).toIndexedSeq: _*)
+    val dfLit = map(vocab.toIndexedSeq.flatMap(v => Seq(lit(v._1), lit(v._2))): _*)
+    val vt = array_sort(array_intersect(col("ts"), vlit))
+    // ordered pairs (a < b) from the sorted per-row vocab terms
+    val pairsCol = flatten(transform(vt, (x, i) =>
+      transform(slice(vt, i + lit(2), greatest(size(vt) - i - lit(1), lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    docTerms.select(explode(pairsCol).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minPairDocs)
+      .withColumn("__dfa", element_at(dfLit, col("a")))
+      .withColumn("__dfb", element_at(dfLit, col("b")))
+      .select(col("a"), col("b"), col("c_xy"),
+        expr(s"(c_xy * ${nDocs}L * 1000000L) div (__dfa * __dfb)")
+          .as("score_micro"))
+      .orderBy(desc("score_micro"), asc("a"), asc("b"))
+      .limit(k)
+  }
+
   /** Per-term df/tf (A1/A3 analog on the raw corpus). */
   def termStats(docs: DataFrame): DataFrame =
     tokens(docs).groupBy(col("term"))

@@ -101,13 +101,15 @@ object ScalingProbe {
       case _ => -1.0
     }
 
-    case class T(wall: Double, steal: Double, gc: Double, cpu: Double)
+    case class T(wall: Double, steal: Double, gc: Double, cpu: Double,
+                 spin: Double = -1.0)
     def rmTree(dir: String): Unit = graft.util.Host.rmTree(dir)
 
     def buildIn(spark: SparkSession, tag: String): T = {
       val src = graft.Bench.replicated(spark, sfDir, factor)
       val out = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), s"graft_probe_$tag").toString
+      val spin0 = graft.util.Host.spinSec()
       val (s0, g0, c0) = (stealSec(), gcMillis(), procCpuSec())
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, src, out,
@@ -115,7 +117,8 @@ object ScalingProbe {
       val wall = (System.nanoTime() - t0) / 1e9
       // -1 sentinel (unreadable /proc/stat) must not leak a garbage delta
       val sd = { val s1 = stealSec(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
-      val t = T(wall, sd, (gcMillis() - g0) / 1000.0, procCpuSec() - c0)
+      val t = T(wall, sd, (gcMillis() - g0) / 1000.0, procCpuSec() - c0,
+        math.min(spin0, graft.util.Host.spinSec()))
       rmTree(out)
       t
     }
@@ -124,7 +127,7 @@ object ScalingProbe {
       s"factor=$factor trials=$trials n=$small/$large")
     def report(tag: String, t: T): Unit =
       println(f"[probe] $tag%-4s wall=${t.wall}%7.2f s steal=${t.steal}%7.2f s " +
-        f"gc=${t.gc}%6.2f s driverCpu=${t.cpu}%7.2f s")
+        f"gc=${t.gc}%6.2f s driverCpu=${t.cpu}%7.2f s spin=${t.spin}%6.3f s")
 
     // one long-lived session per core count: executor JVMs stay warm
     // across the timed trials (JIT amortized, like real long-running

@@ -442,4 +442,48 @@ class AnalysisSpec extends AnyFunSuite {
     assert(out(2L) === "fr")
     assert(out(3L) === "und")
   }
+
+  test("relatedTerms: hand fixture — vocab cut, pair counts, integer PMI rank") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "apple banana"),
+      (3L, "banana cherry"),
+      (4L, "apple durian")
+    ).toDF("doc_id", "text")
+    // df: apple 3, banana 3, cherry 2, durian 1; vocabSize=3 cuts durian.
+    // c_xy: (apple,banana)=2, (apple,cherry)=1 (< minPairDocs, dropped),
+    // (banana,cherry)=2. n=4:
+    //   score(banana,cherry) = 8e6 div (3*2) = 1333333
+    //   score(apple,banana)  = 8e6 div (3*3) =  888888
+    val got = TextAnalysis.relatedTerms(fx, vocabSize = 3, minPairDocs = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toList === List(
+      ("banana", "cherry", 2L, 1333333L),
+      ("apple", "banana", 2L, 888888L)))
+  }
+
+  test("relatedTerms: equals the plain-Scala twin on the real corpus") {
+    val raw = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val docTerms = raw.map { case (_, text) =>
+      text.split("\\s+").filter(t => t.matches("[A-Za-z]+") && t.length < 20)
+        .map(_.toLowerCase).toSet
+    }
+    val df_ = docTerms.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val vocab = df_.toSeq.sortBy { case (t, d) => (-d, t) }.take(32)
+    val vset = vocab.map(_._1).toSet
+    val dfMap = vocab.toMap
+    val n = raw.length.toLong
+    val cxy = docTerms.flatMap { ts =>
+      val vt = ts.intersect(vset).toSeq.sorted
+      for (i <- vt.indices; j <- i + 1 until vt.length) yield (vt(i), vt(j))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = cxy.toSeq.filter(_._2 >= 2).map { case ((a, b), c) =>
+      (a, b, c, c * n * 1000000L / (dfMap(a) * dfMap(b)))
+    }.sortBy { case (a, b, _, s) => (-s, a, b) }.take(15)
+    val got = TextAnalysis.relatedTerms(docs, vocabSize = 32, minPairDocs = 2, k = 15)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got === want.toList)
+  }
 }

@@ -61,6 +61,62 @@ class SketchesSpec extends AnyFunSuite {
     assert(row.getDouble(3) === r4((k - 1).toDouble * 2147483648.0 / kth))
   }
 
+  // ---------- Count-Min sketch ----------
+
+  /** Independent reference of the row-r CMS column index. */
+  private def refCmsCol(term: String, r: Long, width: Int): Long = {
+    val f = term.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % P)
+    ((f + r * 131L) % P * 2654435761L % P + 1L) % width
+  }
+
+  test("cms: hand fixture grid equals the plain-Scala cell sums") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta alpha", "en"),
+      (2L, "beta gamma", "en")
+    ).toDF("doc_id", "text", "lang")
+    val (depth, width) = (3, 16)
+    val tf = Map("alpha" -> 2L, "beta" -> 2L, "gamma" -> 1L)
+    val want = (for {
+      (t, n) <- tf.toSeq; r <- 0L until depth.toLong
+    } yield (r, refCmsCol(t, r, width)) -> n)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val got = Sketches.cmsCounters(docs, depth, width).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("cms: grids merge cell-wise — sketch(A ++ B) == sketch(A) + sketch(B)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def grid(d: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsCounters(d, depth = 4, width = 128).collect()
+        .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val merged = (grid(a).toSeq ++ grid(b).toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    assert(grid(docs) === merged)
+  }
+
+  test("cms: estimates never under-count; empty cells read 0; no-collision probes are exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Sketches.cmsEstimate(docs, depth = 4, width = 4096,
+        probes = Seq("spark", "merge", "dup", "qqqqabsent"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet ===
+      Set("spark", "merge", "dup", "qqqqabsent"))
+    rows.foreach { case (t, est, exact) =>
+      assert(est >= exact, s"CMS under-counted '$t': $est < $exact")
+    }
+    // wide grid vs the sf0.001 vocab: the absent probe must find at
+    // least one empty cell (est 0); present probes must be counted
+    val byTerm = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byTerm("qqqqabsent") === ((0L, 0L)))
+    Seq("spark", "merge", "dup").foreach { t =>
+      assert(byTerm(t)._2 > 0L, s"probe '$t' should exist in the corpus")
+    }
+  }
+
   test("estimator sanity on the real corpus: within a loose band of exact distinct") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = graft.analysis.TextAnalysis.tokens(docs)

@@ -141,4 +141,80 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
+
+  // ---------- scd2 / snapshotAsOf ----------
+
+  test("scd2: hand fixture — exclusive valid_to chain, null current, per-key versions") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 10L, "a", 1.0),
+      (1L, 20L, "b", 2.0),
+      (1L, 40L, "c", 3.0),
+      (2L, 15L, "x", 9.0)
+    ).toDF("k", "t", "state", "v")
+    val got = TemporalJoins.scd2(ch, "k", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getInt(5), r.getString(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      (1L, 10L, 20L, 1, "a", 1.0),
+      (1L, 20L, 40L, 2, "b", 2.0),
+      (1L, 40L, -1L, 3, "c", 3.0),
+      (2L, 15L, -1L, 1, "x", 9.0)))
+  }
+
+  test("scd2: intervals tile each key's timeline — no gaps, no overlaps") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ch = ev.select(col("user_id"),
+        floor(col("ts").cast("timestamp").cast("double")).cast("long").as("t"),
+        col("event_id"), col("event_type"))
+      .groupBy(col("user_id"), col("t"))
+      .agg(max_by(col("event_type"), col("event_id")).as("event_type"))
+    val rows = TemporalJoins.scd2(ch, "user_id", "t").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_._4)
+      assert(sorted.map(_._4).toList === (1 to vs.length).toList, s"user $u versions")
+      sorted.sliding(2).foreach {
+        case Array((_, _, to1, _), (_, from2, _, _)) =>
+          assert(to1 === from2, s"user $u: interval chain broken")
+        case _ =>
+      }
+      assert(sorted.last._3 === Long.MaxValue, s"user $u: open current version")
+    }
+  }
+
+  test("snapshotAsOf: equals filtering scd2 intervals at the instant") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 40L, "c"),
+      (2L, 15L, "x"), (3L, 99L, "late")
+    ).toDF("k", "t", "state")
+    val at = 25L
+    val snap = TemporalJoins.snapshotAsOf(ch, "k", "t", lit(at)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // scd2 view of the same instant: valid_from <= at < valid_to
+    val viaScd2 = TemporalJoins.scd2(ch, "k", "t")
+      .filter(col("valid_from") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
+      .select(col("k"), col("valid_from"), col("state")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(snap === Set((1L, 20L, "b"), (2L, 15L, "x"))) // key 3 not born yet
+    assert(snap === viaScd2)
+  }
+
+  test("scd2: one window operator over one exchange; snapshot plan is agg, not window") {
+    import spark.implicits._
+    val ch = Seq((1L, 10L, "a")).toDF("k", "t", "state")
+    val scd2Plan = TemporalJoins.scd2(ch, "k", "t")
+      .queryExecution.executedPlan.toString
+    // lead + row_number share one Window (same partition/order spec)
+    assert(scd2Plan.sliding("Window".length).count(_ == "Window") === 1, scd2Plan.take(2000))
+    val snapPlan = TemporalJoins.snapshotAsOf(ch, "k", "t", lit(25L))
+      .queryExecution.executedPlan.toString
+    assert(!snapPlan.contains("Window"), snapPlan.take(2000))
+    assert(snapPlan.contains("HashAggregate") || snapPlan.contains("SortAggregate"),
+      snapPlan.take(2000))
+  }
 }
