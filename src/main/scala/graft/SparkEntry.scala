@@ -37,6 +37,40 @@ object SparkEntry {
       |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20
       |)""".stripMargin
 
+  /** Bloom-sidecar bits grid replayed from tokenization truth: the
+    * chunkDocs=200 index's (chunk, term) pairs — duckToks body terms
+    * UNION '#'-decorated title terms re-derived from the Corpus path
+    * (source || '/doc' || doc_id || '.txt', split at non-letter runs,
+    * lowercased, length incl '#' < 20 — Tokenizer.titleTokens) — hashed
+    * 3 ways into 2^14 bits, OR-folded into 63-bit words (bit 63 of a
+    * signed word would overflow DuckDB's checked shift).
+    */
+  private val duckBloomBits =
+    """WITH body AS (
+      |  SELECT DISTINCT doc_id // 200 AS chunk, lower(tok) AS term FROM (
+      |    SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+      |    FROM documents)
+      |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20),
+      |title AS (
+      |  SELECT DISTINCT chunk, t AS term FROM (
+      |    SELECT doc_id // 200 AS chunk,
+      |           '#' || lower(unnest(regexp_extract_all(
+      |             source || '/doc' || doc_id || '.txt', '[A-Za-z]+'))) AS t
+      |    FROM documents)
+      |  WHERE length(t) < 20),
+      |ct AS (SELECT chunk, term FROM body UNION SELECT chunk, term FROM title),
+      |cells AS (
+      |  SELECT chunk,
+      |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |              list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |            (a, b) -> (a * 31 + b) % 2147483647) + j * 131) % 2147483647
+      |           * 2654435761) % 2147483647 + 1) % 16384 AS pos
+      |  FROM ct CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js),
+      |bits AS (
+      |  SELECT chunk, pos // 63 AS word,
+      |         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+      |  FROM cells GROUP BY 1, 2)""".stripMargin
+
   /** 3-shingle + minhash-signature CTEs (on top of duckToks). */
   private val duckShingles =
     """, sh0 AS (
@@ -500,6 +534,20 @@ object SparkEntry {
       IndexBuilder.build(s, Corpus.fromDocumentsParquet(s, sfDir), out,
         IndexBuilder.BuildConfig(chunkDocs = 200))
       out
+    })
+  }
+
+  /** One Bloom chunk-skip sidecar per scale dir, built over the shared
+    * chunkDocs=200 index (adds bloom/ + bloom_meta/ beside it — never
+    * touches existing tables). Small explicit geometry (2^14 bits, 3
+    * hashes) so the oracle's full-grid replay stays cheap.
+    */
+  private val bloomIdxCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def bloomIdxDir(s: SparkSession, sfDir: String): String = synchronized {
+    bloomIdxCache.getOrElseUpdate(sfDir, {
+      val idx = indexDir(s, sfDir)
+      graft.index.BloomSidecar.build(s, idx, mBits = 1 << 14, kHashes = 3)
+      idx
     })
   }
 
@@ -1154,6 +1202,30 @@ object SparkEntry {
     "q_related_terms" -> ((s, dir) =>
       TextAnalysis.relatedTerms(docsDf(s, dir), vocabSize = 64,
         minPairDocs = 2, k = 20)),
+
+    // ---- Bloom chunk-skip sidecar (BloomSidecar.build/read): the full
+    // per-chunk bitmap grid over the REAL index's (chunk, term) pairs —
+    // body + '#'-title terms — replayed bit-for-bit from tokenization
+    // truth (63-bit words: bit 63 of a signed word is not portable) ----
+    "q_bloom_bits" -> ((s, dir) =>
+      graft.index.BloomSidecar.read(s, bloomIdxDir(s, dir))),
+
+    // ---- Bloom candidate pruning (BloomSidecar.candidateChunks): the
+    // surviving chunk list per probe — an AND pair, a single term, and
+    // an absent term (no rows) — exactly the partition list the engines'
+    // big-index path scans ----
+    "q_bloom_candidates" -> ((s, dir) => {
+      val bi = bloomIdxDir(s, dir)
+      val probes = Seq(
+        "and2" -> Seq("spark", "dup"),
+        "single" -> Seq("merge"),
+        "absent" -> Seq("zzqqabsentterm"))
+      val rows = probes.flatMap { case (lbl, ts) =>
+        graft.index.BloomSidecar.candidateChunks(s, bi, ts).get.map(c => (lbl, c))
+      }
+      import s.implicits._
+      rows.toDF("probe", "chunk")
+    }),
 
     // ---- hybrid retrieval fusion (Fusion.rrf): the dense leg (exact
     // cosine top-10 to vec 0) fused with a sparse leg (docs containing
@@ -2400,6 +2472,44 @@ object SparkEntry {
         |JOIN vocab va ON va.term = cxy.a
         |JOIN vocab vb ON vb.term = cxy.b
         |ORDER BY score_micro DESC, a, b LIMIT 20""".stripMargin,
+
+      // Bloom sidecar grid: every (chunk, word, bits) cell bit-for-bit
+      "q_bloom_bits" -> (duckBloomBits + """
+        |SELECT chunk, word, bits FROM bits""".stripMargin),
+
+      // Bloom candidate pruning: a chunk survives a probe iff EVERY
+      // probe term finds ALL its (word, mask) rows present with all
+      // mask bits set — replayed over the same bits grid
+      "q_bloom_candidates" -> (duckBloomBits + """
+        |, probes AS (
+        |  SELECT * FROM (VALUES ('and2', 'spark'), ('and2', 'dup'),
+        |                        ('single', 'merge'),
+        |                        ('absent', 'zzqqabsentterm')) p(probe, term)),
+        |pn AS (SELECT probe, count(DISTINCT term) AS nterms FROM probes GROUP BY 1),
+        |ppos AS (
+        |  SELECT probe, term,
+        |         (((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, b) -> (a * 31 + b) % 2147483647) + j * 131) % 2147483647
+        |           * 2654435761) % 2147483647 + 1) % 16384 AS pos
+        |  FROM probes CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) js),
+        |pw AS (
+        |  SELECT probe, term, pos // 63 AS word,
+        |         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS mask
+        |  FROM ppos GROUP BY 1, 2, 3),
+        |nm AS (SELECT probe, term, count(*) AS nm FROM pw GROUP BY 1, 2),
+        |sat AS (
+        |  SELECT b.chunk, p.probe, p.term, count(*) AS got
+        |  FROM pw p JOIN bits b ON b.word = p.word AND (b.bits & p.mask) = p.mask
+        |  GROUP BY 1, 2, 3),
+        |satok AS (
+        |  SELECT s.chunk, s.probe, s.term
+        |  FROM sat s JOIN nm ON s.probe = nm.probe AND s.term = nm.term
+        |  WHERE s.got = nm.nm)
+        |SELECT k.probe, k.chunk
+        |FROM satok k JOIN pn ON k.probe = pn.probe
+        |GROUP BY k.probe, k.chunk, pn.nterms
+        |HAVING count(DISTINCT k.term) = pn.nterms""".stripMargin),
 
       // DSIR: bigrams via the lead-window construction, the same
       // portable hash fold as q_kmv_distinct (+1 then mod 64 buckets),

@@ -30,6 +30,12 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     if (cache) d.cache() else d
   }
 
+  /** Bloom chunk-skip sidecar present? (built opt-in via
+    * graft.index.BloomSidecar.build — existence probed once per engine).
+    */
+  private lazy val bloomAvailable = graft.index.IndexBuilder.pathExists(
+    spark, graft.index.BloomSidecar.metaDir(indexDir))
+
   /** (chunk -> docId -> docLength), broadcast once when it fits; larger
     * indexes fall back to the per-query cogroup (see SearchEngine's
     * resident-sidecar rationale). Gated on rows AND estimated bytes via
@@ -160,15 +166,29 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
           }
         }.collect()
       case None =>
-        // big-index path: prune chunks, cogroup only their doc lengths
+        // big-index path: prune chunks, cogroup only their doc lengths.
+        // A Bloom sidecar (if built) supplies the candidate list first —
+        // partition-level pruning with no false negatives, so the
+        // qualifying set (and every score) is unchanged; AND mode needs
+        // all terms per chunk, OR mode any.
+        val bloomCand =
+          if (bloomAvailable)
+            graft.index.BloomSidecar.candidateChunks(spark, indexDir,
+              dfMap.keys.toSeq, requireAll = mode == And)
+          else None
+        if (bloomCand.exists(_.isEmpty)) return Seq.empty
+        val postsB = bloomCand match {
+          case Some(cs) => posts.filter($"chunk".isin(cs.toSeq: _*))
+          case None => posts
+        }
         val qualifying = (mode match {
           case And =>
-            posts.groupBy($"chunk").agg(countDistinct($"term").as("nt"))
+            postsB.groupBy($"chunk").agg(countDistinct($"term").as("nt"))
               .filter($"nt" === needTerms)
-          case Or => posts.select($"chunk").distinct()
+          case Or => postsB.select($"chunk").distinct()
         }).select($"chunk").as[Long].collect()
         if (qualifying.isEmpty) return Seq.empty
-        val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+        val postsQ = postsB.filter($"chunk".isin(qualifying: _*))
         val docsQ = docs.filter($"chunk".isin(qualifying: _*))
           .select($"chunk", $"docId", $"docLength")
           .as[(Long, Long, Long)]

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.codec.PostingCodec
 import graft.config.GraftConfig
-import graft.index.{DocRow, IndexStore, PostingRow}
+import graft.index.{BloomSidecar, DocRow, IndexBuilder, IndexStore, PostingRow}
 import graft.query.{QueryParser, QOr}
 import graft.rank.{ChunkContext, DocScore, RankDoc, RefRanker}
 
@@ -100,6 +100,12 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     * than the limit fall back to a per-query cogroup against the docs
     * table.
     */
+  /** Bloom chunk-skip sidecar present? (built opt-in via
+    * graft.index.BloomSidecar.build — existence probed once per engine).
+    */
+  private lazy val bloomAvailable =
+    IndexBuilder.pathExists(spark, BloomSidecar.metaDir(indexDir))
+
   private lazy val docsBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, Array[DocRow]]]] = {
     // gate on estimated BYTES, not just rows (shared BroadcastGate, also
     // used by Bm25Engine's lens sidecar): a 2M-row sidecar of long
@@ -210,15 +216,29 @@ class SearchEngine(spark: SparkSession, indexDir: String,
       case None =>
         // big-index path: prune chunks first (the term-absent rule is
         // also a major scan saver: rare terms disqualify most chunks),
-        // then cogroup only the qualifying docs metadata
-        val qualifying = posts
+        // then cogroup only the qualifying docs metadata.
+        // When the index carries a Bloom sidecar, consult it BEFORE the
+        // posting scan: the candidate list prunes whole chunk
+        // PARTITIONS (the sidecar job never touches postings), and its
+        // no-false-negative contract keeps results bit-identical — an
+        // empty candidate set proves no chunk holds every term.
+        val bloomCand =
+          if (bloomAvailable)
+            BloomSidecar.candidateChunks(spark, indexDir, distinctFlat)
+          else None
+        if (bloomCand.exists(_.isEmpty)) return Seq.empty
+        val postsB = bloomCand match {
+          case Some(cs) => posts.filter($"chunk".isin(cs.toSeq: _*))
+          case None => posts
+        }
+        val qualifying = postsB
           .filter($"term".isin(distinctFlat: _*))
           .groupBy($"chunk")
           .agg(countDistinct($"term").as("nt"))
           .filter($"nt" === distinctFlat.size)
           .select($"chunk").as[Long].collect().sorted
         if (qualifying.isEmpty) return Seq.empty
-        val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+        val postsQ = postsB.filter($"chunk".isin(qualifying: _*))
         val docsQ = docs.filter($"chunk".isin(qualifying: _*))
         postsQ.groupByKey(_.chunk)
           .cogroup(docsQ.groupByKey(_.chunk)) { (chunk, ps, ds) =>
