@@ -551,6 +551,32 @@ object SparkEntry {
     })
   }
 
+  /** One append-then-refresh Bloom lifecycle per scale dir: sidecar
+    * built over the BASE half only, IndexBuilder.appendBuild over the
+    * second half makes it stale (boundary chunk extended + new chunks
+    * it has never seen), then BloomSidecar.refresh rebuilds ONLY the
+    * stale tail. q_bloom_refresh reads THIS grid, so the driver checks
+    * the delta refresh end-to-end against whole-corpus tokenization
+    * truth — the identical replay SQL as q_bloom_bits, which a
+    * tail-only rebuild can satisfy only if the head carry-over and the
+    * boundary-chunk recompute are both exact.
+    */
+  private val bloomRefreshCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def bloomRefreshIdxDir(s: SparkSession, sfDir: String): String = synchronized {
+    bloomRefreshCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_idx_blref").toString
+      val ids = Corpus.fromDocumentsParquet(s, sfDir)
+      val mid = ids.agg(max($"docId")).as[Long].head() / 2
+      val cfg = IndexBuilder.BuildConfig(chunkDocs = 200)
+      IndexBuilder.build(s, ids.filter(_.docId <= mid), out, cfg)
+      graft.index.BloomSidecar.build(s, out, mBits = 1 << 14, kHashes = 3)
+      IndexBuilder.appendBuild(s, ids.filter(_.docId > mid), out, cfg)
+      graft.index.BloomSidecar.refresh(s, out)
+      out
+    })
+  }
+
   /** One INCREMENTALLY-built index per scale dir: base build over the
     * first half of the corpus, then IndexBuilder.appendBuild over the
     * second half (exercising the boundary-chunk merge and, at sf0.01+,
@@ -1226,6 +1252,12 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("probe", "chunk")
     }),
+
+    // ---- Bloom sidecar delta refresh (BloomSidecar.refresh): the grid
+    // of a base-half sidecar made stale by appendBuild then refreshed
+    // tail-only — must equal the whole-corpus grid bit-for-bit ----
+    "q_bloom_refresh" -> ((s, dir) =>
+      graft.index.BloomSidecar.read(s, bloomRefreshIdxDir(s, dir))),
 
     // ---- hybrid retrieval fusion (Fusion.rrf): the dense leg (exact
     // cosine top-10 to vec 0) fused with a sparse leg (docs containing
@@ -2475,6 +2507,11 @@ object SparkEntry {
 
       // Bloom sidecar grid: every (chunk, word, bits) cell bit-for-bit
       "q_bloom_bits" -> (duckBloomBits + """
+        |SELECT chunk, word, bits FROM bits""".stripMargin),
+
+      // Bloom delta refresh: the tail-only rebuild must reproduce the
+      // SAME whole-corpus grid (head carried over + boundary recomputed)
+      "q_bloom_refresh" -> (duckBloomBits + """
         |SELECT chunk, word, bits FROM bits""".stripMargin),
 
       // Bloom candidate pruning: a chunk survives a probe iff EVERY

@@ -52,6 +52,12 @@ object BloomSidecar {
   def bloomDir(outDir: String) = s"$outDir/bloom"
   def metaDir(outDir: String) = s"$outDir/bloom_meta"
 
+  /** Whether the index at `outDir` has a sidecar (maintenance flows use
+    * this to keep a present sidecar fresh without creating one).
+    */
+  def exists(spark: SparkSession, outDir: String): Boolean =
+    IndexBuilder.pathExists(spark, metaDir(outDir))
+
   /** Scalar twin of the Column-side position: hash j of `term` in
     * [0, mBits). Must stay identical to
     * `Sketches.cmsCol(term, lit(j), mBits)` (BloomSidecarSpec pins it).
@@ -61,20 +67,14 @@ object BloomSidecar {
     ((f + j * 131L) % P * 2654435761L % P + 1L) % mBits
   }
 
-  /** Build (or rebuild) the sidecar for an index: one narrow pass over
-    * the postings table's (chunk, term) pairs — already one row per
-    * pair by layout — fanned out k ways and OR-folded per (chunk, word).
-    * Output rows: (chunk, word, bits); words no term hashed into are
-    * simply absent (all-zero). The grid is chunk-partition-local
+  /** The bits grid for a (chunk, term) pair set: k hash fan-out, OR-fold
+    * per (chunk, word). Rows: (chunk, word, bits); words no term hashed
+    * into are simply absent (all-zero). The grid is chunk-local
     * arithmetic, so the single groupBy((chunk, word)) is the only
     * exchange and its output is the sidecar's own (small) size.
     */
-  def build(spark: SparkSession, outDir: String,
-            mBits: Int = DefaultBits, kHashes: Int = DefaultHashes): Unit = {
-    require(mBits > WordBits && kHashes > 0, "mBits must be > 63, kHashes > 0")
-    val ct = IndexStore.readPostings(spark, outDir).select(col("chunk"), col("term"))
-    val cells = ct
-      .select(col("chunk"),
+  private def grid(ct: DataFrame, mBits: Int, kHashes: Int): DataFrame =
+    ct.select(col("chunk"),
         explode(sequence(lit(0L), lit(kHashes - 1L))).as("j"), col("term"))
       .select(col("chunk"),
         graft.analysis.Sketches.cmsCol(col("term"), col("j"), mBits).as("pos"))
@@ -82,10 +82,99 @@ object BloomSidecar {
         expr(s"shiftleft(1L, cast(pos % $WordBits as int))").as("m"))
       .groupBy(col("chunk"), col("word"))
       .agg(expr("bit_or(m)").as("bits"))
-    cells.write.mode("overwrite").parquet(bloomDir(outDir))
-    spark.createDataFrame(Seq((mBits, kHashes)))
-      .toDF("mBits", "kHashes")
+
+  private def writeMeta(spark: SparkSession, outDir: String, mBits: Int,
+                        kHashes: Int, builtDocMax: Long, coveredMaxChunk: Long): Unit =
+    spark.createDataFrame(Seq((mBits, kHashes, builtDocMax, coveredMaxChunk)))
+      .toDF("mBits", "kHashes", "builtDocMax", "coveredMaxChunk")
       .write.mode("overwrite").parquet(metaDir(outDir))
+
+  /** Meta row as (mBits, kHashes, builtDocMax, coveredMaxChunk). A meta
+    * written before staleness bookkeeping existed lacks the last two
+    * columns — read it as (-1, 0): "freshness unknowable, every chunk
+    * potentially stale", the maximally-conservative stance (candidates
+    * then include all present chunks >= 0 until a rebuild).
+    */
+  private def readMeta(spark: SparkSession, outDir: String): (Int, Int, Long, Long) = {
+    val df = spark.read.parquet(metaDir(outDir))
+    val hasStaleness = df.columns.contains("builtDocMax")
+    val m = df.head()
+    if (hasStaleness)
+      (m.getInt(m.fieldIndex("mBits")), m.getInt(m.fieldIndex("kHashes")),
+       m.getLong(m.fieldIndex("builtDocMax")), m.getLong(m.fieldIndex("coveredMaxChunk")))
+    else
+      (m.getInt(m.fieldIndex("mBits")), m.getInt(m.fieldIndex("kHashes")), -1L, 0L)
+  }
+
+  /** Build (or rebuild) the sidecar for an index: one narrow pass over
+    * the postings table's (chunk, term) pairs — already one row per
+    * pair by layout — into the [[grid]].
+    *
+    * Staleness bookkeeping: the meta row records the index's lineage
+    * docId high-water mark (`builtDocMax`; -1 when the index has no
+    * lineage table) and the highest chunk the grid covers
+    * (`coveredMaxChunk`, from the stats table). Index maintenance moves
+    * docIds strictly upward (appendBuild requires newer docIds,
+    * mergeIndexes shifts src above the dest high-water, compact never
+    * reuses ids), so every chunk created or modified AFTER this build is
+    * `>= coveredMaxChunk` — [[candidateChunks]] uses that to stay
+    * false-negative-free against a stale sidecar, and [[refresh]] to
+    * rebuild only the stale tail.
+    */
+  def build(spark: SparkSession, outDir: String,
+            mBits: Int = DefaultBits, kHashes: Int = DefaultHashes): Unit = {
+    require(mBits > WordBits && kHashes > 0, "mBits must be > 63, kHashes > 0")
+    import spark.implicits._
+    val ct = IndexStore.readPostings(spark, outDir).select(col("chunk"), col("term"))
+    grid(ct, mBits, kHashes).write.mode("overwrite").parquet(bloomDir(outDir))
+    val builtDocMax =
+      if (IndexBuilder.pathExists(spark, IndexBuilder.lineageDir(outDir)))
+        IndexBuilder.docIdHighWater(spark, outDir)
+      else -1L
+    val coveredMaxChunk = IndexStore.readStats(spark, outDir)
+      .agg(max(col("chunk"))).as[Long].head()
+    writeMeta(spark, outDir, mBits, kHashes, builtDocMax, coveredMaxChunk)
+  }
+
+  /** Delta-cost catch-up after index maintenance: rebuild grid rows for
+    * the stale tail only (chunks >= the covered high-water — the one
+    * boundary chunk appendBuild may have extended, plus everything
+    * appended/merged after it), carry the fresh head over, and swap the
+    * table in via the stats tmp-dir pattern (the new table reads the old
+    * one, so an in-place overwrite would re-read partitions its own
+    * commit just replaced). Work ∝ the stale chunks' postings, never the
+    * full index. No-op when the sidecar is already fresh.
+    */
+  def refresh(spark: SparkSession, outDir: String): Unit = {
+    require(IndexBuilder.pathExists(spark, metaDir(outDir)),
+      s"refresh: no Bloom sidecar at $outDir (use build)")
+    import spark.implicits._
+    val (mBits, kHashes, builtDocMax, coveredMaxChunk) = readMeta(spark, outDir)
+    if (builtDocMax < 0 ||
+        !IndexBuilder.pathExists(spark, IndexBuilder.lineageDir(outDir))) {
+      // freshness unknowable (pre-staleness meta or a lineage-less
+      // index): a delta can't be bounded, rebuild from scratch
+      build(spark, outDir, mBits, kHashes); return
+    }
+    val hw = IndexBuilder.docIdHighWater(spark, outDir)
+    if (hw == builtDocMax) return
+    val stale = col("chunk") >= coveredMaxChunk
+    val ct = IndexStore.readPostings(spark, outDir).filter(stale)
+      .select(col("chunk"), col("term"))
+    val keep = spark.read.parquet(bloomDir(outDir)).filter(!stale)
+    val tmp = bloomDir(outDir) + ".tmp"
+    keep.unionByName(grid(ct, mBits, kHashes))
+      .write.mode("overwrite").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(bloomDir(outDir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IndexBuilder.deleteTree(spark, bloomDir(outDir))
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(bloomDir(outDir))),
+      s"bloom swap rename failed for $outDir")
+    val newCovered = IndexStore.readStats(spark, outDir)
+      .agg(max(col("chunk"))).as[Long].head()
+    writeMeta(spark, outDir, mBits, kHashes, hw,
+      math.max(coveredMaxChunk, newCovered))
   }
 
   /** Candidate chunks that may contain ALL of `terms`: None when the
@@ -101,6 +190,18 @@ object BloomSidecar {
     * sidecar word with all mask bits set (an absent word row is an
     * all-zero word — the inner join drops it and the count check
     * fails). Nothing corpus- or postings-sized moves.
+    *
+    * Staleness: when the index's lineage high-water mark has moved past
+    * the sidecar's `builtDocMax` (an append/merge landed after the grid
+    * was built) — or the mark is unknowable (no lineage at build or
+    * query time) — every PRESENT chunk `>= coveredMaxChunk` is added to
+    * the candidates unconditionally (one tiny stats read): maintenance
+    * only creates/extends chunks at or above the covered boundary, so
+    * the no-false-negative contract survives a stale sidecar; only the
+    * pruning of the new tail is lost until [[refresh]] runs. The
+    * freshness probe is one lineage-table read per call (a serving
+    * layer that owns the maintenance schedule can refresh eagerly and
+    * skip none of this — correctness never depends on it).
     */
   def candidateChunks(spark: SparkSession, outDir: String,
                       terms: Seq[String],
@@ -108,8 +209,15 @@ object BloomSidecar {
     require(terms.nonEmpty, "terms must be non-empty")
     if (!IndexBuilder.pathExists(spark, metaDir(outDir))) return None
     import spark.implicits._
-    val meta = spark.read.parquet(metaDir(outDir)).head()
-    val (mBits, kHashes) = (meta.getInt(0), meta.getInt(1))
+    val (mBits, kHashes, builtDocMax, coveredMaxChunk) = readMeta(spark, outDir)
+    val fresh = builtDocMax >= 0 &&
+      IndexBuilder.pathExists(spark, IndexBuilder.lineageDir(outDir)) &&
+      IndexBuilder.docIdHighWater(spark, outDir) == builtDocMax
+    val staleCands: Array[Long] =
+      if (fresh) Array.empty
+      else IndexStore.readStats(spark, outDir)
+        .filter(col("chunk") >= coveredMaxChunk)
+        .select(col("chunk")).as[Long].collect()
     val probeRows = terms.distinct.flatMap { t =>
       val byWord = (0L until kHashes.toLong)
         .map(j => bitPosScalar(t, j, mBits))
@@ -130,8 +238,8 @@ object BloomSidecar {
       .agg(countDistinct(col("term")).as("nt"))
       .filter(col("nt") >= needTerms)
       .select(col("chunk").cast("long")).as[Long]
-      .collect().sorted
-    Some(cand)
+      .collect()
+    Some((cand ++ staleCands).distinct.sorted)
   }
 
   /** The sidecar as a DataFrame (oracle/diagnostic surface). */

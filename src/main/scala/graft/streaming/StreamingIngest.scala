@@ -72,6 +72,15 @@ object StreamingIngest {
     *     idempotently (dynamic overwrite rewrites the same partitions;
     *     the boundary merge trims previously-merged delta runs off the old
     *     side — IndexAppendSpec pins the partial-replay case).
+    *
+    * Derived structures: when the index carries a Bloom chunk-skip
+    * sidecar, each batch ends with [[graft.index.BloomSidecar.refresh]]
+    * (delta-cost: only the stale-tail chunks' grid rows are recomputed).
+    * Replay-safe for free — refresh derives purely from the index's
+    * current state, no-ops when the lineage mark hasn't moved, and a
+    * crash between appendBuild and refresh just leaves a stale sidecar
+    * that candidateChunks already tolerates until the next batch (or
+    * query-time guard) catches it up.
     */
   def appendToIndex(spark: SparkSession, srcDir: String, idxDir: String,
                     checkpointDir: String,
@@ -84,6 +93,8 @@ object StreamingIngest {
         val mark = graft.index.IndexBuilder.docIdHighWater(spark, idxDir)
         graft.index.IndexBuilder.appendBuild(
           spark, batch.filter(_.docId > mark), idxDir, cfg)
+        if (graft.index.BloomSidecar.exists(spark, idxDir))
+          graft.index.BloomSidecar.refresh(spark, idxDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -92,6 +92,70 @@ class BloomSidecarSpec extends AnyFunSuite {
     }
   }
 
+  /** Seeded IdDoc rows with region-unique marker terms so staleness is
+    * observable: docs < splitAt carry "qqzbaseterm", docs >= splitAt
+    * carry "qqzdeltaterm" (absent from the base index entirely).
+    */
+  private def markerDocs(n: Int, splitAt: Long) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val marker = if (i < splitAt) "qqzbaseterm" else "qqzdeltaterm"
+      graft.index.IdDoc(i.toLong, s"org${i % 7}/proj${i % 7}", s"p/d$i.txt",
+        f"c$i%08d", "scala", s"common filler words here $marker again $marker")
+    }.toDS()
+  }
+
+  private def gridOf(dir: String): Map[(Long, Long), Long] =
+    BloomSidecar.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("stale sidecar after appendBuild: no false negatives; refresh == full rebuild") {
+    val cfg = IndexBuilder.BuildConfig(chunkDocs = 50)
+    val docs = markerDocs(180, splitAt = 120L).persist()
+    val dir = SparkTestBase.tempDir("graft-bloom-stale")
+    IndexBuilder.build(spark, docs.filter(_.docId < 120L), dir, cfg)
+    BloomSidecar.build(spark, dir, mBits = 1 << 14, kHashes = 3)
+
+    val touched = IndexBuilder.appendBuild(
+      spark, docs.filter(_.docId >= 120L), dir, cfg)
+    assert(touched === Set(2L, 3L)) // chunk 2 extended, chunk 3 new
+
+    // STALE sidecar: the delta-only term lives in chunks {2, 3}; the grid
+    // has never seen it, but the staleness guard must admit the tail
+    val deltaChunks = IndexStore.readPostings(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("term") === "qqzdeltaterm")
+      .select("chunk").collect().map(_.getLong(0)).toSet
+    assert(deltaChunks === Set(2L, 3L))
+    val staleCand = BloomSidecar.candidateChunks(spark, dir, Seq("qqzdeltaterm")).get.toSet
+    assert(deltaChunks.subsetOf(staleCand), "stale sidecar dropped a delta chunk")
+    // base term spans every chunk (it's in docs 0..119 -> chunks 0..2,
+    // and the stale tail is admitted unconditionally)
+    val baseCand = BloomSidecar.candidateChunks(spark, dir, Seq("qqzbaseterm")).get.toSet
+    assert(Set(0L, 1L, 2L).subsetOf(baseCand))
+
+    // refresh rebuilds ONLY the stale tail; result must equal a full rebuild
+    BloomSidecar.refresh(spark, dir)
+    val afterRefresh = gridOf(dir)
+    BloomSidecar.build(spark, dir, mBits = 1 << 14, kHashes = 3)
+    assert(afterRefresh === gridOf(dir), "refresh != from-scratch rebuild")
+
+    // FRESH sidecar now prunes: delta term's candidates exclude chunks 0/1
+    // (deterministic hashes — at 2^14 bits / ~5 distinct terms a cross-term
+    // collision on all 3 probe bits would be a fixture bug, not flake)
+    val freshCand = BloomSidecar.candidateChunks(spark, dir, Seq("qqzdeltaterm")).get.toSet
+    assert(deltaChunks.subsetOf(freshCand))
+    assert(!freshCand.contains(0L) && !freshCand.contains(1L),
+      s"fresh sidecar failed to prune the base chunks: $freshCand")
+
+    // refresh on a fresh sidecar is a no-op (same files, byte for byte)
+    def files() = new java.io.File(BloomSidecar.bloomDir(dir)).listFiles()
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val before = files()
+    BloomSidecar.refresh(spark, dir)
+    assert(files() === before, "no-op refresh rewrote the sidecar")
+    docs.unpersist()
+  }
+
   test("Bm25Engine big-index path is score-identical with the sidecar, And + Or") {
     val withBloom = new Bm25Engine(spark, idx, broadcastDocsLimit = 0)
     val plain = {

@@ -52,10 +52,16 @@ class StreamingSpec extends AnyFunSuite {
 
     val full = SparkTestBase.tempDir("sidx-full")
     IndexBuilder.build(spark, ids, full, cfg)
+    graft.index.BloomSidecar.build(spark, full, mBits = 1 << 12, kHashes = 3)
 
-    // bootstrap over 0..59; stream the rest in as landed parquet files
+    // bootstrap over 0..59; stream the rest in as landed parquet files.
+    // The bootstrap index carries a Bloom sidecar: each streamed batch
+    // must leave it fresh (appendToIndex refreshes a present sidecar)
     val idx = SparkTestBase.tempDir("sidx")
     IndexBuilder.build(spark, ids.filter(_.docId < 60L), idx, cfg)
+    graft.index.BloomSidecar.build(spark, idx, mBits = 1 << 12, kHashes = 3)
+    def bloomCanon(dir: String) = graft.index.BloomSidecar.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val srcDir = SparkTestBase.tempDir("sidx-src")
     val ckDir = SparkTestBase.tempDir("sidx-ck")
     ids.filter(d => d.docId >= 60L && d.docId < 90L)
@@ -68,6 +74,8 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = StreamingIngest.appendToIndex(spark, srcDir, idx, ckDir, cfg)
     q2.awaitTermination()
     assert(canon(idx) === canon(full))
+    // sidecar kept fresh batch-by-batch == one built over the full index
+    assert(bloomCanon(idx) === bloomCanon(full))
 
     // a FRESH checkpoint replays every file; the docId high-water trim
     // must turn the replay into a no-op instead of a strictly-newer abort
@@ -75,6 +83,7 @@ class StreamingSpec extends AnyFunSuite {
     val q3 = StreamingIngest.appendToIndex(spark, srcDir, idx, ck2, cfg)
     q3.awaitTermination()
     assert(canon(idx) === canon(full))
+    assert(bloomCanon(idx) === bloomCanon(full)) // replay: refresh no-ops
     ids.unpersist()
   }
 
