@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Bpe, Clustering, Decontamination, Dedup, Dsir, Fusion, Graph, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Rerank, Similarity, Sketches, SpellCorrect, TemporalJoins, TextAnalysis}
+import graft.analysis.{AnnStore, Bpe, Clustering, CodeQuality, Decontamination, Dedup, Dsir, Fusion, Graph, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Rerank, Similarity, Sketches, SpellCorrect, TemporalJoins, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
-import graft.index.{IndexBuilder, IndexStore}
+import graft.index.{IndexBuilder, IndexStore, TimeTravel}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,38 @@ object SparkEntry {
       |  )
       |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20
       |)""".stripMargin
+
+  /** Shared code-table CTE: must reproduce [[codeDf]] — the
+    * Corpus.fromDocumentsParquet repo/path derivation plus the content
+    * transform — character-for-character, and pre-split the lines the
+    * CodeQuality metric replays share.
+    */
+  private val duckCode =
+    """WITH code AS (
+      |  SELECT 'org' || (doc_id % 50) || '/proj' || (doc_id % 50) AS repo,
+      |         source || '/doc' || doc_id || '.txt' AS path,
+      |         concat(
+      |           CASE WHEN doc_id % 17 = 3 THEN 'auto-generated' || chr(10) ELSE '' END,
+      |           regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+      |           CASE WHEN doc_id % 23 = 5 THEN chr(10) || md5(CAST(doc_id AS VARCHAR)) ELSE '' END,
+      |           CASE WHEN doc_id % 5 = 0
+      |                THEN chr(10) || 'def parseHttpResponse(retry_count): return httpStatus'
+      |                ELSE '' END,
+      |           CASE WHEN doc_id % 4 = 1
+      |                THEN chr(10) || '  // vendored helper' || chr(10) ||
+      |                     '# legacy note' || chr(10) || '/* block */'
+      |                ELSE '' END
+      |         ) AS content
+      |  FROM documents),
+      |m1 AS (
+      |  SELECT repo, path, content,
+      |         CAST(length(content) AS BIGINT) AS n_chars,
+      |         string_split(content, chr(10)) AS lines
+      |  FROM code),
+      |m2 AS (
+      |  SELECT repo, path, content, n_chars, lines,
+      |         list_transform(lines, l -> CAST(length(l) AS BIGINT)) AS lls
+      |  FROM m1)""".stripMargin
 
   /** Bloom-sidecar bits grid replayed from tokenization truth: the
     * chunkDocs=200 index's (chunk, term) pairs — duckToks body terms
@@ -511,6 +543,41 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
   private def embDf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** The input_hint code table with DISCRIMINATING content for the
+    * code-quality/analysis operators: the base (repo, path, content)
+    * derivation of [[Corpus.fromDocumentsParquet]], content re-lined
+    * every 5 words, then deterministic injections — an autogen marker
+    * (doc_id % 17 == 3), a 32-char hex digest line (% 23 == 5), a
+    * camel/snake identifier line (% 5 == 0), comment lines (% 4 == 1) —
+    * every step an exact SQL-reproducible projection, so the DuckDB
+    * twin rebuilds the same table character-for-character.
+    */
+  private def codeDf(s: SparkSession, dir: String): DataFrame =
+    Corpus.fromDocumentsParquet(s, dir).toDF().select(
+      col("repo"), col("path"),
+      concat(
+        when(col("docId") % 17 === 3, lit("auto-generated\n")).otherwise(lit("")),
+        regexp_replace(col("content"), "(\\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n"),
+        when(col("docId") % 23 === 5,
+          concat(lit("\n"), md5(col("docId").cast("string"))))
+          .otherwise(lit("")),
+        when(col("docId") % 5 === 0,
+          lit("\ndef parseHttpResponse(retry_count): return httpStatus"))
+          .otherwise(lit("")),
+        when(col("docId") % 4 === 1,
+          lit("\n  // vendored helper\n# legacy note\n/* block */"))
+          .otherwise(lit(""))).as("content"))
+
+  /** The time-travel snapshot mark the q_timetravel_* oracles pin: the
+    * corpus midpoint docId — the exact base/append boundary of
+    * [[appendIdxDir]], but read as an as-of filter (and in general NOT a
+    * chunk boundary, so the boundary-chunk blob split is exercised).
+    */
+  private def asOfMark(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    Corpus.fromDocumentsParquet(s, dir).agg(max($"docId")).as[Long].head() / 2
+  }
 
   /** Events as a deterministic change log: one row per (user_id,
     * second), ties broken by max event_id — the one-row-per-(key, t)
@@ -1329,7 +1396,64 @@ object SparkEntry {
     // and injected new events (emitted) ----
     "q_dedup_stream" -> ((s, dir) =>
       graft.streaming.StreamingIngest.dedupEventsReplay(
-        s, s.read.parquet(s"$dir/events.parquet"), latenessSeconds = 600))
+        s, s.read.parquet(s"$dir/events.parquet"), latenessSeconds = 600)),
+
+    // ---- HyperLogLog register grid (Sketches.hllRegisters): the full
+    // m=64 per-language register grid over distinct terms — exact
+    // integers, mergeable across shards by cellwise max ----
+    "q_hll_registers" -> ((s, dir) =>
+      Sketches.hllRegisters(docsDf(s, dir), m = 64)),
+
+    // ---- HLL estimate (Sketches.hllEstimate): harmonic-mean estimate
+    // + linear-counting correction; the 2^-reg sum is dyadic-exact in
+    // both engines, so 4-dp rounding is stable ----
+    "q_hll_estimate" -> ((s, dir) =>
+      Sketches.hllEstimate(docsDf(s, dir), m = 64)),
+
+    // ---- code-corpus quality metrics (CodeQuality.metrics): line-shape
+    // and character-class stats over the input_hint code table (content
+    // re-lined + autogen/hex rows injected deterministically) ----
+    "q_code_quality" -> ((s, dir) => CodeQuality.metrics(codeDf(s, dir))),
+
+    // ---- code-corpus filter verdict (CodeQuality.filterVerdict): the
+    // keep/drop decision at the standard thresholds ----
+    "q_code_filter" -> ((s, dir) =>
+      CodeQuality.filterVerdict(codeDf(s, dir))
+        .select(col("repo"), col("path"), col("keep"))),
+
+    // ---- time-travel term stats (TimeTravel.termStatsAsOf): the
+    // MAINTAINED (append+tombstone) index read as of the pre-append
+    // mark must answer exactly the tokenization truth over the docs
+    // that existed then — chunk-partition prune + boundary blob split ----
+    "q_timetravel_stats" -> ((s, dir) =>
+      TimeTravel.termStatsAsOf(s, appendIdxDir(s, dir), asOfMark(s, dir))
+        .orderBy(desc("tf"), asc("term"))),
+
+    // ---- time-travel doc store (TimeTravel.docsAsOf): the historical
+    // document rows at the same mark ----
+    "q_timetravel_docs" -> ((s, dir) =>
+      TimeTravel.docsAsOf(s, appendIdxDir(s, dir), asOfMark(s, dir))
+        .select(col("docId").as("doc_id"), col("url")).orderBy(asc("doc_id"))),
+
+    // ---- snapshot delta (TimeTravel.termStatsDelta): what the append
+    // operation contributed — stats over (mark, high-water], the
+    // changelog-scan read ----
+    "q_timetravel_delta" -> ((s, dir) => {
+      val idx = appendIdxDir(s, dir)
+      TimeTravel.termStatsDelta(s, idx, asOfMark(s, dir),
+          IndexBuilder.docIdHighWater(s, idx))
+        .orderBy(desc("tf"), asc("term"))
+    }),
+
+    // ---- identifier subtokens (CodeQuality.identifierSubtokens): the
+    // code-search vocabulary — camel/snake split, frozen one-rule
+    // boundary ----
+    "q_code_idents" -> ((s, dir) =>
+      CodeQuality.identifierSubtokens(codeDf(s, dir))),
+
+    // ---- comment-line share (CodeQuality.commentStats): per-file
+    // documentation density over the injected comment lines ----
+    "q_code_comments" -> ((s, dir) => CodeQuality.commentStats(codeDf(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -2784,7 +2908,168 @@ object SparkEntry {
         |  FROM e CROSS JOIN g WHERE user_id % 5 = 0)
         |SELECT user_id, t, event_type, round(value, 4) AS value FROM d
         |UNION ALL
-        |SELECT user_id, t, event_type, round(value, 4) AS value FROM inj""".stripMargin
+        |SELECT user_id, t, event_type, round(value, 4) AS value FROM inj""".stripMargin,
+
+      // HLL register grid: the kmv portable hash, bucket = h % 64,
+      // rank = leading zeros + 1 of the remaining 25 bits via the
+      // integer identity length(bin(w)) (minimal-width in both engines)
+      "q_hll_registers" -> """
+        |WITH dt AS (
+        |  SELECT DISTINCT lang, lower(tok) AS term FROM (
+        |    SELECT lang, unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20),
+        |hs AS (
+        |  SELECT lang,
+        |         (list_reduce(
+        |            list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, b) -> (a * 31 + b) % 2147483647) * 2654435761) % 2147483647 + 1 AS h
+        |  FROM dt),
+        |br AS (SELECT lang, h % 64 AS bucket, h // 64 AS w FROM hs),
+        |rk AS (
+        |  SELECT lang, bucket,
+        |         CASE WHEN w = 0 THEN 26 ELSE 25 - length(bin(w)) + 1 END AS rnk
+        |  FROM br)
+        |SELECT lang, bucket, CAST(max(rnk) AS BIGINT) AS reg
+        |FROM rk GROUP BY lang, bucket""".stripMargin,
+
+      // HLL estimate: alpha_64 = 0.709; absent buckets contribute 2^0
+      // each via the zeros term; linear counting below 2.5m with empty
+      // buckets left; every float op is identical-operand on both sides
+      "q_hll_estimate" -> """
+        |WITH dt AS (
+        |  SELECT DISTINCT lang, lower(tok) AS term FROM (
+        |    SELECT lang, unnest(string_split_regex(text, '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20),
+        |hs AS (
+        |  SELECT lang,
+        |         (list_reduce(
+        |            list_prepend(CAST(0 AS BIGINT),
+        |              list_transform(string_split(term, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |            (a, b) -> (a * 31 + b) % 2147483647) * 2654435761) % 2147483647 + 1 AS h
+        |  FROM dt),
+        |grid AS (
+        |  SELECT lang, h % 64 AS bucket,
+        |         max(CASE WHEN h // 64 = 0 THEN 26
+        |                  ELSE 25 - length(bin(h // 64)) + 1 END) AS reg
+        |  FROM hs GROUP BY lang, bucket),
+        |agg AS (
+        |  SELECT lang, count(*) AS n_set,
+        |         sum(power(CAST(2.0 AS DOUBLE), -reg)) AS s_set
+        |  FROM grid GROUP BY lang)
+        |SELECT lang, n_set, 64 - n_set AS zeros,
+        |       round(CAST(0.709 AS DOUBLE) * 64 * 64
+        |             / (s_set + CAST(64 - n_set AS DOUBLE)), 4) AS est_raw,
+        |       round(CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64
+        |                       / (s_set + CAST(64 - n_set AS DOUBLE))
+        |                     <= CAST(160.0 AS DOUBLE) AND 64 - n_set > 0
+        |                  THEN ln(CAST(64.0 AS DOUBLE) / CAST(64 - n_set AS DOUBLE)) * 64
+        |                  ELSE CAST(0.709 AS DOUBLE) * 64 * 64
+        |                       / (s_set + CAST(64 - n_set AS DOUBLE)) END, 4)
+        |         AS est_distinct
+        |FROM agg""".stripMargin,
+
+      // code-quality metrics: rebuild the codeDf content transform
+      // character-for-character, then replay every metric; list_sum of
+      // an empty hex-run list is NULL in DuckDB -> coalesce 0 (the Spark
+      // aggregate inits at 0)
+      "q_code_quality" -> (duckCode + """
+        |SELECT repo, path, n_chars,
+        |       CAST(len(lines) AS BIGINT) AS n_lines,
+        |       list_max(lls) AS max_line_len,
+        |       round(CAST(list_sum(lls) AS DOUBLE) / greatest(len(lines), 1), 6)
+        |         AS mean_line_len,
+        |       round(CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+        |             / greatest(n_chars, 1), 6) AS alnum_frac,
+        |       round(CAST(coalesce(list_sum(list_transform(
+        |               list_filter(regexp_extract_all(content, '[0-9a-fA-F]+'),
+        |                           r -> length(r) >= 16),
+        |               r -> CAST(length(r) AS BIGINT))), 0) AS DOUBLE)
+        |             / greatest(n_chars, 1), 6) AS hex_frac,
+        |       (contains(lower(content), 'auto-generated')
+        |        OR contains(lower(content), 'do not edit')
+        |        OR contains(lower(content), 'autogenerated')) AS is_autogen
+        |FROM m2""".stripMargin),
+
+      // code-filter verdict: thresholds over the ROUNDED metrics (the
+      // Spark side computes keep from the rounded columns too)
+      "q_code_filter" -> (duckCode + """
+        |SELECT repo, path,
+        |       (list_max(lls) <= 1000
+        |        AND round(CAST(list_sum(lls) AS DOUBLE) / greatest(len(lines), 1), 6) <= 100.0
+        |        AND round(CAST(length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+        |                  / greatest(n_chars, 1), 6) >= 0.25
+        |        AND round(CAST(coalesce(list_sum(list_transform(
+        |                list_filter(regexp_extract_all(content, '[0-9a-fA-F]+'),
+        |                            r -> length(r) >= 16),
+        |                r -> CAST(length(r) AS BIGINT))), 0) AS DOUBLE)
+        |                  / greatest(n_chars, 1), 6) <= 0.5
+        |        AND NOT (contains(lower(content), 'auto-generated')
+        |                 OR contains(lower(content), 'do not edit')
+        |                 OR contains(lower(content), 'autogenerated'))) AS keep
+        |FROM m2""".stripMargin),
+
+      // time-travel term stats: tokenization truth over only the docs
+      // that existed at the mark (corpus midpoint = the append boundary)
+      "q_timetravel_stats" -> (duckToks + """
+        |, mk AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS m FROM documents)
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks, mk WHERE doc_id <= mk.m
+        |GROUP BY term ORDER BY tf DESC, term""".stripMargin),
+
+      // time-travel doc store: the url derivation of docmeta, filtered
+      // to the mark
+      "q_timetravel_docs" -> """
+        |WITH mk AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS m FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |       'org' || (doc_id % 50) || '/proj' || (doc_id % 50) || '/' ||
+        |         source || '/doc' || doc_id || '.txt@' ||
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS url
+        |FROM documents, mk WHERE doc_id <= mk.m ORDER BY doc_id""".stripMargin,
+
+      // snapshot delta: tokenization truth over only the docs the
+      // append window (mark, max] added
+      "q_timetravel_delta" -> (duckToks + """
+        |, mk AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS m,
+        |                CAST(max(doc_id) AS BIGINT) AS hw FROM documents)
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks, mk WHERE doc_id > mk.m AND doc_id <= mk.hw
+        |GROUP BY term ORDER BY tf DESC, term""".stripMargin),
+
+      // identifier subtokens: the same extract + one-rule camel split +
+      // '_'/space split, empties dropped
+      "q_code_idents" -> (duckCode + """
+        |, ids AS (
+        |  SELECT path,
+        |         unnest(regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*')) AS ident
+        |  FROM m2),
+        |subs AS (
+        |  SELECT path,
+        |         unnest(string_split_regex(
+        |           lower(regexp_replace(ident, '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+        |           '[_ ]+')) AS subtoken
+        |  FROM ids)
+        |SELECT subtoken, count(*) AS tf, count(DISTINCT path) AS n_files
+        |FROM subs WHERE subtoken <> '' GROUP BY subtoken""".stripMargin),
+
+      // comment-line share: leading-blank strip then frozen marker
+      // prefixes
+      "q_code_comments" -> (duckCode + """
+        |SELECT repo, path, n_lines, n_comment_lines,
+        |       round(CAST(n_comment_lines AS DOUBLE) / greatest(n_lines, 1), 6)
+        |         AS comment_frac
+        |FROM (
+        |  SELECT repo, path, CAST(len(lines) AS BIGINT) AS n_lines,
+        |         CAST(len(list_filter(lines, l ->
+        |           starts_with(regexp_replace(l, '^[ \t]+', ''), '//')
+        |           OR starts_with(regexp_replace(l, '^[ \t]+', ''), '#')
+        |           OR starts_with(regexp_replace(l, '^[ \t]+', ''), '/*')
+        |           OR starts_with(regexp_replace(l, '^[ \t]+', ''), '*')
+        |           OR starts_with(regexp_replace(l, '^[ \t]+', ''), '--')))
+        |           AS BIGINT) AS n_comment_lines
+        |  FROM m2)""".stripMargin)
     )
   }
 }

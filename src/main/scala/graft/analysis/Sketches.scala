@@ -144,4 +144,71 @@ object Sketches {
       .select(col("term"), col("est_tf"),
         coalesce(col("tf"), lit(0L)).as("true_tf"))
   }
+
+  /** HyperLogLog register grid (Flajolet et al.) over per-language
+    * distinct terms — the industry-standard distinct sketch beside the
+    * KMV above, here with ENGINE-PORTABLE registers: bucket = the hash's
+    * low log2(m) bits, rank = leading zeros + 1 of the remaining
+    * `wBits = 31 - log2(m)` bits, computed via `length(bin(w))` (an
+    * integer identity both Spark and DuckDB expose — never a float
+    * log2). Output `(lang, bucket, reg)`, exact integers, mergeable
+    * across corpus shards by cell-wise MAX — the bounded-summary
+    * property that makes HLL the 100 TB distinct counter (m cells per
+    * group vs KMV's k full hash values).
+    *
+    * Plan shape: the one corpus-sized exchange is the (lang, term)
+    * distinct (the information floor); hashing and bucket/rank are
+    * per-row projections and the register groupBy runs over
+    * vocabulary-sized rows into an m-bounded grid.
+    */
+  def hllRegisters(docs: DataFrame, m: Int): DataFrame = {
+    require(m > 1 && (m & (m - 1)) == 0 && m <= 4096,
+      "m must be a power of two in (1, 4096]")
+    val wBits = 31 - Integer.numberOfTrailingZeros(m)
+    docs
+      .select(col("lang"), explode(TextAnalysis.keptTokens(col("text"))).as("tok"))
+      .select(col("lang"), lower(col("tok")).as("term"))
+      .distinct()
+      .select(col("lang"), portableTermHash(col("term")).as("h"))
+      .select(col("lang"), (col("h") % m).as("bucket"),
+        expr(s"h div $m").as("w"))
+      .select(col("lang"), col("bucket"),
+        when(col("w") === 0, lit(wBits + 1L))
+          .otherwise(lit(wBits.toLong) - length(bin(col("w"))) + 1L)
+          .cast("long").as("rank"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(max(col("rank")).as("reg"))
+  }
+
+  /** The HLL estimate from the register grid: harmonic mean
+    * `est_raw = alpha_m * m^2 / (Σ 2^-reg + zeros)` (absent buckets
+    * contribute 2^0 = 1 each), with the standard linear-counting
+    * correction `m * ln(m / zeros)` when est_raw <= 2.5m and empty
+    * buckets remain. Determinism note: every 2^-reg term is a dyadic
+    * rational exactly representable in a double and the sum's value
+    * needs < 53 mantissa bits at m <= 4096, so the Σ is EXACT in both
+    * engines regardless of order; the remaining float ops are
+    * single-rounded identical-operand operations, rounded to 4 dp on
+    * both sides (the KMV convention).
+    */
+  def hllEstimate(docs: DataFrame, m: Int): DataFrame = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val zeros = lit(m.toLong) - col("n_set")
+    val estRaw = lit(alpha) * m * m /
+      (col("s_set") + zeros.cast("double"))
+    hllRegisters(docs, m)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_set"),
+        sum(pow(lit(2.0), -col("reg"))).as("s_set"))
+      .select(col("lang"), col("n_set"), zeros.as("zeros"),
+        round(estRaw, 4).as("est_raw"),
+        round(when(estRaw <= 2.5 * m && zeros > 0,
+            log(lit(m.toDouble) / zeros.cast("double")) * m)
+          .otherwise(estRaw), 4).as("est_distinct"))
+  }
 }

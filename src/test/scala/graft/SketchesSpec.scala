@@ -132,4 +132,83 @@ class SketchesSpec extends AnyFunSuite {
       else assert(e > x / 3.0 && e < x * 3.0, s"$lang est $e vs exact $x")
     }
   }
+
+  // ---------- HyperLogLog ----------
+
+  /** Independent reference of the (bucket, rank) HLL cell for m. */
+  private def refHllCell(term: String, m: Int): (Long, Long) = {
+    val wBits = 31 - Integer.numberOfTrailingZeros(m)
+    val h = refHash(term)
+    val w = h / m
+    val rank = if (w == 0) wBits + 1L
+               else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1L
+    (h % m, rank)
+  }
+
+  test("hll: register grid equals the plain-Scala cell maxima") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "en"),
+      (2L, "beta zeta eta theta alpha", "en"),
+      (3L, "iota kappa", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val m = 16
+    val terms = Map(
+      "en" -> Seq("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta"),
+      "fr" -> Seq("iota", "kappa"))
+    val want = (for {
+      (lang, ts) <- terms.toSeq; t <- ts
+    } yield { val (b, r) = refHllCell(t, m); (lang, b) -> r })
+      .groupMapReduce(_._1)(_._2)(math.max)
+    val got = Sketches.hllRegisters(docs, m).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    assert(got === want)
+  }
+
+  test("hll: grids merge by cellwise MAX — registers(A ++ B) == max(registers(A), registers(B))") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    def grid(d: org.apache.spark.sql.DataFrame) =
+      Sketches.hllRegisters(d, m = 64).collect()
+        .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    val merged = (grid(a).toSeq ++ grid(b).toSeq)
+      .groupMapReduce(_._1)(_._2)(math.max)
+    assert(grid(docs) === merged)
+  }
+
+  test("hll: linear-counting branch on a tiny corpus (zeros > 0)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma", "en")).toDF("doc_id", "text", "lang")
+    val m = 64
+    val row = Sketches.hllEstimate(docs, m).collect().head
+    val buckets = Seq("alpha", "beta", "gamma").map(t => refHllCell(t, m)._1).distinct
+    val zeros = m - buckets.size
+    assert(row.getLong(1) === buckets.size.toLong) // n_set
+    assert(row.getLong(2) === zeros.toLong)
+    assert(row.getDouble(4) === r4(math.log(m.toDouble / zeros) * m)) // est_distinct
+  }
+
+  test("hll: estimator sanity on the real corpus (m=64, ~13% std error band x3)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.analysis.TextAnalysis.tokens(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang")).agg(countDistinct(col("term")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.hllEstimate(docs, m = 64).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (lang, e) =>
+      val x = exact(lang)
+      assert(e > x * 0.6 && e < x * 1.67, s"$lang est $e vs exact $x")
+    }
+  }
+
+  test("hll: m must be a power of two") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b", "en")).toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException] { Sketches.hllRegisters(docs, 48) }
+    intercept[IllegalArgumentException] { Sketches.hllRegisters(docs, 8192) }
+  }
 }
