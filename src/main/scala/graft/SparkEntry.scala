@@ -618,6 +618,26 @@ object SparkEntry {
     })
   }
 
+  /** One trigram wildcard sidecar per scale dir, built over the shared
+    * chunkDocs=200 index (adds trigram/ + trigram_meta/ beside it).
+    */
+  private val triIdxCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def triIdxDir(s: SparkSession, sfDir: String): String = synchronized {
+    triIdxCache.getOrElseUpdate(sfDir, {
+      val idx = indexDir(s, sfDir)
+      if (!graft.index.TrigramSidecar.exists(s, idx))
+        graft.index.TrigramSidecar.build(s, idx, nBuckets = 32)
+      idx
+    })
+  }
+
+  /** The frozen wildcard probe set for the q_wildcard_* oracles: covers
+    * prefix/suffix/both-anchor trigram probes, the short-fragment
+    * full-vocab fallback, an exact (no-star) pattern, and a no-match.
+    */
+  private val wildcardPatterns =
+    Seq("sp*k", "*ark", "qu*", "*zz*", "spark", "a*a", "nosuchtermxyzzy")
+
   /** One append-then-refresh Bloom lifecycle per scale dir: sidecar
     * built over the BASE half only, IndexBuilder.appendBuild over the
     * second half makes it stale (boundary chunk extended + new chunks
@@ -1453,7 +1473,32 @@ object SparkEntry {
 
     // ---- comment-line share (CodeQuality.commentStats): per-file
     // documentation density over the injected comment lines ----
-    "q_code_comments" -> ((s, dir) => CodeQuality.commentStats(codeDf(s, dir)))
+    "q_code_comments" -> ((s, dir) => CodeQuality.commentStats(codeDf(s, dir))),
+
+    // ---- wildcard term lookup (TrigramSidecar.wildcardTerms): every
+    // probe pattern against the persisted trigram sidecar — candidates
+    // from bucket-pruned trigram AND, regex verify; DuckDB answers from
+    // regex truth over the vocabulary, so false negatives AND surviving
+    // false positives both fail the row compare ----
+    "q_wildcard_terms" -> ((s, dir) => {
+      val idx = triIdxDir(s, dir)
+      wildcardPatterns
+        .map(p => graft.index.TrigramSidecar.wildcardTerms(s, idx, p)
+          .withColumn("pattern", lit(p)))
+        .reduce(_ unionByName _)
+    }),
+
+    // ---- wildcard term stats (TrigramSidecar.wildcardStats): tf/df per
+    // matched term straight off the index postings ----
+    "q_wildcard_stats" -> ((s, dir) =>
+      graft.index.TrigramSidecar.wildcardStats(s, triIdxDir(s, dir), "st*")),
+
+    // ---- search-result facets (Facets.conjunctiveFacets): per-repo hit
+    // counts for the AND pair, answered from the REAL index with the
+    // chunk-pruned doc resolve ----
+    "q_facets" -> ((s, dir) =>
+      graft.engine.Facets.conjunctiveFacets(s, indexDir(s, dir),
+        Seq("spark", "dup")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -3069,7 +3114,31 @@ object SparkEntry {
         |           OR starts_with(regexp_replace(l, '^[ \t]+', ''), '*')
         |           OR starts_with(regexp_replace(l, '^[ \t]+', ''), '--')))
         |           AS BIGINT) AS n_comment_lines
-        |  FROM m2)""".stripMargin)
+        |  FROM m2)""".stripMargin),
+
+      // wildcard terms: ground truth is the anchored regex over the
+      // body-term vocabulary — independent of the trigram machinery
+      "q_wildcard_terms" -> (duckToks +
+        ", vocab AS (SELECT DISTINCT term FROM toks)\n" +
+        wildcardPatterns.map { p =>
+          val rx = graft.index.TrigramSidecar.patternRegex(p)
+          s"SELECT '$p' AS pattern, term FROM vocab WHERE regexp_matches(term, '$rx')"
+        }.mkString("\nUNION ALL ")),
+
+      // wildcard stats: tokenization truth over the regex-matched terms
+      "q_wildcard_stats" -> (duckToks + """
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks WHERE regexp_matches(term, '^st.*$')
+        |GROUP BY term""".stripMargin),
+
+      // facet counts: conjunctive hit docs -> the url's repo prefix
+      "q_facets" -> (duckToks + """
+        |, hit AS (
+        |  SELECT doc_id FROM toks WHERE term IN ('spark', 'dup')
+        |  GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+        |SELECT 'org' || (doc_id % 50) || '/proj' || (doc_id % 50) AS facet,
+        |       count(*) AS n_docs
+        |FROM hit GROUP BY 1""".stripMargin)
     )
   }
 }
