@@ -95,6 +95,8 @@ object StreamingIngest {
           spark, batch.filter(_.docId > mark), idxDir, cfg)
         if (graft.index.BloomSidecar.exists(spark, idxDir))
           graft.index.BloomSidecar.refresh(spark, idxDir)
+        if (graft.index.TrigramSidecar.exists(spark, idxDir))
+          graft.index.TrigramSidecar.refresh(spark, idxDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -57,11 +57,18 @@ class StreamingSpec extends AnyFunSuite {
     // bootstrap over 0..59; stream the rest in as landed parquet files.
     // The bootstrap index carries a Bloom sidecar: each streamed batch
     // must leave it fresh (appendToIndex refreshes a present sidecar)
+    graft.index.TrigramSidecar.build(spark, full, nBuckets = 16)
     val idx = SparkTestBase.tempDir("sidx")
     IndexBuilder.build(spark, ids.filter(_.docId < 60L), idx, cfg)
     graft.index.BloomSidecar.build(spark, idx, mBits = 1 << 12, kHashes = 3)
+    graft.index.TrigramSidecar.build(spark, idx, nBuckets = 16)
     def bloomCanon(dir: String) = graft.index.BloomSidecar.read(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def triCanon(dir: String) =
+      spark.read.parquet(graft.index.TrigramSidecar.triDir(dir))
+        .select("bucket", "tri", "term").collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getString(1), r.getString(2)))
+        .toSet
     val srcDir = SparkTestBase.tempDir("sidx-src")
     val ckDir = SparkTestBase.tempDir("sidx-ck")
     ids.filter(d => d.docId >= 60L && d.docId < 90L)
@@ -74,8 +81,9 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = StreamingIngest.appendToIndex(spark, srcDir, idx, ckDir, cfg)
     q2.awaitTermination()
     assert(canon(idx) === canon(full))
-    // sidecar kept fresh batch-by-batch == one built over the full index
+    // sidecars kept fresh batch-by-batch == ones built over the full index
     assert(bloomCanon(idx) === bloomCanon(full))
+    assert(triCanon(idx) === triCanon(full))
 
     // a FRESH checkpoint replays every file; the docId high-water trim
     // must turn the replay into a no-op instead of a strictly-newer abort
@@ -84,6 +92,7 @@ class StreamingSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(canon(idx) === canon(full))
     assert(bloomCanon(idx) === bloomCanon(full)) // replay: refresh no-ops
+    assert(triCanon(idx) === triCanon(full))
     ids.unpersist()
   }
 
