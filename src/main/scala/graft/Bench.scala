@@ -361,7 +361,11 @@ object Bench {
     // a fully-clean query phase minutes later), and one quiet pair here
     // flips the pairing clean instead of publishing a min-of-dirty
     // fallback.
-    var topup = sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_TOPUP", "3").toInt
+    // default 4: the min-pairing's residual variance is mostly
+    // CROSS-session (neighbor membw weather the steal meter cannot see),
+    // so extra spread-out pairs sample it better than extra in-session
+    // reps; the 2026-08-19 all-clean validation read 0.774 with 3
+    var topup = sys.env.getOrElse("SPARK_GRAFT_BENCH_EFF_TOPUP", "4").toInt
     while (topup > 0 && (!(cleanS && cleanL) || efficiency < 0.82)) {
       if (quietBudget > 0) {
         quietBudget -= waitForQuiet(math.min(90, quietBudget).toInt,
