@@ -1498,7 +1498,22 @@ object SparkEntry {
     // chunk-pruned doc resolve ----
     "q_facets" -> ((s, dir) =>
       graft.engine.Facets.conjunctiveFacets(s, indexDir(s, dir),
-        Seq("spark", "dup")))
+        Seq("spark", "dup"))),
+
+    // ---- NEAR/k proximity (Proximity.nearDocs): docs with the pair
+    // within 5 positions, off the REAL index's posting blobs (one
+    // posting_entries decode per blob); title offsets cancel in the
+    // differences, so tokenization truth replays it exactly ----
+    "q_near_docs" -> ((s, dir) =>
+      graft.engine.Proximity.nearDocs(s, indexDir(s, dir), "spark", "dup",
+          within = 5L)
+        .select(col("chunk"), col("docId").as("doc_id"), col("min_dist"))),
+
+    // ---- ordered NEAR (b strictly after a): the directional variant ----
+    "q_near_ordered" -> ((s, dir) =>
+      graft.engine.Proximity.nearDocs(s, indexDir(s, dir), "spark", "dup",
+          within = 5L, ordered = true)
+        .select(col("chunk"), col("docId").as("doc_id"), col("min_dist")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -3138,7 +3153,31 @@ object SparkEntry {
         |  GROUP BY doc_id HAVING count(DISTINCT term) = 2)
         |SELECT 'org' || (doc_id % 50) || '/proj' || (doc_id % 50) AS facet,
         |       count(*) AS n_docs
-        |FROM hit GROUP BY 1""".stripMargin)
+        |FROM hit GROUP BY 1""".stripMargin),
+
+      // NEAR/5 unordered: min |posB - posA| over body positions (the
+      // title offset cancels in the difference, so toks pos is exact)
+      "q_near_docs" -> (duckToks + """
+        |, pa AS (SELECT doc_id, pos FROM toks WHERE term = 'spark'),
+        |pb AS (SELECT doc_id, pos FROM toks WHERE term = 'dup'),
+        |d AS (SELECT pa.doc_id, min(abs(pb.pos - pa.pos)) AS min_dist
+        |      FROM pa JOIN pb USING (doc_id) GROUP BY 1)
+        |SELECT CAST(doc_id // 200 AS BIGINT) AS chunk,
+        |       CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(min_dist AS BIGINT) AS min_dist
+        |FROM d WHERE min_dist <= 5""".stripMargin),
+
+      // ordered NEAR/5: min (posB - posA) over pairs with b AFTER a
+      "q_near_ordered" -> (duckToks + """
+        |, pa AS (SELECT doc_id, pos FROM toks WHERE term = 'spark'),
+        |pb AS (SELECT doc_id, pos FROM toks WHERE term = 'dup'),
+        |d AS (SELECT pa.doc_id, min(pb.pos - pa.pos) AS min_dist
+        |      FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND pb.pos > pa.pos
+        |      GROUP BY 1)
+        |SELECT CAST(doc_id // 200 AS BIGINT) AS chunk,
+        |       CAST(doc_id AS BIGINT) AS doc_id,
+        |       CAST(min_dist AS BIGINT) AS min_dist
+        |FROM d WHERE min_dist <= 5""".stripMargin)
     )
   }
 }

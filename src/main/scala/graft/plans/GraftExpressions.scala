@@ -61,6 +61,30 @@ object GraftExpressions {
     override def prettyName: String = "posting_tfs"
   }
 
+  /** posting_entries(df, blob) ->
+    * array<struct<docId:bigint, positions:array<bigint>>> — the FULL
+    * decode, ONE pass per blob. Position analytics (proximity, spans)
+    * must use this, not per-doc [[PostingPositions]] probes, which
+    * re-walk the blob once per requested doc.
+    */
+  case class PostingEntries(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("docId", LongType, nullable = false),
+      StructField("positions", ArrayType(LongType, containsNull = false),
+        nullable = false))), containsNull = false)
+    override def nullSafeEval(df: Any, blob: Any): Any = {
+      val decoded = PostingCodec.decode(df.asInstanceOf[Long],
+        blob.asInstanceOf[Array[Byte]])
+      new GenericArrayData(decoded.map { case (docId, positions) =>
+        InternalRow(docId, new GenericArrayData(positions))
+      }.toArray[Any])
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(left = l, right = r)
+    override def prettyName: String = "posting_entries"
+  }
+
   /** posting_positions(df, blob, docId) -> array<bigint> (empty when the
     * doc is absent from the list).
     */
@@ -112,6 +136,8 @@ object GraftExpressions {
     co(PostingDocIds(ex(df), ex(blob)))
   def posting_tfs(df: Column, blob: Column): Column =
     co(PostingTfs(ex(df), ex(blob)))
+  def posting_entries(df: Column, blob: Column): Column =
+    co(PostingEntries(ex(df), ex(blob)))
   def graft_tokenize(text: Column): Column =
     co(GraftTokenize(ex(text)))
 }
@@ -130,6 +156,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("posting_tfs"),
       new ExpressionInfo(classOf[PostingTfs].getName, "posting_tfs"),
       (children: Seq[Expression]) => PostingTfs(children(0), children(1))))
+    e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("posting_entries"),
+      new ExpressionInfo(classOf[PostingEntries].getName, "posting_entries"),
+      (children: Seq[Expression]) => PostingEntries(children(0), children(1))))
     e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier("posting_positions"),
       new ExpressionInfo(classOf[PostingPositions].getName, "posting_positions"),
       (children: Seq[Expression]) => PostingPositions(children(0), children(1), children(2))))
@@ -148,6 +177,8 @@ object GraftExtensions {
       cs => PostingDocIds(cs(0), cs(1)), "built-in")
     reg.createOrReplaceTempFunction("posting_tfs",
       cs => PostingTfs(cs(0), cs(1)), "built-in")
+    reg.createOrReplaceTempFunction("posting_entries",
+      cs => PostingEntries(cs(0), cs(1)), "built-in")
     reg.createOrReplaceTempFunction("posting_positions",
       cs => PostingPositions(cs(0), cs(1), cs(2)), "built-in")
     reg.createOrReplaceTempFunction("graft_tokenize",

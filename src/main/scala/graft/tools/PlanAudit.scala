@@ -263,6 +263,24 @@ object PlanAudit {
     section("spell suggest: vocab-sized variant explode, query side BROADCAST into the join") {
       graft.analysis.SpellCorrect.suggest(docsTbl, Seq("quary"), k = 3)
     }
+
+    section("time-travel as-of read: chunk PartitionFilters BEFORE blob decode") {
+      graft.index.TimeTravel.postingsAsOf(spark, out, asOfDocMax = 150L)
+    }
+
+    section("code-quality metrics: one codegen projection (no Exchange)") {
+      graft.analysis.CodeQuality.metrics(
+        src.toDF().select($"repo", $"path", $"content"))
+    }
+
+    graft.index.TrigramSidecar.build(spark, out, nBuckets = 16)
+    section("wildcard probe: bucket PartitionFilters + tri isin pushdown, candidate-sized agg") {
+      graft.index.TrigramSidecar.wildcardTerms(spark, out, "sp*k")
+    }
+
+    section("facet counts: qualifying-chunk PartitionFilters on docs + BROADCAST hit join") {
+      graft.engine.Facets.conjunctiveFacets(spark, out, Seq("spark", "dup"))
+    }
     spark.stop()
   }
 }

@@ -65,6 +65,20 @@ object SearchDemo {
         println(f"${h.chunk}%5d ${h.docId}%6d ${h.sStatic}%6d ${h.sUrl}%4d " +
           f"${h.sTitle}%5d ${h.sBodyRaw}%7d ${h.sBody}%5d ${h.dynamicWeight}%4d ${h.total}%6d")
       }
+    } else if (query.startsWith("wild:")) {
+      // wildcard term lookup through the trigram sidecar (built on first
+      // use); "wild:sp*k" prints matched terms + their index tf/df
+      val p = query.substring(query.indexOf(':') + 1).trim
+      if (!graft.index.TrigramSidecar.exists(spark, indexDir))
+        graft.index.TrigramSidecar.build(spark, indexDir)
+      val t0 = System.nanoTime()
+      val hits = graft.index.TrigramSidecar.wildcardStats(spark, indexDir, p)
+        .orderBy(org.apache.spark.sql.functions.desc("tf")).collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(s"""Wildcard: "$p" -> ${hits.length} terms in ${f"$dt%.3f"} s""")
+      hits.foreach { r =>
+        println(f"  ${r.getString(0)}%-24s tf=${r.getLong(1)}%-8d df=${r.getLong(2)}")
+      }
     } else if (query.startsWith("bm25:") || query.startsWith("bm25and:")) {
       val engine = new graft.engine.Bm25Engine(spark, indexDir)
       val mode = if (query.startsWith("bm25and:")) engine.And else engine.Or
