@@ -133,6 +133,31 @@ object Bench {
       .as[IdDoc]
   }
 
+  /** The same deterministic factor-x corpus as [[replicated]] (identical
+    * docIds/commits/content), generated CHUNK-ALIGNED for the zero-
+    * exchange "aligned" build strategy: contiguous copy ranges per
+    * partition (spark.range slices), each copy's 5k docs emitted in
+    * docId order from the broadcast ~1 MiB base — so partitions are
+    * docId-ascending and no chunk straddles a boundary (each copy's
+    * docId block sits inside one chunk at the 10^7 shift). This is the
+    * ingest-order model: a production corpus written by
+    * Corpus.assignDocIds reads back in exactly this shape.
+    */
+  private[graft] def replicatedAligned(spark: SparkSession, sfDir: String,
+                                       factor: Int, slices: Int) = {
+    import spark.implicits._
+    val base = Corpus.fromDocumentsParquet(spark, sfDir).collect().sortBy(_.docId)
+    val baseB = spark.sparkContext.broadcast(base)
+    spark.range(0, factor, 1, math.max(1, math.min(slices, factor))).as[Long]
+      .mapPartitions { copies =>
+        copies.flatMap { c =>
+          baseB.value.iterator.map(d => d.copy(
+            docId = d.docId + c * 10000000L,
+            commit = d.commit + "-" + c))
+        }
+      }
+  }
+
   private def timed[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -187,13 +212,19 @@ object Bench {
                                baseDocs: Long = -1L,
                                timedReps: Int = 3): (Trial, Long) = {
     val spark = session(cores, forBuild = true)
-    val src = replicated(spark, sfDir, factor)
+    val strategy = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRATEGY", "aligned")
+    // the aligned strategy measures the ingest-order fast path (zero
+    // exchange; BASELINE.md "aligned build"), so it gets the chunk-
+    // aligned rendering of the SAME corpus; bychunk/grouped get the
+    // interleaved one their wide exchange exists to handle
+    val src =
+      if (strategy == "aligned") replicatedAligned(spark, sfDir, factor, cores * 16)
+      else replicated(spark, sfDir, factor)
     // file count = base docs x factor; the base count is constant across
     // trials, so callers pass the warmup's measurement instead of paying
     // a count() job per trial
     val files = (if (baseDocs >= 0) baseDocs
                  else spark.read.parquet(s"$sfDir/documents.parquet").count()) * factor
-    val strategy = sys.env.getOrElse("SPARK_GRAFT_BENCH_STRATEGY", "bychunk")
     // cluster mode launches FRESH executor JVMs per trial; without an
     // in-session warmup the timed region absorbs ~10-15 s of per-JVM
     // cold start (JIT, classloading, codec init) — a fixed term that

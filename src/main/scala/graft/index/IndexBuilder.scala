@@ -33,6 +33,12 @@ object IndexBuilder {
     *                   bytes == corpus bytes) and build each chunk's
     *                   postings in one reduce-side pass — see
     *                   [[buildPostingsByChunk]];
+    *                   "aligned": ZERO-exchange bychunk for input whose
+    *                   partitions are already docId-ascending and
+    *                   chunk-aligned (the ingest's own storage order) —
+    *                   order enforced task-side, chunk-straddle detected
+    *                   by post-write extent validation; see
+    *                   [[buildCombinedAligned]];
     *                   "grouped": tokenize emits one row per
     *                   (doc, term) carrying all positions (map-side
     *                   grouping is free — every position of the pair is in
@@ -242,7 +248,84 @@ object IndexBuilder {
       .select(col("chunk"), col("docId"), col("repo"), col("path"),
         col("commit"), col("content"))
       .as[(Long, Long, String, String, String, String)]
-      .mapPartitions { it =>
+      .mapPartitions(it => combinedReduce(it))
+  }
+
+  /** "aligned" strategy: ZERO-exchange combined build for input whose
+    * partitions are already docId-ascending and chunk-aligned (no chunk
+    * straddles a partition boundary) — the layout the ingest itself
+    * produces: [[Corpus.assignDocIds]] hands out dense ids in storage
+    * order, so a corpus read back in the order it was written satisfies
+    * the precondition naturally (the Iceberg-table model of the north
+    * rule: files sorted by id, splits respect sort order). Where bychunk
+    * pays one corpus-sized wide exchange to co-locate each chunk's docs,
+    * this path tokenizes+builds+writes inside the input partitions — at
+    * 100 TB that removes 2x corpus bytes of shuffle write+read traffic,
+    * and on the bench VM it removes the memory-bandwidth term that bends
+    * the N->4N curve (BASELINE.md). Blob-identical to bychunk (spec).
+    *
+    * Safety is two-layered because a violated precondition would
+    * silently corrupt the index (two partial posting sets for one chunk):
+    *  - ORDER is enforced task-side: a non-ascending docId fails the
+    *    task (and thus the write) before anything commits;
+    *  - STRADDLE (a chunk split across partitions) is invisible locally,
+    *    so every partition reports its (minDocId, maxDocId) extent
+    *    through `extents`; [[build]] validates the collected extents
+    *    after the write and deletes the output + throws if any two
+    *    partitions overlap or share a chunk.
+    */
+  def buildCombinedAligned(docs: Dataset[IdDoc], cfg: BuildConfig,
+      extents: org.apache.spark.util.CollectionAccumulator[(Long, Long)]): Dataset[IndexRow] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val chunkDocs = cfg.chunkDocs
+    docs.toDF()
+      // narrow projection only — NO repartition/sort: the input's own
+      // partitioning and order are the plan (PlanAudit pins zero
+      // Exchange between scan and write)
+      .select(floor(col("docId") / chunkDocs).cast("long").as("chunk"),
+        col("docId"), col("repo"), col("path"), col("commit"), col("content"))
+      .as[(Long, Long, String, String, String, String)]
+      .mapPartitions { raw =>
+        var minId = Long.MaxValue
+        var maxId = Long.MinValue
+        var reported = false
+        val checked = raw.map { r =>
+          val id = r._2
+          if (maxId != Long.MinValue && id <= maxId)
+            throw new IllegalStateException(
+              s"aligned build requires docId-ascending partitions: saw $id after $maxId " +
+              "(re-sort the input or use strategy=bychunk)")
+          if (id < minId) minId = id
+          maxId = id
+          r
+        }
+        val out = combinedReduce(checked)
+        new Iterator[IndexRow] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && !reported) {
+              // empty partitions report nothing; the extent is added
+              // exactly once, after the reduce drained the whole input
+              if (maxId != Long.MinValue) extents.add((minId, maxId))
+              reported = true
+            }
+            h
+          }
+          def next(): IndexRow = out.next()
+        }
+      }
+  }
+
+  /** The shared reduce kernel of the bychunk and aligned strategies:
+    * consumes (chunk, docId, ...) rows that are chunk-contiguous and
+    * docId-ascending within each chunk, tokenizes each doc exactly once,
+    * and emits the chunk's doc rows followed by its term-sorted posting
+    * rows. Callers own the co-location guarantee (bychunk: the wide
+    * exchange; aligned: the input's ingest order + extent validation).
+    */
+  private def combinedReduce(
+      it: Iterator[(Long, Long, String, String, String, String)]): Iterator[IndexRow] = {
         new Iterator[IndexRow] {
           // per-chunk accumulator: insertion-ordered term -> sorted run
           // of (docId, positions); docs arrive docId-ascending, so each
@@ -328,7 +411,6 @@ object IndexBuilder {
             outRows.next()
           }
         }
-      }
   }
 
   /** The typed-flatMap tokenizer (kept as the cross-check reference for
@@ -398,7 +480,10 @@ object IndexBuilder {
     * else goes through the flat Token stream.
     */
   def buildPostingsFor(docs: Dataset[IdDoc], cfg: BuildConfig): Dataset[PostingRow] =
-    if (cfg.salts <= 1 && cfg.strategy == "bychunk")
+    // "aligned" is a build()-level fast path (its zero-exchange claim and
+    // extent validation live there); every other entry point gets the
+    // order-insensitive bychunk plan with identical blobs
+    if (cfg.salts <= 1 && (cfg.strategy == "bychunk" || cfg.strategy == "aligned"))
       buildPostingsByChunk(docs, cfg)
     else if (cfg.salts <= 1 && cfg.strategy == "grouped")
       buildPostingsGrouped(tokenGroups(docs, cfg))
@@ -616,7 +701,8 @@ object IndexBuilder {
     // partitioned table would corrupt it), detected by the docs table's
     // presence. Fresh grouped/sorted/aggregator/salted keep two tables.
     val combinedLayout =
-      if (fresh) cfg.salts <= 1 && cfg.strategy == "bychunk"
+      if (fresh) cfg.salts <= 1 &&
+        (cfg.strategy == "bychunk" || cfg.strategy == "aligned")
       else !pathExists(spark, docsDir(outDir))
     if (combinedLayout) {
       // combined single-pass flow: ONE job generates, tokenizes,
@@ -624,9 +710,15 @@ object IndexBuilder {
       // see buildCombinedByChunk. A cross-strategy resume onto a
       // combined index routes the strategy's posting rows + a docs pass
       // through the same union schema so partitions stay homogeneous.
+      val extentsAcc =
+        if (cfg.salts <= 1 && cfg.strategy == "aligned")
+          Some(spark.sparkContext.collectionAccumulator[(Long, Long)]("alignedExtents"))
+        else None
       val combined =
         if (cfg.salts <= 1 && cfg.strategy == "bychunk")
           buildCombinedByChunk(pending, cfg)
+        else if (extentsAcc.isDefined)
+          buildCombinedAligned(pending, cfg, extentsAcc.get)
         else {
           val p = buildPostingsFor(pending, cfg).map(IndexRow.ofPosting)
           val d = buildDocs(pending, cfg).map(IndexRow.ofDoc)
@@ -636,6 +728,8 @@ object IndexBuilder {
         combined
           .write.mode(SaveMode.Overwrite).partitionBy("chunk").parquet(postingsDir(outDir))
       }
+      extentsAcc.foreach(acc =>
+        validateAlignedExtents(spark, acc, chunkDocs, outDir))
       // a fresh combined build over a legacy index replaces postingsDir
       // wholesale (static overwrite) but would leave the old two-table
       // docs dir behind — and readDocs dispatches on its presence
@@ -696,6 +790,40 @@ object IndexBuilder {
     lineageRows.filter(_.stage == "docs").map(_.chunk).toSet
   }
 
+  /** Post-write validation of the aligned build's precondition (see
+    * [[buildCombinedAligned]]): partition extents must be pairwise
+    * disjoint AND not share a chunk. On violation every chunk the new
+    * extents touch is deleted (surgical: a resumed build's previously
+    * completed chunks are never in the new extents) and the build
+    * throws — a straddled chunk on disk holds two partial posting sets
+    * and must never be readable. Extents are NOT deduplicated: two
+    * partitions reporting the identical extent is itself a violation
+    * (duplicated input), and a task-retry echo (the only benign source
+    * of duplicates; accumulators in transformations can double-report
+    * on stage re-execution) fails conservatively rather than risk a
+    * silent corruption.
+    */
+  private def validateAlignedExtents(spark: SparkSession,
+      acc: org.apache.spark.util.CollectionAccumulator[(Long, Long)],
+      chunkDocs: Long, outDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val ex = acc.value.asScala.toSeq.sortBy(e => (e._1, e._2))
+    val bad = ex.zip(ex.drop(1)).find { case ((_, aMax), (bMin, _)) =>
+      aMax >= bMin || chunkOf(aMax, chunkDocs) == chunkOf(bMin, chunkDocs)
+    }
+    bad.foreach { case ((aMin, aMax), (bMin, bMax)) =>
+      val touched = ex.iterator.flatMap { case (a, b) =>
+        chunkOf(a, chunkDocs) to chunkOf(b, chunkDocs)
+      }.toSet
+      touched.foreach(c => deleteTree(spark, s"${postingsDir(outDir)}/chunk=$c"))
+      throw new IllegalStateException(
+        s"aligned build precondition violated: partition extents [$aMin,$aMax] and " +
+        s"[$bMin,$bMax] overlap or share a chunk (chunkDocs=$chunkDocs); the " +
+        s"${touched.size} chunks written by this invocation were removed — " +
+        "re-sort/partition the input on docId or use strategy=bychunk")
+    }
+  }
+
   /** Incremental append: extend an existing index with new docs whose
     * docIds all lie strictly past the existing corpus, producing an index
     * blob-identical to a from-scratch build over the union (pinned by
@@ -747,9 +875,14 @@ object IndexBuilder {
     // geometry from the persisted index
     val statsOld = IndexStore.readStats(spark, outDir)
     val persistedCd = statsOld.agg(max($"chunkDocs")).as[Long].head()
-    val useCfg =
-      if (persistedCd > 0) cfg.copy(chunkDocs = persistedCd)
-      else cfg // pre-chunkDocs-column index: trust the caller's cfg
+    val useCfg = {
+      // append deltas arrive from arbitrary sources (streaming batches,
+      // ad-hoc frames) with no ordering contract — route "aligned"
+      // through the order-insensitive bychunk plan (identical blobs)
+      val c0 = if (cfg.strategy == "aligned") cfg.copy(strategy = "bychunk") else cfg
+      if (persistedCd > 0) c0.copy(chunkDocs = persistedCd)
+      else c0 // pre-chunkDocs-column index: trust the caller's cfg
+    }
     val chunkDocs = useCfg.chunkDocs
     val oldDocMax = docIdHighWater(spark, outDir)
 

@@ -55,6 +55,18 @@ object PlanAudit {
         src, IndexBuilder.BuildConfig(chunkDocs = 200)).toDF()
     }
 
+    section("aligned combined build: ZERO Exchange (ingest-order fast path)") {
+      // input partitions are already docId-ascending and chunk-aligned
+      // (the ingest's own storage order), so tokenize + posting build +
+      // write all happen inside the input partitions — the plan must
+      // show scan -> project -> mapPartitions with NO Exchange anywhere;
+      // contrast with the bychunk section above, whose one corpus-sized
+      // exchange exists to co-locate chunks for arbitrary input order
+      val acc = spark.sparkContext.collectionAccumulator[(Long, Long)]("auditExtents")
+      IndexBuilder.buildCombinedAligned(src,
+        IndexBuilder.BuildConfig(chunkDocs = 200, strategy = "aligned"), acc).toDF()
+    }
+
     section("term stats aggregation") {
       TextAnalysis.termStats(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
     }

@@ -53,6 +53,14 @@ object ScalingProbe {
         sys.env.getOrElse("SPARK_GRAFT_PROBE_IO_CODEC", "lz4"))
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_PARQUET_CODEC", "snappy"))
+      //  SPARK_GRAFT_PROBE_MAX_WRITERS — spark.sql.maxConcurrentOutputFileWriters
+      //    (>0 lets the dynamic-partition write keep that many open
+      //    writers instead of inserting a per-task SORT on the partition
+      //    column; build tasks emit chunk-contiguous rows, so a handful
+      //    of writers suffices and the write-side row buffering — the
+      //    last full-materialization of the combined rows — disappears)
+      .config("spark.sql.maxConcurrentOutputFileWriters",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_MAX_WRITERS", "0"))
       .config("spark.local.dir", localDir)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -105,15 +113,23 @@ object ScalingProbe {
                  spin: Double = -1.0)
     def rmTree(dir: String): Unit = graft.util.Host.rmTree(dir)
 
+    // SPARK_GRAFT_PROBE_STRATEGY — build strategy A/B (bychunk default;
+    // "aligned" pairs the zero-exchange build with its chunk-aligned
+    // corpus rendering, same docs/blobs — see Bench.replicatedAligned)
+    val strategy = sys.env.getOrElse("SPARK_GRAFT_PROBE_STRATEGY", "bychunk")
     def buildIn(spark: SparkSession, tag: String): T = {
-      val src = graft.Bench.replicated(spark, sfDir, factor)
+      val src =
+        if (strategy == "aligned")
+          graft.Bench.replicatedAligned(spark, sfDir, factor,
+            spark.sparkContext.defaultParallelism * 16)
+        else graft.Bench.replicated(spark, sfDir, factor)
       val out = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), s"graft_probe_$tag").toString
       val spin0 = graft.util.Host.spinSec()
       val (s0, g0, c0) = (stealSec(), gcMillis(), procCpuSec())
       val t0 = System.nanoTime()
       IndexBuilder.build(spark, src, out,
-        IndexBuilder.BuildConfig(chunkDocs = chunkDocs, strategy = "bychunk"))
+        IndexBuilder.BuildConfig(chunkDocs = chunkDocs, strategy = strategy))
       val wall = (System.nanoTime() - t0) / 1e9
       // -1 sentinel (unreadable /proc/stat) must not leak a garbage delta
       val sd = { val s1 = stealSec(); if (s0 < 0 || s1 < 0) -1.0 else s1 - s0 }
