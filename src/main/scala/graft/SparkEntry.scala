@@ -715,6 +715,37 @@ object SparkEntry {
     })
   }
 
+  /** One ALIGNED-built index per scale dir: the corpus re-rendered in
+    * ingest storage order (docId-sorted, contiguous partitions split at
+    * chunk boundaries — what a table written by Corpus.assignDocIds
+    * reads back as) and built with the zero-exchange "aligned" strategy.
+    * q_aligned_term_stats reads THIS index, so the driver's DuckDB
+    * oracle checks the aligned build end-to-end against whole-corpus
+    * tokenization truth (blob identity with bychunk is spec-pinned;
+    * this pins the persisted result independently).
+    */
+  private val alignedIdxCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def alignedIdxDir(s: SparkSession, sfDir: String): String = synchronized {
+    alignedIdxCache.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_idx_alg").toString
+      val cd = 200L
+      val docs = Corpus.fromDocumentsParquet(s, sfDir).collect().sortBy(_.docId)
+      // ~3 contiguous partitions with boundaries at DOCID multiples of a
+      // chunk multiple — the aligned precondition (no straddle) by
+      // construction, independent of docId density
+      val per = math.max(cd, ((docs.length / 3 + cd - 1) / cd) * cd)
+      val parts = docs.groupBy(_.docId / per).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.docId)).toArray
+      import s.implicits._
+      val ds = s.createDataset(
+        s.sparkContext.parallelize(parts.indices.toSeq, parts.length)
+          .flatMap(i => parts(i)))
+      IndexBuilder.build(s, ds, out,
+        IndexBuilder.BuildConfig(chunkDocs = cd, strategy = "aligned"))
+      out
+    })
+  }
+
   /** One DELETE-then-COMPACT index per scale dir: full build, tombstone
     * every doc with docId % 5 == 3 (markDeleted), purge (compact).
     * q_compact_term_stats reads THIS index, so the driver's DuckDB oracle
@@ -854,6 +885,15 @@ object SparkEntry {
     // i.e. merge == full build, without re-tokenizing a document
     "q_merge_term_stats" -> ((s, dir) =>
       IndexStore.readPostings(s, mergeIdxDir(s, dir)).toDF()
+        .filter(!col("term").startsWith("#"))
+        .groupBy(col("term"))
+        .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+        .orderBy(desc("tf"), asc("term"))),
+    // term stats read FROM the aligned (zero-exchange) build over the
+    // ingest-ordered corpus rendering: must equal the same whole-corpus
+    // tokenization truth — i.e. aligned == full bychunk build
+    "q_aligned_term_stats" -> ((s, dir) =>
+      IndexStore.readPostings(s, alignedIdxDir(s, dir)).toDF()
         .filter(!col("term").startsWith("#"))
         .groupBy(col("term"))
         .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
@@ -1618,6 +1658,12 @@ object SparkEntry {
       // by MERGING two independently-built shard indexes (docId spaces
       // collided, then chunk-aligned shift + blob transcode)
       "q_merge_term_stats" -> (duckToks + """
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
+
+      // same truth once more — the Spark side answers from the
+      // zero-exchange aligned build over the ingest-ordered rendering
+      "q_aligned_term_stats" -> (duckToks + """
         |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
 

@@ -117,6 +117,29 @@ class AlignedBuildSpec extends AnyFunSuite {
     assert(canonD(out) === canonD(out2))
   }
 
+  test("seeded sweep: random chunk-aligned splits x geometries stay blob-identical to bychunk") {
+    val rnd = new scala.util.Random(97)
+    val docs = sortedDocs(30, seed = 47) // 60 docs, ids 0..59
+    for (trial <- 1 to 4) {
+      val cd = Seq(5L, 10L, 25L)(rnd.nextInt(3))
+      val nChunks = (docs.length + cd - 1) / cd
+      // random subset of chunk boundaries as partition cuts
+      val cuts = (1L until nChunks).filter(_ => rnd.nextBoolean()).map(_ * cd)
+      val bounds = (Seq(0L) ++ cuts ++ Seq(docs.length.toLong)).distinct.sorted
+      val parts = bounds.zip(bounds.drop(1)).map { case (a, b) =>
+        docs.filter(d => d.docId >= a && d.docId < b).toSeq
+      }
+      val out = SparkTestBase.tempDir(s"graft-aligned-sweep$trial")
+      IndexBuilder.build(spark, partitioned(parts), out,
+        BuildConfig(chunkDocs = cd, strategy = "aligned"))
+      val out2 = SparkTestBase.tempDir(s"graft-aligned-sweep$trial-ref")
+      IndexBuilder.build(spark, partitioned(Seq(docs.toSeq)).repartition(4), out2,
+        BuildConfig(chunkDocs = cd, strategy = "bychunk"))
+      assert(canonP(out) === canonP(out2), s"trial $trial cd=$cd bounds=$bounds")
+      assert(canonD(out) === canonD(out2), s"trial $trial cd=$cd bounds=$bounds")
+    }
+  }
+
   test("aligned build plan: ZERO Exchange between scan and output rows") {
     val docs = sortedDocs(10, seed = 43)
     val acc = spark.sparkContext.collectionAccumulator[(Long, Long)]("planExtents")
