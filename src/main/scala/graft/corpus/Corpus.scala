@@ -75,6 +75,66 @@ object Corpus {
     spark.createDataset(withIds)
   }
 
+  /** Persist an id-assigned corpus in STORAGE ORDER: a block-partitioned
+    * parquet table (block = docId div (chunkDocs * blockChunks)), exactly
+    * one FILE per block, rows docId-ascending inside it. This is the
+    * ingest's end of the aligned-build contract: a table written here and
+    * read back through [[readStorageOrdered]] satisfies
+    * `IndexBuilder.buildCombinedAligned`'s precondition (docId-ascending,
+    * chunk-aligned partitions) with zero read-time work — block
+    * boundaries are chunk multiples by construction.
+    *
+    * One file per block because each block hashes to exactly one task
+    * (`repartition(col("block"))`) and the dynamic-partition write splits
+    * a task's sorted rows by block. Size `blockChunks` so a block file
+    * stays under `spark.sql.files.maxPartitionBytes`, or the read-back
+    * scan would split it.
+    */
+  def writeStorageOrdered(ids: Dataset[IdDoc], dir: String,
+                          chunkDocs: Long, blockChunks: Int = 8): Unit = {
+    val blockDocs = chunkDocs * blockChunks
+    ids.toDF()
+      .withColumn("block", (col("docId") / blockDocs).cast("long"))
+      .repartition(col("block"))
+      .sortWithinPartitions("block", "docId")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("block").parquet(dir)
+  }
+
+  /** Read a [[writeStorageOrdered]] corpus back with its order intact:
+    * one input partition per BLOCK, blocks ascending, rows in file order
+    * (docId-ascending) — a Dataset that feeds the zero-exchange aligned
+    * build directly. Implementation: a union of per-block single-file
+    * scans; union concatenates child partitions in order, and a block dir
+    * holds exactly one file (verified here — two files would let split
+    * planning reorder rows), so Spark cannot re-bin-pack or split the
+    * read as long as the file is under maxPartitionBytes. Plan size is
+    * ∝ block count — fine to ~10^4 blocks; past that, batch the unions
+    * or drop to an RDD of per-file reads (the aligned build only needs
+    * per-partition order, not a single plan).
+    */
+  def readStorageOrdered(spark: SparkSession, dir: String): Dataset[IdDoc] = {
+    import spark.implicits._
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val blocks = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("block="))
+      .map(s => (s.getPath.getName.stripPrefix("block=").toLong, s.getPath))
+      .sortBy(_._1)
+    require(blocks.nonEmpty, s"no block= partition dirs under $dir")
+    blocks.foreach { case (b, p) =>
+      val files = fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      require(files.length == 1,
+        s"block $b holds ${files.length} files — storage order requires exactly one " +
+        "(was the table written by writeStorageOrdered?)")
+    }
+    blocks.iterator.map { case (_, p) => spark.read.parquet(p.toString) }
+      .reduce(_.union(_))
+      .select(col("docId"), col("repo"), col("path"), col("commit"),
+        col("lang"), col("content"))
+      .as[IdDoc]
+  }
+
   /** Seeded synthetic corpus (FIXTURES.md §1). Generated on the driver —
     * only used at unit-test scales.
     */

@@ -156,6 +156,36 @@ class AlignedBuildSpec extends AnyFunSuite {
     assert(planBy.contains("Exchange"))
   }
 
+  test("storage round-trip: writeStorageOrdered -> readStorageOrdered -> aligned build == bychunk, zero Exchange") {
+    import spark.implicits._
+    val docs = sortedDocs(30, seed = 53) // 60 docs
+    val dir = SparkTestBase.tempDir("graft-storage")
+    // write from an ARBITRARY partitioning — the writer owns the ordering
+    Corpus.writeStorageOrdered(
+      spark.createDataset(docs.toSeq).repartition(5), dir,
+      chunkDocs = 10, blockChunks = 2)
+    val back = Corpus.readStorageOrdered(spark, dir)
+    // read-back is row-identical to the source
+    assert(back.collect().map(d => (d.docId, d)).toMap ===
+      docs.map(d => (d.docId, d)).toMap)
+    // the whole pipeline read -> aligned build shows NO Exchange
+    val acc = spark.sparkContext.collectionAccumulator[(Long, Long)]("rtExtents")
+    val plan = IndexBuilder.buildCombinedAligned(
+      Corpus.readStorageOrdered(spark, dir),
+      BuildConfig(chunkDocs = 10, strategy = "aligned"), acc)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"round-trip plan shuffles:\n$plan")
+    // and the built index equals a bychunk build over the same docs
+    val out = SparkTestBase.tempDir("graft-storage-idx")
+    IndexBuilder.build(spark, Corpus.readStorageOrdered(spark, dir), out,
+      BuildConfig(chunkDocs = 10, strategy = "aligned"))
+    val out2 = SparkTestBase.tempDir("graft-storage-idx-ref")
+    IndexBuilder.build(spark, partitioned(Seq(docs.toSeq)), out2,
+      BuildConfig(chunkDocs = 10, strategy = "bychunk"))
+    assert(canonP(out) === canonP(out2))
+    assert(canonD(out) === canonD(out2))
+  }
+
   test("Bench.replicatedAligned equals Bench.replicated row-for-row and satisfies the precondition") {
     import spark.implicits._
     val sfDir = "/root/testdata/sf0.001"
