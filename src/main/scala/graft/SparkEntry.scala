@@ -960,6 +960,37 @@ object SparkEntry {
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
+    // BM25F field-weighted top-k: title field = the '#'-decorated lists
+    // already in the index ('doc' appears in every synthesized path, so
+    // the title field genuinely contributes); idf over the per-doc
+    // body∪title union; per-field length normalization
+    "q_bm25f_topk" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      engine.searchTermsFielded(Seq("spark", "doc", "merge"), 30,
+          wBody = 1.0, wTitle = 2.5)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
+    // proximity-weighted BM25 (Rasolofo-Savoy shape): exhaustive BM25 +
+    // per-term-pair windowed 1/dist² boosts, accumulated in integer
+    // micro-units so the SQL twin sums the identical integers
+    "q_bm25_prox" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      engine.searchTermsProximity(Seq("spark", "merge", "dup"), 30, window = 5)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
+    // champion-list static pruning: per-term global top-40 by (tf desc,
+    // docId asc) as the candidate set, full BM25 over candidates only
+    "q_bm25_champion" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      engine.searchTermsChampion(Seq("spark", "dup", "merge"), 30, m = 40)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
 
     // ---- RefScore search through the real engine, fully DuckDB-checked.
     // Three angles (ranker.h semantics re-derived in SQL from the raw
@@ -1123,6 +1154,14 @@ object SparkEntry {
       Bpe.pairCounts(Bpe.initialSegments(docsDf(s, dir)))),
     "q_bpe_merges" -> ((s, dir) => Bpe.merges(docsDf(s, dir), rounds = 3)),
     "q_bpe_segments" -> ((s, dir) => Bpe.segments(docsDf(s, dir), rounds = 3)),
+    // tokenizer APPLY: train 3 merge rounds, then encode every doc with
+    // the frozen table — a zero-shuffle projection
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = docsDf(s, dir)
+      val ms = Bpe.merges(d, rounds = 3).orderBy("round")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeDocs(d, ms)
+    }),
     // PII scrub: the synthetic corpus carries no natural PII (checked),
     // so the wiring plants deterministic PII derived from doc_id (the
     // oracle re-derives the same suffix). The plantings DISCRIMINATE the
@@ -1713,6 +1752,116 @@ object SparkEntry {
         |             (tf.tf * 2.2) /
         |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, round(raw, 4) AS score FROM scores
+        |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      // BM25F from first principles: body toks from text, title toks from
+      // the synthesized path's letter runs (raw count = numTitleWords,
+      // kept = length(term) < 19 after the '#'); per-field lengths
+      // dlb = kept_total - raw_title (clamped), dlt = raw_title; idf over
+      // the per-doc body∪title union
+      "q_bm25f_topk" -> (duckToks + """
+        |, traw AS (
+        |  SELECT doc_id, lower(unnest(regexp_extract_all(
+        |    source || '/doc' || doc_id || '.txt', '[A-Za-z]+'))) AS term
+        |  FROM documents),
+        |tkept AS (SELECT doc_id, term FROM traw WHERE length(term) < 19),
+        |dl AS (
+        |  SELECT d.doc_id,
+        |         greatest(coalesce(b.n, 0) + coalesce(tk.n, 0)
+        |                  - coalesce(tr.n, 0), 0) AS dlb,
+        |         coalesce(tr.n, 0) AS dlt
+        |  FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) b USING (doc_id)
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM tkept GROUP BY 1) tk USING (doc_id)
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM traw GROUP BY 1) tr USING (doc_id)),
+        |stats AS (SELECT count(*) AS n, avg(dlb * 1.0) AS avgb,
+        |                 avg(dlt * 1.0) AS avgt FROM dl),
+        |tfb AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        WHERE term IN ('spark', 'doc', 'merge') GROUP BY 1, 2),
+        |tft AS (SELECT doc_id, term, count(*) AS tf FROM tkept
+        |        WHERE term IN ('spark', 'doc', 'merge') GROUP BY 1, 2),
+        |dfu AS (SELECT term, count(DISTINCT doc_id) AS df FROM
+        |        (SELECT doc_id, term FROM tfb
+        |         UNION SELECT doc_id, term FROM tft) GROUP BY 1),
+        |wtf AS (
+        |  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+        |         coalesce(b.term, t.term) AS term,
+        |         1.0 * coalesce(b.tf, 0) / (1.0 + 0.75 * (dl.dlb / stats.avgb - 1.0))
+        |       + 2.5 * coalesce(t.tf, 0) / (1.0 + 0.75 * (dl.dlt / stats.avgt - 1.0)) AS w
+        |  FROM tfb b FULL JOIN tft t ON b.doc_id = t.doc_id AND b.term = t.term
+        |  JOIN dl ON dl.doc_id = coalesce(b.doc_id, t.doc_id) CROSS JOIN stats),
+        |scores AS (
+        |  SELECT w.doc_id,
+        |         sum(ln((stats.n - dfu.df + 0.5) / (dfu.df + 0.5) + 1.0)
+        |             * w.w / (1.2 + w.w)) AS raw
+        |  FROM wtf w JOIN dfu USING (term) CROSS JOIN stats GROUP BY 1)
+        |SELECT doc_id, round(raw, 4) AS score FROM scores
+        |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      // proximity BM25: base = the q_bm25_topk scoring; pair accumulators
+      // sum round(1e6/dist²) as BIGINT (exactly the engine's micro-units;
+      // positions differ by the constant title offset, which cancels)
+      "q_bm25_prox" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'merge', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT term, ln((stats.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |        FROM df CROSS JOIN stats),
+        |base AS (
+        |  SELECT tf.doc_id,
+        |         sum(i.idf * (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN idf i USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |pos AS (SELECT doc_id, term, pos FROM toks
+        |        WHERE term IN ('spark', 'merge', 'dup')),
+        |pairacc AS (
+        |  SELECT a.doc_id, a.term AS ta, b.term AS tb,
+        |         sum(CAST(round(1000000.0 /
+        |             ((a.pos - b.pos) * (a.pos - b.pos))) AS BIGINT)) AS accm
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND a.term < b.term
+        |   AND abs(a.pos - b.pos) <= 5
+        |  GROUP BY 1, 2, 3),
+        |prox AS (
+        |  SELECT p.doc_id,
+        |         sum(least(ia.idf, ib.idf) * (p.accm / 1000000.0)
+        |             / (p.accm / 1000000.0 + 1.2)) AS prox
+        |  FROM pairacc p JOIN idf ia ON ia.term = p.ta JOIN idf ib ON ib.term = p.tb
+        |  GROUP BY 1)
+        |SELECT b.doc_id, round(b.raw + coalesce(px.prox, 0.0), 4) AS score
+        |FROM base b LEFT JOIN prox px USING (doc_id)
+        |ORDER BY b.raw + coalesce(px.prox, 0.0) DESC, b.doc_id LIMIT 30""".stripMargin),
+
+      // champion lists: candidates = per-term top-40 by (tf desc, docId),
+      // then the exact q_bm25_topk scoring restricted to candidates
+      "q_bm25_champion" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |champ AS (
+        |  SELECT term, doc_id FROM (
+        |    SELECT term, doc_id,
+        |           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+        |    FROM tf) WHERE rn <= 40),
+        |cand AS (SELECT DISTINCT doc_id FROM champ),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN cand USING (doc_id) JOIN df USING (term)
+        |  JOIN dl USING (doc_id) CROSS JOIN stats
         |  GROUP BY 1)
         |SELECT doc_id, round(raw, 4) AS score FROM scores
         |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
@@ -2363,6 +2512,16 @@ object SparkEntry {
         |SELECT w AS word, CAST(freq AS BIGINT) AS freq,
         |       array_to_string(seg, ' ') AS seg
         |FROM seg3""".stripMargin),
+
+      // every doc's token is in seg3 (vocab trained on the same corpus);
+      // zero-token docs survive via the LEFT JOIN
+      "q_bpe_encode" -> (duckToks + duckBpe(3) + """
+        |SELECT d.doc_id,
+        |       CAST(coalesce(x.n, 0) AS BIGINT) AS n_toks,
+        |       CAST(coalesce(x.np, 0) AS BIGINT) AS n_pieces
+        |FROM documents d LEFT JOIN (
+        |  SELECT t.doc_id, count(*) AS n, sum(len(s.seg)) AS np
+        |  FROM toks t JOIN seg3 s ON s.w = t.term GROUP BY 1) x USING (doc_id)""".stripMargin),
 
       "q_repetition" -> (duckToks + duckShingles + """
         |, per AS (

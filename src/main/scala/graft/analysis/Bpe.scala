@@ -112,6 +112,27 @@ object Bpe {
     ms.toDF("round", "lhs", "rhs", "cnt")
   }
 
+  /** Tokenizer APPLY — the inference half of the BPE story: encode every
+    * document with a FROZEN merge table (train once on a sample, encode
+    * the full corpus). The merges are a tiny ordered driver-side list
+    * folded into the plan at construction time (the broadcast-vocabulary
+    * pattern), so the whole encode is a ZERO-shuffle per-row projection:
+    * per doc, per kept token, the char segmentation folds each merge
+    * left-to-right non-overlapping — semantics identical to the
+    * training-side [[applyMerge]]. Output (doc_id, n_toks, n_pieces):
+    * the real token-budget numbers a data-mixing pipeline feeds on
+    * (Packing/token-budget sampling currently count whitespace words).
+    */
+  def encodeDocs(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def encodeTok(tok: Column): Column =
+      merges.foldLeft(charSeg(tok)) { case (seg, (l, r)) => applyMerge(seg, l, r) }
+    val toks = TextAnalysis.keptTokens(col("text"))
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      aggregate(transform(toks, t => size(encodeTok(lower(t)))),
+        lit(0L), (a, x) => a + x.cast("long")).as("n_pieces"))
+  }
+
   /** Every word's segmentation after `rounds` merges, space-joined:
     * (word, freq, seg) — the tokenizer-apply surface.
     */

@@ -87,6 +87,23 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     */
   private val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Global df per term (Catalyst aggregate, tiny result), memoized per
+    * engine so repeat queries pay no stats job; terms with df 0 are
+    * dropped from the result (but cached, so they are never re-probed).
+    */
+  private def globalDf(terms: Seq[String]): Map[String, Long] = {
+    val missing = terms.filterNot(dfCache.containsKey)
+    if (missing.nonEmpty) {
+      postings.filter($"term".isin(missing: _*))
+        .groupBy($"term").agg(sum($"df").as("df"))
+        .collect().foreach(r => dfCache.put(r.getString(0), r.getLong(1)))
+      missing.foreach(t => dfCache.putIfAbsent(t, 0L))
+    }
+    terms
+      .flatMap(t => Option(dfCache.get(t)).map(_.longValue).filter(_ > 0).map(t -> _))
+      .toMap
+  }
+
   /** Tokenize the query with the frozen body-token rules, score top-k. */
   def search(query: String, k: Int = GraftConfig.TopK, mode: Mode = Or,
              useWand: Boolean = true): Seq[Bm25Hit] = {
@@ -115,6 +132,269 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
       meta.get(h.docId).map(_._2).getOrElse("")))
   }
 
+  /** Per-field corpus averages for BM25F, one column-pruned docs
+    * aggregate per engine: (avg body length, avg title length) where
+    * title length := numTitleWords (the reference's stored title stat and
+    * its own title-rank denominator, ranker/ranker.h:668) and body length
+    * := docLength - numTitleWords clamped at 0 (equals the kept body
+    * count whenever every title word passes the <20-char filter).
+    */
+  private lazy val fieldStats: (Double, Double) = {
+    val row = docs.toDF().agg(
+      avg(greatest($"docLength" - $"numTitleWords", lit(0L)).cast("double")),
+      avg($"numTitleWords".cast("double"))).head()
+    if (row.isNullAt(0)) (0.0, 0.0) else (row.getDouble(0), row.getDouble(1))
+  }
+
+  /** (chunk -> docId -> [body length, title length]) for the fielded
+    * scorer; broadcast under the same gate as [[lensBroadcast]], with the
+    * same per-query cogroup fallback for indexes that do not fit.
+    */
+  private lazy val fieldedLensBroadcast: Option[org.apache.spark.broadcast.Broadcast[Map[Long, java.util.HashMap[java.lang.Long, Array[Double]]]]] = {
+    if (BroadcastGate.fits(docs.toDF(), lit(96L),
+        broadcastDocsLimit, broadcastDocsBytes)) {
+      val grouped = docs.select($"chunk", $"docId", $"docLength", $"numTitleWords")
+        .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+        .map { case (c, arr) =>
+          val m = new java.util.HashMap[java.lang.Long, Array[Double]](arr.length * 2)
+          arr.foreach { case (_, id, dl, tw) =>
+            m.put(id, Array(math.max(dl - tw, 0L).toDouble, tw.toDouble))
+          }
+          c -> m
+        }
+      Some(spark.sparkContext.broadcast(grouped))
+    } else None
+  }
+
+  /** BM25F field-weighted top-k (disjunctive). The index already holds
+    * both fields of every document — title terms are '#'-decorated lists
+    * in the same chunk (ranker/ranker.h:742-745) — so no new storage is
+    * read: the term scan prunes to `term IN (t..., '#'+t...)`, idf comes
+    * from the per-term body∪title document frequency (chunk-local merge
+    * counts summed on the driver; docIds are chunk-disjoint), and one
+    * per-chunk kernel job scores with per-field length normalization
+    * ([[Bm25.scoreBm25F]]). Deterministic order (score desc, docId asc).
+    */
+  def searchTermsFielded(terms: Seq[String], k: Int,
+                         wBody: Double = 1.0, wTitle: Double = 2.5): Seq[Bm25.Hit] = {
+    val (n, _) = corpusStats
+    val base = terms.distinct
+    if (base.isEmpty || n == 0L) return Seq.empty
+    val all = base ++ base.map("#" + _)
+    val posts = postings.filter($"term".isin(all: _*))
+
+    def splitFields(ps: Iterator[graft.index.PostingRow])
+        : Map[String, (Option[(Long, Array[Byte])], Option[(Long, Array[Byte])])] =
+      ps.foldLeft(Map.empty[String, (Option[(Long, Array[Byte])], Option[(Long, Array[Byte])])]) {
+        (m, p) =>
+          val (t, isTitle) =
+            if (p.term.startsWith("#")) (p.term.substring(1), true)
+            else (p.term, false)
+          val (b, ti) = m.getOrElse(t, (None, None))
+          val entry = Some((p.df, p.postingsBlob))
+          m.updated(t, if (isTitle) (b, entry) else (entry, ti))
+      }
+
+    // union df per base term: per-(chunk, term) ascending-docId merge
+    // counts (tiny: <= #qualifying-chunks x #terms rows), summed driver-side
+    val dfU: Map[String, Long] = posts
+      .groupByKey(_.chunk)
+      .flatMapGroups { (_, ps) =>
+        splitFields(ps).iterator.map { case (t, (b, ti)) =>
+          (t, Bm25.unionDf(b, ti))
+        }
+      }.collect().groupBy(_._1).map { case (t, arr) => t -> arr.map(_._2).sum }
+      .filter(_._2 > 0L)
+    if (dfU.isEmpty) return Seq.empty
+    val idfMap = dfU.map { case (t, df) => t -> Bm25.idf(n, df) }
+    val idfB = spark.sparkContext.broadcast(idfMap)
+    val (avgB, avgT) = fieldStats
+
+    def score(fields: Map[String, (Option[(Long, Array[Byte])], Option[(Long, Array[Byte])])],
+              dlB: Bm25.DocLen, dlT: Bm25.DocLen): Iterator[Bm25.Hit] = {
+      val lists = fields.iterator.collect {
+        case (t, (b, ti)) if idfB.value.contains(t) =>
+          Bm25.FieldLists(t, idfB.value(t), b, ti)
+      }.toSeq
+      if (lists.isEmpty) Iterator.empty
+      else Bm25.scoreBm25F(lists, dlB, dlT, avgB, avgT, wBody, wTitle, k).iterator
+    }
+
+    val perChunk = fieldedLensBroadcast match {
+      case Some(bc) =>
+        posts.groupByKey(_.chunk).flatMapGroups { (chunk, ps) =>
+          bc.value.get(chunk) match {
+            case None => Iterator.empty
+            case Some(lens) =>
+              score(splitFields(ps), id => lens.get(id)(0), id => lens.get(id)(1))
+          }
+        }.collect()
+      case None =>
+        // big-index path: prune docs to the chunks that hold any field list
+        val qualifying = posts.select($"chunk").distinct().as[Long].collect()
+        if (qualifying.isEmpty) return Seq.empty
+        val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+          .select($"chunk", $"docId", $"docLength", $"numTitleWords")
+          .as[(Long, Long, Long, Long)]
+        postsQ.groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_._1)) { (_, ps, ds) =>
+            val lens = new java.util.HashMap[java.lang.Long, Array[Double]]()
+            ds.foreach { case (_, id, dl, tw) =>
+              lens.put(id, Array(math.max(dl - tw, 0L).toDouble, tw.toDouble))
+            }
+            if (lens.isEmpty) Iterator.empty
+            else score(splitFields(ps), id => lens.get(id)(0), id => lens.get(id)(1))
+          }
+          .collect()
+    }
+    perChunk.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
+  /** Proximity-weighted BM25 top-k ([[Bm25.scoreProximity]]): exhaustive
+    * BM25 plus windowed occurrence-pair proximity per query-term pair —
+    * positions are already in the posting blobs, so the plan is
+    * byte-for-byte the plain BM25 scan (term-pushed, chunk kernels, same
+    * lens broadcast/cogroup gate); only the kernel changes. Deterministic
+    * (score desc, docId asc); term-pair iteration order pinned to the
+    * query order.
+    */
+  def searchTermsProximity(terms: Seq[String], k: Int,
+                           window: Int = 5): Seq[Bm25.Hit] = {
+    val (n, avgdl) = corpusStats
+    val base = terms.distinct
+    if (base.isEmpty || n == 0L) return Seq.empty
+    val posts = postings.filter($"term".isin(base: _*))
+    val dfMap = globalDf(base)
+    if (dfMap.isEmpty) return Seq.empty
+    val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+    val idfB = spark.sparkContext.broadcast(idfMap)
+    val orderB = spark.sparkContext.broadcast(base.zipWithIndex.toMap)
+    val w = window
+    val kk = k
+
+    def toLists(ps: Iterator[graft.index.PostingRow]): Seq[Bm25.TermList] =
+      ps.filter(p => idfB.value.contains(p.term)).map { p =>
+        Bm25.TermList(p.term, idfB.value(p.term),
+          p.blocks.map(_.maxTf).max, p.df, p.blocks, p.postingsBlob)
+      }.toSeq.sortBy(p => orderB.value(p.term))
+
+    val perChunk = lensBroadcast match {
+      case Some(bc) =>
+        posts.groupByKey(_.chunk).flatMapGroups { (chunk, ps) =>
+          bc.value.get(chunk) match {
+            case None => Iterator.empty
+            case Some(lens) =>
+              val lists = toLists(ps)
+              if (lists.isEmpty) Iterator.empty
+              else Bm25.scoreProximity(lists, id => lens.get(id), avgdl, kk, w).iterator
+          }
+        }.collect()
+      case None =>
+        val qualifying = posts.select($"chunk").distinct().as[Long].collect()
+        if (qualifying.isEmpty) return Seq.empty
+        val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+          .select($"chunk", $"docId", $"docLength")
+          .as[(Long, Long, Long)]
+        postsQ.groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_._1)) { (_, ps, ds) =>
+            val lens = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+            ds.foreach { case (_, id, len) => lens.put(id, len.toDouble) }
+            val lists = toLists(ps)
+            if (lens.isEmpty || lists.isEmpty) Iterator.empty
+            else Bm25.scoreProximity(lists, id => lens.get(id), avgdl, kk, w).iterator
+          }.collect()
+    }
+    perChunk.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
+  /** Champion-list top-k (static index pruning, IIR §7.1.3 / the
+    * impact-ordered-index family): stage 1 selects each query term's
+    * global top-`m` documents by (tf desc, docId asc) — a per-posting-row
+    * selection emitting <= m rows per (chunk, term), merged to a global
+    * prefix on the driver (valid because the per-doc statistic makes the
+    * global top-m a subset of the union of per-chunk top-m); stage 2
+    * scores ONLY the candidate union with full BM25 over every query
+    * term, probing each candidate via block-skip cursor seeks in its own
+    * (partition-pruned) chunk. Approximate by construction: a doc outside
+    * every term's champion list cannot surface — the classic
+    * quality/latency trade for stopword-heavy queries, where scoring all
+    * of a high-df term's postings is the cost driver. Deterministic
+    * (score desc, docId asc).
+    */
+  def searchTermsChampion(terms: Seq[String], k: Int, m: Int = 64): Seq[Bm25.Hit] = {
+    val (n, avgdl) = corpusStats
+    val base = terms.distinct
+    if (base.isEmpty || n == 0L || m <= 0) return Seq.empty
+    val posts = postings.filter($"term".isin(base: _*))
+
+    // stage 1: champion candidates
+    val mm = m
+    val perChunk = posts.flatMap { p =>
+      graft.codec.PostingCodec.decode(p.df, p.postingsBlob).iterator
+        .map { case (docId, poss) => (p.term, docId, poss.length.toLong) }
+        .toArray
+        .sortBy { case (_, id, tf) => (-tf, id) }
+        .take(mm).iterator
+    }.collect()
+    val candidates: Array[Long] = perChunk.groupBy(_._1).valuesIterator
+      .flatMap(_.sortBy { case (_, id, tf) => (-tf, id) }.take(mm).map(_._2))
+      .toArray.distinct.sorted
+    if (candidates.isEmpty) return Seq.empty
+
+    // stage 2: full BM25 over the candidate set only
+    val dfMap = globalDf(base)
+    if (dfMap.isEmpty) return Seq.empty
+    val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+    val idfB = spark.sparkContext.broadcast(idfMap)
+    val candByChunk: Map[Long, Array[Long]] =
+      if (chunkDocsConf > 0) candidates.groupBy(_ / chunkDocsConf)
+      else Map(-1L -> candidates) // legacy stats: no chunk derivation
+    val candB = spark.sparkContext.broadcast(candByChunk)
+    val postsQ =
+      if (chunkDocsConf > 0)
+        posts.filter($"chunk".isin(candByChunk.keys.toSeq: _*))
+      else posts
+
+    def score(chunk: Long, termLists: Seq[Bm25.TermList],
+              docLen: Bm25.DocLen): Iterator[Bm25.Hit] = {
+      val cands = candB.value.getOrElse(
+        if (candB.value.contains(chunk)) chunk else -1L, Array.empty[Long])
+      if (termLists.isEmpty || cands.isEmpty) Iterator.empty
+      else Bm25.scoreCandidates(termLists, docLen, avgdl, cands, k).iterator
+    }
+    def toLists(ps: Iterator[graft.index.PostingRow]): Seq[Bm25.TermList] =
+      ps.filter(p => idfB.value.contains(p.term)).map { p =>
+        Bm25.TermList(p.term, idfB.value(p.term),
+          p.blocks.map(_.maxTf).max, p.df, p.blocks, p.postingsBlob)
+      }.toSeq
+
+    val hits = lensBroadcast match {
+      case Some(bc) =>
+        postsQ.groupByKey(_.chunk).flatMapGroups { (chunk, ps) =>
+          bc.value.get(chunk) match {
+            case None => Iterator.empty
+            case Some(lens) => score(chunk, toLists(ps), id => lens.get(id))
+          }
+        }.collect()
+      case None =>
+        val qualifying = postsQ.select($"chunk").distinct().as[Long].collect()
+        if (qualifying.isEmpty) return Seq.empty
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+          .select($"chunk", $"docId", $"docLength")
+          .as[(Long, Long, Long)]
+        postsQ.filter($"chunk".isin(qualifying: _*)).groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_._1)) { (chunk, ps, ds) =>
+            val lens = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+            ds.foreach { case (_, id, len) => lens.put(id, len.toDouble) }
+            if (lens.isEmpty) Iterator.empty
+            else score(chunk, toLists(ps), id => lens.get(id))
+          }.collect()
+    }
+    hits.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
   /** Core: returns global top-k (docId, score), deterministic order
     * (score desc, docId asc).
     */
@@ -123,18 +403,7 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     val (n, avgdl) = corpusStats
     val posts = postings.filter($"term".isin(terms: _*))
 
-    // global df per term (Catalyst aggregate, tiny result), memoized per
-    // engine so repeat queries pay no stats job
-    val missing = terms.filterNot(dfCache.containsKey)
-    if (missing.nonEmpty) {
-      postings.filter($"term".isin(missing: _*))
-        .groupBy($"term").agg(sum($"df").as("df"))
-        .collect().foreach(r => dfCache.put(r.getString(0), r.getLong(1)))
-      missing.foreach(t => dfCache.putIfAbsent(t, 0L))
-    }
-    val dfMap = terms
-      .flatMap(t => Option(dfCache.get(t)).map(_.longValue).filter(_ > 0).map(t -> _))
-      .toMap
+    val dfMap = globalDf(terms)
     if (mode == And && terms.exists(t => !dfMap.contains(t))) return Seq.empty
     if (dfMap.isEmpty) return Seq.empty
     val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }

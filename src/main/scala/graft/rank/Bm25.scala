@@ -174,6 +174,182 @@ object Bm25 {
     top.result()
   }
 
+  // ---------------------------------------------------------------------
+  // BM25F — field-weighted scoring over the SAME compressed index.
+  // The reference keeps title terms '#'-decorated in the one dictionary
+  // (ranker/ranker.h:742-745), so a document's two fields are two posting
+  // lists of the same chunk: `t` (body) and `"#" + t` (title). BM25F
+  // (Robertson, Zaragoza & Taylor, CIKM'04, "simple BM25F" shape)
+  // normalizes tf per field, sums the weighted normalized tfs, and
+  // saturates ONCE:
+  //   tf~_f = tf_f / (1 + b * (dl_f / avgdl_f - 1))
+  //   wtf   = w_body * tf~_body + w_title * tf~_title
+  //   score = sum_t idf_union(t) * wtf / (k1 + wtf)
+  // idf_union uses the term's document frequency in EITHER field (the
+  // per-document union), so a title-only match still counts as presence.
+  // ---------------------------------------------------------------------
+
+  /** One query term's per-chunk field lists: (df, blob) per present field. */
+  case class FieldLists(term: String, idf: Double,
+                        body: Option[(Long, Array[Byte])],
+                        title: Option[(Long, Array[Byte])])
+
+  /** |body ∪ title| docIds of one term within one chunk. Decoded docId
+    * streams are ascending, so this is a linear two-pointer merge count.
+    */
+  def unionDf(body: Option[(Long, Array[Byte])],
+              title: Option[(Long, Array[Byte])]): Long = {
+    val a = body.map { case (df, blob) => PostingCodec.decode(df, blob) }
+      .getOrElse(Array.empty[(Long, Array[Long])])
+    val b = title.map { case (df, blob) => PostingCodec.decode(df, blob) }
+      .getOrElse(Array.empty[(Long, Array[Long])])
+    var i = 0; var j = 0; var n = 0L
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compare(a(i)._1, b(j)._1)
+      if (c < 0) i += 1 else if (c > 0) j += 1 else { i += 1; j += 1 }
+      n += 1
+    }
+    n + (a.length - i) + (b.length - j)
+  }
+
+  /** BM25F top-k within one chunk. `dlBody`/`dlTitle` are the per-field
+    * document lengths (body: kept tokens minus the raw title count,
+    * clamped at 0; title: the reference's stored numTitleWords — its own
+    * title-rank denominator, ranker.h:668). A field whose corpus-average
+    * length is 0 contributes nothing (no such field in the corpus).
+    */
+  def scoreBm25F(terms: Seq[FieldLists], dlBody: DocLen, dlTitle: DocLen,
+                 avgdlBody: Double, avgdlTitle: Double,
+                 wBody: Double, wTitle: Double, k: Int): Array[Hit] = {
+    val acc = new java.util.HashMap[Long, Array[Double]]()
+    terms.foreach { t =>
+      val wtf = new java.util.HashMap[Long, java.lang.Double]()
+      def accumulate(field: Option[(Long, Array[Byte])], w: Double,
+                     dl: DocLen, avgdl: Double): Unit =
+        if (avgdl > 0) field.foreach { case (df, blob) =>
+          PostingCodec.decode(df, blob).foreach { case (docId, positions) =>
+            val norm = 1.0 + B * (dl(docId) / avgdl - 1.0)
+            val add = w * positions.length.toDouble / norm
+            wtf.merge(docId, add, (x, y) => x + y)
+          }
+        }
+      accumulate(t.body, wBody, dlBody, avgdlBody)
+      accumulate(t.title, wTitle, dlTitle, avgdlTitle)
+      wtf.forEach { (docId, w) =>
+        acc.computeIfAbsent(docId, _ => new Array[Double](1))(0) +=
+          t.idf * w / (K1 + w)
+      }
+    }
+    val top = new TopK(k)
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      top.offer(Hit(e.getKey, e.getValue()(0)))
+    }
+    top.result()
+  }
+
+  /** Proximity-weighted BM25 (Rasolofo & Savoy, ECIR'03 shape): the
+    * exhaustive BM25 score plus, per unordered query-term pair present in
+    * a doc, min(idf_i, idf_j) * a / (a + k1) where a accumulates 1/dist²
+    * over occurrence pairs within `window` positions. The accumulator is
+    * frozen to INTEGER micro-units (round(1e6/d²) per pair, summed as
+    * Long) so a DuckDB oracle sums the identical integers — the repo's
+    * standard trick for cross-engine float exactness. Positions carry the
+    * per-doc title offset, which cancels in every distance. Occurrence
+    * pairs walk two sorted position arrays with a sliding window —
+    * O(occ_i + occ_j + matches), never the full cross product.
+    */
+  def scoreProximity(terms: Seq[TermList], docLen: DocLen, avgdl: Double,
+                     k: Int, window: Int = 5): Array[Hit] = {
+    val decoded = terms.map { t =>
+      val m = new java.util.LinkedHashMap[Long, Array[Long]]()
+      PostingCodec.decode(t.df, t.blob).foreach { case (id, ps) => m.put(id, ps) }
+      (t, m)
+    }
+    val acc = new java.util.HashMap[Long, Array[Double]]()
+    decoded.foreach { case (t, m) =>
+      m.forEach { (id, ps) =>
+        acc.computeIfAbsent(id, _ => new Array[Double](1))(0) +=
+          t.idf * tfPart(ps.length.toDouble, docLen(id), avgdl)
+      }
+    }
+    val micro = Array.tabulate(window + 1)(d =>
+      if (d == 0) 0L else math.round(1e6 / (d.toDouble * d)))
+    var i = 0
+    while (i < decoded.size) {
+      var j = i + 1
+      while (j < decoded.size) {
+        val (ti, mi) = decoded(i)
+        val (tj, mj) = decoded(j)
+        val idfMin = math.min(ti.idf, tj.idf)
+        val (small, other) = if (mi.size <= mj.size) (mi, mj) else (mj, mi)
+        small.forEach { (id, pa) =>
+          val pb = other.get(id)
+          if (pb != null) {
+            var accM = 0L
+            var ai = 0
+            var lo = 0
+            while (ai < pa.length) {
+              while (lo < pb.length && pb(lo) < pa(ai) - window) lo += 1
+              var bj = lo
+              while (bj < pb.length && pb(bj) <= pa(ai) + window) {
+                val d = math.abs(pa(ai) - pb(bj)).toInt
+                if (d >= 1) accM += micro(d)
+                bj += 1
+              }
+              ai += 1
+            }
+            if (accM > 0L) {
+              val a = accM.toDouble / 1e6
+              acc.get(id)(0) += idfMin * a / (a + K1)
+            }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val top = new TopK(k)
+    val it = acc.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      top.offer(Hit(e.getKey, e.getValue()(0)))
+    }
+    top.result()
+  }
+
+  /** Full BM25 of an explicit candidate set (champion-list stage 2,
+    * IIR §7.1.3 static pruning): for each term, one cursor walks the
+    * ascending candidate list with block-skip seeks — O(|cand| log)
+    * probes, never a full decode of the (potentially huge) lists.
+    * `candSorted` must be ascending docIds within this chunk.
+    */
+  def scoreCandidates(terms: Seq[TermList], docLen: DocLen, avgdl: Double,
+                      candSorted: Array[Long], k: Int): Array[Hit] = {
+    val scores = new Array[Double](candSorted.length)
+    terms.foreach { t =>
+      val c = new PostingCodec.Cursor(t.df, t.blocks, t.blob)
+      if (c.next()) {
+        var i = 0
+        var live = true
+        while (i < candSorted.length && live) {
+          if (!c.seek(candSorted(i))) live = false
+          else if (c.docId == candSorted(i))
+            scores(i) += t.idf * tfPart(c.tf.toDouble, docLen(candSorted(i)), avgdl)
+          i += 1
+        }
+      }
+    }
+    val top = new TopK(k)
+    var i = 0
+    while (i < candSorted.length) {
+      if (scores(i) > 0.0) top.offer(Hit(candSorted(i), scores(i)))
+      i += 1
+    }
+    top.result()
+  }
+
   /** Conjunctive leapfrog with full scoring of intersecting docs. */
   def scoreConjunctive(terms: Seq[TermList], docLen: DocLen, avgdl: Double, k: Int): Array[Hit] = {
     if (terms.isEmpty) return Array.empty

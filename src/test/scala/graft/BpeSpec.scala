@@ -64,6 +64,35 @@ class BpeSpec extends AnyFunSuite {
     assert(seg1("aaaa") === "aa aa")
   }
 
+  test("encodeDocs: hand-traced counts, segments-consistency, zero Exchange, empty docs") {
+    import spark.implicits._
+    val ms = Seq(("a", "b"), ("a", "a"), ("aa", "ab")) // the fixture's merges
+    // doc 1: aaab|ab|ab -> 1+1+1 pieces; doc 2: ab|aaab|ba -> 1+1+2
+    // (x9 dropped); doc 3: no kept tokens at all
+    val d = fixture.union(Seq((3L, "x9 99")).toDF("doc_id", "text"))
+    val got = Bpe.encodeDocs(d, ms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 3L, 3L), (2L, 3L, 4L), (3L, 0L, 0L)))
+    // the encode is a pure projection: no Exchange anywhere in the plan
+    val plan = Bpe.encodeDocs(d, ms).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"encode shuffles:\n$plan")
+    // real corpus: per-doc n_pieces == sum over its tokens of the trained
+    // segmentation length (the segments surface re-aggregated per doc)
+    val ms3 = Bpe.merges(docs, rounds = 3).orderBy(col("round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val segLen = Bpe.segments(docs, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(2).split(' ').length.toLong).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = texts.map { case (id, text) =>
+      val toks = graft.tokenizer.Tokenizer.bodyTokens(text)
+      (id, toks.length.toLong, toks.map(segLen).sum)
+    }.toSet
+    val gotReal = Bpe.encodeDocs(docs, ms3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotReal === want)
+  }
+
   test("real corpus: merges are well-formed, counts non-increasing, words reconstruct") {
     val ms = Bpe.merges(docs, rounds = 3)
       .orderBy(col("round")).collect()
