@@ -972,6 +972,25 @@ object SparkEntry {
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
+    // Dirichlet query-likelihood ranking (Zhai-Lafferty LM family): full
+    // query scored incl. smoothed background mass for absent-in-doc terms
+    "q_ql_topk" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      engine.searchTermsQl(Seq("spark", "dup", "merge"), 30, mu = 300.0)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
+    // positional phrase BM25: the phrase is one virtual term (tf =
+    // consecutive-run count from the positions in the blobs, df = global
+    // matching-doc count)
+    "q_phrase_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      engine.searchPhrase(Seq("sort", "merge"), 30)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
     // proximity-weighted BM25 (Rasolofo-Savoy shape): exhaustive BM25 +
     // per-term-pair windowed 1/dist² boosts, accumulated in integer
     // micro-units so the SQL twin sums the identical integers
@@ -1797,6 +1816,53 @@ object SparkEntry {
         |         sum(ln((stats.n - dfu.df + 0.5) / (dfu.df + 0.5) + 1.0)
         |             * w.w / (1.2 + w.w)) AS raw
         |  FROM wtf w JOIN dfu USING (term) CROSS JOIN stats GROUP BY 1)
+        |SELECT doc_id, round(raw, 4) AS score FROM scores
+        |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      // Dirichlet QL: p(t|C) = cf/totalc over the same +3-title token
+      // totals; candidates = docs matching >= 1 term; absent terms would
+      // have no cf row (all three exist in this corpus)
+      "q_ql_topk" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT sum(dl) AS totalc FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |cf AS (SELECT term, count(*) AS cf FROM toks
+        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1),
+        |cand AS (SELECT DISTINCT doc_id FROM tf),
+        |scores AS (
+        |  SELECT c.doc_id,
+        |         sum(ln((coalesce(tf.tf, 0) + 300.0 * (cf.cf * 1.0 / stats.totalc))
+        |                / (dl.dl + 300.0))) AS raw
+        |  FROM cand c JOIN cf ON 1 = 1
+        |  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = cf.term
+        |  JOIN dl ON dl.doc_id = c.doc_id CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, round(raw, 4) AS score FROM scores
+        |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      // phrase BM25: tf = adjacent-position pair count (position deltas
+      // are title-offset invariant), df = matching docs, then the
+      // q_bm25_topk scoring of the one virtual term
+      "q_phrase_bm25" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |ph AS (
+        |  SELECT t1.doc_id, count(*) AS tf
+        |  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        |  WHERE t1.term = 'sort' AND t2.term = 'merge'
+        |  GROUP BY 1),
+        |dfp AS (SELECT count(*) AS df FROM ph),
+        |scores AS (
+        |  SELECT ph.doc_id,
+        |         ln((stats.n - dfp.df + 0.5) / (dfp.df + 0.5) + 1.0) *
+        |         (ph.tf * 2.2) /
+        |         (ph.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS raw
+        |  FROM ph JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN dfp)
         |SELECT doc_id, round(raw, 4) AS score FROM scores
         |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
 

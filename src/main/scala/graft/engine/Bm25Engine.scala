@@ -56,17 +56,19 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     } else None
   }
 
-  /** One stats job: N, total token count, and the index's configured
+  /** One stats job: N, total token count (exact Long — the Dirichlet
+    * ranker's collection-model denominator), and the index's configured
     * docs-per-chunk (persisted by buildStats so docId -> chunk is
     * derivable for partition pruning).
     */
-  private lazy val globalStats: (Long, Double, Long) = {
+  private lazy val globalStats: (Long, Double, Long, Long) = {
     val row = IndexStore.readStats(spark, indexDir)
       .agg(sum($"numDocs"), sum($"totalTokens"), max($"chunkDocs")).head()
-    if (row.isNullAt(0)) (0L, 0.0, GraftConfig.ChunkDocs) // empty index
+    if (row.isNullAt(0)) (0L, 0.0, GraftConfig.ChunkDocs, 0L) // empty index
     else {
       val n = row.getLong(0)
-      (n, row.getLong(1).toDouble / math.max(n, 1L).toDouble, row.getLong(2))
+      (n, row.getLong(1).toDouble / math.max(n, 1L).toDouble, row.getLong(2),
+        row.getLong(1))
     }
   }
 
@@ -74,6 +76,9 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
   lazy val corpusStats: (Long, Double) = (globalStats._1, globalStats._2)
 
   private def chunkDocsConf: Long = globalStats._3
+
+  /** Exact corpus token count (title + body kept tokens). */
+  private def totalTokens: Long = globalStats._4
 
   sealed trait Mode
   case object Or extends Mode       // WAND path
@@ -247,6 +252,146 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
             else score(splitFields(ps), id => lens.get(id)(0), id => lens.get(id)(1))
           }
           .collect()
+    }
+    perChunk.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
+  /** Global collection frequency per term (sum of per-chunk list tfs —
+    * one pushed-filter aggregate), memoized like [[globalDf]].
+    */
+  private val cfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def globalCf(terms: Seq[String]): Map[String, Long] = {
+    val missing = terms.filterNot(cfCache.containsKey)
+    if (missing.nonEmpty) {
+      postings.filter($"term".isin(missing: _*))
+        .groupBy($"term").agg(sum($"tf").as("cf"))
+        .collect().foreach(r => cfCache.put(r.getString(0), r.getLong(1)))
+      missing.foreach(t => cfCache.putIfAbsent(t, 0L))
+    }
+    terms
+      .flatMap(t => Option(cfCache.get(t)).map(_.longValue).filter(_ > 0).map(t -> _))
+      .toMap
+  }
+
+  /** Dirichlet query-likelihood top-k ([[Bm25.scoreQl]]) — the LM ranking
+    * family over the same index scan: collection model p(t|C) from the
+    * per-term cf aggregate over the exact stats-table token total, scored
+    * per chunk with the plain lens broadcast/cogroup gate. Terms absent
+    * from the corpus (cf = 0) are dropped — standard OOV handling, since
+    * p(t|C) = 0 would zero every document's likelihood. Deterministic
+    * (score desc, docId asc); scores are log-likelihoods (negative
+    * values; higher = more likely).
+    */
+  def searchTermsQl(terms: Seq[String], k: Int, mu: Double = 300.0): Seq[Bm25.Hit] = {
+    val (n, _) = corpusStats
+    val base = terms.distinct
+    if (base.isEmpty || n == 0L) return Seq.empty
+    val totalC = totalTokens
+    val cfMap = globalCf(base)
+    if (cfMap.isEmpty || totalC == 0L) return Seq.empty
+    val kept = base.filter(cfMap.contains)
+    val pcMap = kept.map(t => t -> cfMap(t).toDouble / totalC.toDouble).toMap
+    val pcB = spark.sparkContext.broadcast(pcMap)
+    val orderB = spark.sparkContext.broadcast(kept.zipWithIndex.toMap)
+    val posts = postings.filter($"term".isin(kept: _*))
+    val muV = mu
+    val kk = k
+
+    def toQl(ps: Iterator[graft.index.PostingRow]): Seq[Bm25.QlTerm] =
+      ps.filter(p => pcB.value.contains(p.term)).map { p =>
+        Bm25.QlTerm(p.term, pcB.value(p.term), p.df, p.postingsBlob)
+      }.toSeq.sortBy(p => orderB.value(p.term))
+
+    val perChunk = lensBroadcast match {
+      case Some(bc) =>
+        posts.groupByKey(_.chunk).flatMapGroups { (chunk, ps) =>
+          bc.value.get(chunk) match {
+            case None => Iterator.empty
+            case Some(lens) =>
+              val lists = toQl(ps)
+              if (lists.isEmpty) Iterator.empty
+              else Bm25.scoreQl(lists, id => lens.get(id), muV, kk).iterator
+          }
+        }.collect()
+      case None =>
+        val qualifying = posts.select($"chunk").distinct().as[Long].collect()
+        if (qualifying.isEmpty) return Seq.empty
+        val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+          .select($"chunk", $"docId", $"docLength")
+          .as[(Long, Long, Long)]
+        postsQ.groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_._1)) { (_, ps, ds) =>
+            val lens = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+            ds.foreach { case (_, id, len) => lens.put(id, len.toDouble) }
+            val lists = toQl(ps)
+            if (lens.isEmpty || lists.isEmpty) Iterator.empty
+            else Bm25.scoreQl(lists, id => lens.get(id), muV, kk).iterator
+          }.collect()
+    }
+    perChunk.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
+  /** Positional phrase BM25 top-k: the phrase is scored as ONE virtual
+    * term whose per-doc tf is the consecutive-run count
+    * ([[Bm25.phraseTfs]] — the ISRPhrase semantics on docId+position
+    * space) and whose df is the global count of docs with >= 1 match.
+    * Two pushed-filter jobs over the phrase terms' lists only: chunk
+    * df counts (summed driver-side; docIds are chunk-disjoint), then
+    * per-chunk scoring. All-or-nothing per chunk: a chunk missing any
+    * phrase term cannot match.
+    */
+  def searchPhrase(phrase: Seq[String], k: Int): Seq[Bm25.Hit] = {
+    val (n, avgdl) = corpusStats
+    if (phrase.isEmpty || n == 0L) return Seq.empty
+    val posts = postings.filter($"term".isin(phrase.distinct: _*))
+    val ph = phrase
+    val need = phrase.distinct.size
+
+    def chunkLists(ps: Iterator[graft.index.PostingRow]): Option[Seq[(Long, Array[Byte])]] = {
+      val m = ps.map(p => p.term -> ((p.df, p.postingsBlob))).toMap
+      if (m.size < need) None else Some(ph.map(m(_)))
+    }
+
+    // job 1: global phrase df (per-chunk match counts, tiny rows)
+    val dfPhrase = posts.groupByKey(_.chunk).mapGroups { (_, ps) =>
+      chunkLists(ps).map(ls => Bm25.phraseTfs(ls).size.toLong).getOrElse(0L)
+    }.collect().sum
+    if (dfPhrase == 0L) return Seq.empty
+    val idf = Bm25.idf(n, dfPhrase)
+
+    // job 2: per-chunk BM25 of the virtual phrase term
+    def score(ls: Seq[(Long, Array[Byte])], docLen: Bm25.DocLen): Iterator[Bm25.Hit] = {
+      val top = new Bm25.TopK(k)
+      Bm25.phraseTfs(ls).forEach { (id, tf) =>
+        top.offer(Bm25.Hit(id, idf * Bm25.tfPart(tf.toDouble, docLen(id), avgdl)))
+      }
+      top.result().iterator
+    }
+    val perChunk = lensBroadcast match {
+      case Some(bc) =>
+        posts.groupByKey(_.chunk).flatMapGroups { (chunk, ps) =>
+          (bc.value.get(chunk), chunkLists(ps)) match {
+            case (Some(lens), Some(ls)) => score(ls, id => lens.get(id))
+            case _ => Iterator.empty
+          }
+        }.collect()
+      case None =>
+        val qualifying = posts.select($"chunk").distinct().as[Long].collect()
+        if (qualifying.isEmpty) return Seq.empty
+        val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+          .select($"chunk", $"docId", $"docLength")
+          .as[(Long, Long, Long)]
+        postsQ.groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_._1)) { (_, ps, ds) =>
+            val lens = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+            ds.foreach { case (_, id, len) => lens.put(id, len.toDouble) }
+            chunkLists(ps) match {
+              case Some(ls) if !lens.isEmpty => score(ls, id => lens.get(id))
+              case _ => Iterator.empty
+            }
+          }.collect()
     }
     perChunk.sorted(Bm25.better.reverse).take(k).toSeq
   }

@@ -249,6 +249,83 @@ object Bm25 {
     top.result()
   }
 
+  /** One query term for the Dirichlet query-likelihood ranker: `pc` is
+    * the collection model p(t|C) = cf_t / |C| (collection frequency over
+    * total kept tokens).
+    */
+  case class QlTerm(term: String, pc: Double, df: Long, blob: Array[Byte])
+
+  /** Dirichlet-smoothed query likelihood (Zhai & Lafferty, SIGIR'01) —
+    * the classic LM alternative to BM25 over the same postings:
+    *   score(d) = Σ_t ln( (tf_{t,d} + μ·p(t|C)) / (dl_d + μ) )
+    * evaluated over the FULL query (absent-in-doc terms contribute the
+    * smoothed background mass), candidates = docs matching >= 1 term (the
+    * standard inverted-index evaluation set). Terms with cf = 0 must be
+    * dropped by the CALLER (p(t|C) = 0 zeroes the whole likelihood).
+    */
+  def scoreQl(terms: Seq[QlTerm], docLen: DocLen, mu: Double, k: Int): Array[Hit] = {
+    val tfs = terms.map { t =>
+      val m = new java.util.HashMap[Long, Int]()
+      PostingCodec.decode(t.df, t.blob).foreach { case (id, ps) => m.put(id, ps.length) }
+      m
+    }
+    val cand = new java.util.HashSet[Long]()
+    tfs.foreach(m => cand.addAll(m.keySet))
+    val top = new TopK(k)
+    cand.forEach { id =>
+      val dl = docLen(id)
+      var s = 0.0
+      var i = 0
+      while (i < terms.size) {
+        val tf = tfs(i).getOrDefault(id, 0)
+        s += math.log((tf + mu * terms(i).pc) / (dl + mu))
+        i += 1
+      }
+      top.offer(Hit(id, s))
+    }
+    top.result()
+  }
+
+  /** Per-doc PHRASE term frequency within one chunk: number of positions
+    * p with term_i at p + i for every i (consecutive run). Title tokens
+    * are '#'-decorated, so a plain-term phrase can only match inside the
+    * body, where kept positions are consecutive. Lists in phrase order.
+    */
+  def phraseTfs(lists: Seq[(Long, Array[Byte])]): java.util.LinkedHashMap[Long, Int] = {
+    val out = new java.util.LinkedHashMap[Long, Int]()
+    if (lists.isEmpty) return out
+    val decoded = lists.map { case (df, blob) =>
+      val m = new java.util.HashMap[Long, Array[Long]]()
+      PostingCodec.decode(df, blob).foreach { case (id, ps) => m.put(id, ps) }
+      m
+    }
+    val sets = decoded.drop(1).map { m =>
+      val s = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+      m.forEach { (id, ps) =>
+        val hs = new java.util.HashSet[Long](ps.length * 2)
+        ps.foreach(p => hs.add(p))
+        s.put(id, hs)
+      }
+      s
+    }
+    decoded.head.forEach { (id, ps) =>
+      if (sets.forall(_.containsKey(id))) {
+        var tf = 0
+        ps.foreach { p =>
+          var i = 0
+          var ok = true
+          while (ok && i < sets.size) {
+            if (!sets(i).get(id).contains(p + i + 1L)) ok = false
+            i += 1
+          }
+          if (ok) tf += 1
+        }
+        if (tf > 0) out.put(id, tf)
+      }
+    }
+    out
+  }
+
   /** Proximity-weighted BM25 (Rasolofo & Savoy, ECIR'03 shape): the
     * exhaustive BM25 score plus, per unordered query-term pair present in
     * a doc, min(idf_i, idf_j) * a / (a + k1) where a accumulates 1/dist²

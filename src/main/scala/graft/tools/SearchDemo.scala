@@ -91,21 +91,29 @@ object SearchDemo {
         println(f"${i + 1}%2d. score=${h.score}%.4f docId=${h.docId}%-5d ${h.url}")
       }
     } else if (query.startsWith("bm25f:") || query.startsWith("champ:") ||
-               query.startsWith("prox:")) {
+               query.startsWith("prox:") || query.startsWith("ql:") ||
+               query.startsWith("phrase:")) {
       // "bm25f:" = field-weighted BM25F (title lists weighted 2.5x);
       // "champ:" = champion-list static pruning (per-term top-64);
-      // "prox:" = proximity-weighted BM25 (window 5)
+      // "prox:" = proximity-weighted BM25 (window 5);
+      // "ql:" = Dirichlet query likelihood (mu 300);
+      // "phrase:" = positional phrase BM25 (terms in the given order)
       val engine = new graft.engine.Bm25Engine(spark, indexDir)
       val q = query.substring(query.indexOf(':') + 1)
-      val terms = graft.tokenizer.Tokenizer.bodyTokens(q).distinct.toSeq
+      val ordered = graft.tokenizer.Tokenizer.bodyTokens(q).toSeq
+      val terms = ordered.distinct
       val t0 = System.nanoTime()
       val hits =
         if (query.startsWith("bm25f:")) engine.searchTermsFielded(terms, 10)
         else if (query.startsWith("prox:")) engine.searchTermsProximity(terms, 10)
+        else if (query.startsWith("ql:")) engine.searchTermsQl(terms, 10)
+        else if (query.startsWith("phrase:")) engine.searchPhrase(ordered, 10)
         else engine.searchTermsChampion(terms, 10)
       val dt = (System.nanoTime() - t0) / 1e9
       val label = if (query.startsWith("bm25f:")) "BM25F"
         else if (query.startsWith("prox:")) "Proximity"
+        else if (query.startsWith("ql:")) "QL"
+        else if (query.startsWith("phrase:")) "Phrase-BM25"
         else "Champion"
       println(s"""$label Query: "$q" -> ${hits.size} results in ${f"$dt%.3f"} s""")
       hits.zipWithIndex.foreach { case (h, i) =>

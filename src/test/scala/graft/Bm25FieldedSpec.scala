@@ -252,6 +252,92 @@ class Bm25FieldedSpec extends AnyFunSuite {
       round9(engine.searchTermsProximity(Seq("spark", "merge"), 15, 5)))
   }
 
+  /** plain-Scala Dirichlet query-likelihood twin (Zhai-Lafferty): full
+    * query incl. smoothed background for absent-in-doc terms; OOV terms
+    * (cf = 0) dropped; candidates = docs matching >= 1 kept term.
+    */
+  def qlTwin(docs: Seq[IdDoc], terms: Seq[String],
+             k: Int, mu: Double): Seq[(Long, Double)] = {
+    val body = docs.map(d => d.docId -> Tokenizer.bodyTokens(d.content)).toMap
+    val titleKeptN = docs.map(d =>
+      d.docId -> Tokenizer.titleTokens(d.path).length).toMap
+    val dl = docs.map(d =>
+      d.docId -> (titleKeptN(d.docId) + body(d.docId).length).toDouble).toMap
+    val totalC = dl.values.sum
+    val cf = terms.map(t => t -> docs.map(d => body(d.docId).count(_ == t)).sum.toLong).toMap
+    val kept = terms.filter(cf(_) > 0L)
+    val scored = docs.flatMap { d =>
+      val tfs = kept.map(t => body(d.docId).count(_ == t))
+      if (tfs.forall(_ == 0)) None
+      else {
+        var s = 0.0
+        kept.zip(tfs).foreach { case (t, tf) =>
+          s += math.log((tf + mu * (cf(t).toDouble / totalC)) / (dl(d.docId) + mu))
+        }
+        Some((d.docId, math.rint(s * 1e9) / 1e9))
+      }
+    }
+    scored.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  /** plain-Scala phrase-BM25 twin: tf = consecutive-run count, df =
+    * matching docs, BM25 of the one virtual term.
+    */
+  def phraseTwin(docs: Seq[IdDoc], phrase: Seq[String], k: Int): Seq[(Long, Double)] = {
+    val body = docs.map(d => d.docId -> Tokenizer.bodyTokens(d.content)).toMap
+    val titleKeptN = docs.map(d =>
+      d.docId -> Tokenizer.titleTokens(d.path).length).toMap
+    val dl = docs.map(d =>
+      d.docId -> (titleKeptN(d.docId) + body(d.docId).length).toDouble).toMap
+    val n = docs.size
+    val avgdl = dl.values.sum / n
+    val tfs = docs.map { d =>
+      val toks = body(d.docId)
+      d.docId -> (0 to toks.length - phrase.length)
+        .count(i => phrase.indices.forall(j => toks(i + j) == phrase(j)))
+    }.filter(_._2 > 0).toMap
+    if (tfs.isEmpty) return Seq.empty
+    val idf = Bm25.idf(n, tfs.size.toLong)
+    tfs.toSeq.map { case (id, tf) =>
+      (id, math.rint(idf * Bm25.tfPart(tf.toDouble, dl(id), avgdl) * 1e9) / 1e9)
+    }.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  test("Dirichlet QL == plain-Scala twin; OOV terms dropped; fallback identical") {
+    val docs = fixtureDocs
+    val idx = buildIndex(docs, "ql")
+    val engine = new Bm25Engine(spark, idx)
+    for ((terms, mu) <- Seq((Seq("spark", "merge"), 300.0),
+        (Seq("sort", "dup", "join"), 50.0), (Seq("scan"), 1000.0))) {
+      assert(round9(engine.searchTermsQl(terms, 15, mu)) ===
+        qlTwin(docs, terms, 15, mu), s"terms=$terms mu=$mu")
+    }
+    // an OOV term contributes nothing (dropped, not -inf)
+    assert(round9(engine.searchTermsQl(Seq("spark", "zzzznotaword"), 15, 300.0)) ===
+      round9(engine.searchTermsQl(Seq("spark"), 15, 300.0)))
+    val engineNb = new Bm25Engine(spark, idx, broadcastDocsLimit = 0)
+    assert(round9(engineNb.searchTermsQl(Seq("spark", "merge"), 15, 300.0)) ===
+      round9(engine.searchTermsQl(Seq("spark", "merge"), 15, 300.0)))
+  }
+
+  test("phrase BM25 == plain-Scala twin (2- and 3-term, repeated-term); fallback identical") {
+    val docs = fixtureDocs
+    val idx = buildIndex(docs, "phr")
+    val engine = new Bm25Engine(spark, idx)
+    for (phrase <- Seq(Seq("merge", "sort"), Seq("sort", "merge"),
+        Seq("dup", "dup"), Seq("spark", "merge", "sort"), Seq("spark", "zzz"))) {
+      val got = round9(engine.searchPhrase(phrase, 15))
+      val want = phraseTwin(docs, phrase, 15)
+      assert(got === want, s"phrase=$phrase")
+    }
+    // at least one of the 2-term phrases must actually match (fixture sanity)
+    assert(phraseTwin(docs, Seq("merge", "sort"), 15).nonEmpty ||
+      phraseTwin(docs, Seq("sort", "merge"), 15).nonEmpty)
+    val engineNb = new Bm25Engine(spark, idx, broadcastDocsLimit = 0)
+    assert(round9(engineNb.searchPhrase(Seq("merge", "sort"), 15)) ===
+      round9(engine.searchPhrase(Seq("merge", "sort"), 15)))
+  }
+
   test("fielded + champion on the sf0.001 corpus (uniform titles) stay twin-identical") {
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     val docs = src.collect().toSeq
@@ -264,5 +350,9 @@ class Bm25FieldedSpec extends AnyFunSuite {
       championTwin(docs, Seq("spark", "dup", "merge"), 30, 40))
     assert(round9(engine.searchTermsProximity(Seq("spark", "merge", "dup"), 30, 5)) ===
       proximityTwin(docs, Seq("spark", "merge", "dup"), 30, 5))
+    assert(round9(engine.searchTermsQl(Seq("spark", "dup", "merge"), 30, 300.0)) ===
+      qlTwin(docs, Seq("spark", "dup", "merge"), 30, 300.0))
+    assert(round9(engine.searchPhrase(Seq("sort", "merge"), 30)) ===
+      phraseTwin(docs, Seq("sort", "merge"), 30))
   }
 }
