@@ -415,6 +415,42 @@ object SparkEntry {
     * seg_{i-1} is referenced twice (p_i and seg_i), so default inlining
     * would re-tokenize the corpus 2^rounds times.
     */
+  /** PRF shared CTEs (on top of duckToks): stage-1 BM25 over the original
+    * terms, top-5 feedback docs, candidate rdf over the feedback docs,
+    * global df, and the top-3 offer-weight expansion (rdf·idf, ties by
+    * term) — exactly Bm25Engine.searchTermsPrf's selection.
+    */
+  private val duckPrf =
+    """, dl AS (
+      |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+      |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+      |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+      |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |        WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+      |df0 AS (SELECT term, count(*) AS df FROM tf0 GROUP BY 1),
+      |s0 AS (
+      |  SELECT tf0.doc_id,
+      |         sum(ln((stats.n - df0.df + 0.5) / (df0.df + 0.5) + 1.0) *
+      |             (tf0.tf * 2.2) /
+      |             (tf0.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+      |  FROM tf0 JOIN df0 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      |  GROUP BY 1),
+      |fb AS (SELECT doc_id FROM s0 ORDER BY raw DESC, doc_id LIMIT 5),
+      |rdf AS (
+      |  SELECT t.term, count(DISTINCT t.doc_id) AS rdf
+      |  FROM toks t JOIN fb USING (doc_id)
+      |  WHERE t.term NOT IN ('spark', 'dup', 'merge')
+      |  GROUP BY 1),
+      |gdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |exp AS (
+      |  SELECT term, slot FROM (
+      |    SELECT r.term,
+      |           row_number() OVER (
+      |             ORDER BY r.rdf * ln((stats.n - g.df + 0.5) / (g.df + 0.5) + 1.0)
+      |               DESC, r.term) - 1 AS slot
+      |    FROM rdf r JOIN gdf g USING (term) CROSS JOIN stats)
+      |  WHERE slot < 3)""".stripMargin
+
   private def duckBpe(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= """, words AS MATERIALIZED (SELECT term AS w, count(*) AS freq FROM toks GROUP BY 1),
@@ -972,6 +1008,22 @@ object SparkEntry {
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
+    // pseudo-relevance feedback (Rocchio/Robertson expansion loop):
+    // top-5 feedback docs -> top-3 offer-weight expansion terms -> BM25
+    // over the expanded query; the chosen terms are their own oracle row
+    "q_prf_expansion" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      val (exp, _) = engine.searchTermsPrf(Seq("spark", "dup", "merge"), 30, r = 5, e = 3)
+      exp.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("slot", "term")
+    }),
+    "q_bm25_prf" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      val (_, hits) = engine.searchTermsPrf(Seq("spark", "dup", "merge"), 30, r = 5, e = 3)
+      hits.map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
     // Dirichlet query-likelihood ranking (Zhai-Lafferty LM family): full
     // query scored incl. smoothed background mass for absent-in-doc terms
     "q_ql_topk" -> ((s, dir) => {
@@ -1226,6 +1278,12 @@ object SparkEntry {
     "q_lm_score" -> ((s, dir) => TextAnalysis.lmCrossEntropy(docsDf(s, dir))),
     // per-language token-budget mixing: kept set = docs whose exclusive
     // prefix sum (reproducible hash order) starts under the lang budget
+    // temperature-scaled language mixing (T5/mC4 alpha-sampling, α = 1/2
+    // == exact integer sqrt micro-units)
+    "q_temp_quotas" -> ((s, dir) =>
+      TextAnalysis.temperatureQuotas(docsDf(s, dir), budget = 200L)),
+    "q_temp_mix" -> ((s, dir) =>
+      TextAnalysis.temperatureMix(docsDf(s, dir), budget = 200L)),
     "q_token_mix" -> ((s, dir) =>
       TextAnalysis.tokenBudgetMix(docsDf(s, dir),
         Map("en" -> 3000L, "fr" -> 1200L, "zh" -> 400L), defaultBudget = 800L)),
@@ -1817,6 +1875,28 @@ object SparkEntry {
         |             * w.w / (1.2 + w.w)) AS raw
         |  FROM wtf w JOIN dfu USING (term) CROSS JOIN stats GROUP BY 1)
         |SELECT doc_id, round(raw, 4) AS score FROM scores
+        |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      "q_prf_expansion" -> (duckToks + duckPrf + """
+        |SELECT CAST(slot AS BIGINT) AS slot, term FROM exp""".stripMargin),
+
+      // PRF final ranking: the q_bm25_topk scoring over original +
+      // expansion terms (df/tf re-derived for the expanded set)
+      "q_bm25_prf" -> (duckToks + duckPrf + """
+        |, qterms AS (
+        |  SELECT unnest(['spark', 'dup', 'merge']) AS term
+        |  UNION SELECT term FROM exp),
+        |tf1 AS (SELECT t.doc_id, t.term, count(*) AS tf
+        |        FROM toks t JOIN qterms USING (term) GROUP BY 1, 2),
+        |df1 AS (SELECT term, count(*) AS df FROM tf1 GROUP BY 1),
+        |s1 AS (
+        |  SELECT tf1.doc_id,
+        |         sum(ln((stats.n - df1.df + 0.5) / (df1.df + 0.5) + 1.0) *
+        |             (tf1.tf * 2.2) /
+        |             (tf1.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf1 JOIN df1 USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, round(raw, 4) AS score FROM s1
         |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
 
       // Dirichlet QL: p(t|C) = cf/totalc over the same +3-title token
@@ -2616,6 +2696,26 @@ object SparkEntry {
       // ordering hash as q_train_shards, exclusive per-language prefix
       // sum (window form — the operator's bucketed prefix sum computes
       // the identical offsets), keep iff start_offset < the lang budget
+      // temperature mixing: all-integer sqrt micro-unit quotas + the
+      // reproducible hash-order rank (same modular mix as q_train_shards)
+      "q_temp_quotas" -> """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n, CAST(round(sqrt(n * 1.0) * 1000000) AS BIGINT) AS sm FROM c),
+        |t AS (SELECT sum(sm) AS tot FROM s)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs, sm AS s_micro,
+        |       CAST(200 * sm // t.tot AS BIGINT) AS quota
+        |FROM s CROSS JOIN t""".stripMargin,
+
+      "q_temp_mix" -> """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |s AS (SELECT lang, CAST(round(sqrt(n * 1.0) * 1000000) AS BIGINT) AS sm FROM c),
+        |t AS (SELECT sum(sm) AS tot FROM s),
+        |q AS (SELECT lang, CAST(200 * sm // t.tot AS BIGINT) AS quota FROM s CROSS JOIN t),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY (doc_id % 99991) * 2654435761 % 104729, doc_id) AS rk
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk
+        |FROM r JOIN q USING (lang) WHERE r.rk <= q.quota""".stripMargin,
+
       "q_token_mix" -> (duckToks + """
         |, kept AS (
         |  SELECT d.doc_id, d.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens,

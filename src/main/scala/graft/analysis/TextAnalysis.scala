@@ -472,14 +472,29 @@ object TextAnalysis {
   def tokenBudgetMix(docs: DataFrame, budgets: Map[String, Long],
                      defaultBudget: Long = 0L,
                      numPartitions: Int = 0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "budgets must be non-negative")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val base = docs.select(col("doc_id"), col("lang"),
-      size(keptTokens(col("text"))).cast("long").as("n_tokens"),
+      size(keptTokens(col("text"))).cast("long").as("w"),
       ((col("doc_id") % 99991L) * 2654435761L % 104729L).as("h"))
+    bucketedBudgetKeep(base, budgets, defaultBudget, numPartitions)
+      .select(col("doc_id"), col("lang"), col("w").as("n_tokens"),
+        col("start_offset"))
+  }
+
+  /** The shared bucketed-prefix-sum machinery of [[tokenBudgetMix]] /
+    * [[temperatureMix]]: keep each row of `base` (doc_id, lang, w, h)
+    * while its EXCLUSIVE per-language prefix sum of `w` in (h, doc_id)
+    * order stays below the language's budget. Scale shape as documented
+    * on tokenBudgetMix: contiguous h-range buckets, per-(lang, bucket)
+    * totals collected once, broadcast offsets, within-bucket windows.
+    */
+  private def bucketedBudgetKeep(base: DataFrame, budgets: Map[String, Long],
+                                 defaultBudget: Long,
+                                 numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = base.sparkSession
+    import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
     val width = math.max(1L, 104729L / parts + 1)
@@ -489,7 +504,7 @@ object TextAnalysis {
     // per-(lang, bucket) totals -> per-language exclusive scan on the
     // driver (langs x parts longs)
     val sums = bucketed.groupBy(col("lang"), col("bucket"))
-      .agg(sum(col("n_tokens")).as("s"))
+      .agg(sum(col("w")).as("s"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val offsets = sums.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
       val sorted = rows.sortBy(_._2)
@@ -508,9 +523,59 @@ object TextAnalysis {
     bucketed
       .join(broadcast(offsetDf), Seq("lang", "bucket"))
       .withColumn("start_offset",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("bucket_offset"))
+        coalesce(sum(col("w")).over(w), lit(0L)) + col("bucket_offset"))
       .filter(col("start_offset") < budget)
-      .select(col("doc_id"), col("lang"), col("n_tokens"), col("start_offset"))
+      .select(col("doc_id"), col("lang"), col("w"), col("start_offset"))
+  }
+
+  /** Temperature-scaled language mixing (the T5/mC4 alpha-sampling rule
+    * at α = 1/2): language l's share of a `budget`-doc training mix is
+    * n_l^α / Σ_m n_m^α — up-weighting tail languages relative to
+    * proportional sampling. α = 1/2 makes the weights sqrt(n), and sqrt
+    * is CORRECTLY-ROUNDED IEEE in every engine, so freezing
+    * s_l = round(sqrt(n_l)·1e6) to integer micro-units makes
+    * quota_l = budget·s_l div Σ s_m an exact all-integer computation —
+    * no float summation and no libm pow (pow(x, 0.3) is not correctly
+    * rounded and genuinely differs across engines). Each language then
+    * keeps its first quota_l docs in the reproducible
+    * [[shardForTraining]] hash order via the bucketed prefix machinery
+    * (w = 1 per doc ⇒ exclusive prefix count < quota ⇔ rank <= quota).
+    * Returns (doc_id, lang, rk). [[temperatureQuotas]] is the per-lang
+    * summary twin.
+    */
+  def temperatureMix(docs: DataFrame, budget: Long,
+                     numPartitions: Int = 0): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val quotas = temperatureQuotaMap(docs, budget)
+    val base = docs.select(col("doc_id"), col("lang"), lit(1L).as("w"),
+      ((col("doc_id") % 99991L) * 2654435761L % 104729L).as("h"))
+    bucketedBudgetKeep(base, quotas, 0L, numPartitions)
+      .select(col("doc_id"), col("lang"),
+        (col("start_offset") + 1L).as("rk"))
+  }
+
+  private def temperatureQuotaMap(docs: DataFrame, budget: Long): Map[String, Long] = {
+    val counts = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s = counts.map { case (l, n) => l -> math.round(math.sqrt(n.toDouble) * 1e6) }
+    val total = math.max(1L, s.values.sum)
+    require(budget == 0L || s.values.max <= Long.MaxValue / math.max(budget, 1L),
+      "budget * sqrt-micro-weight overflows Long")
+    s.map { case (l, sl) => l -> budget * sl / total }
+  }
+
+  /** Per-language temperature-mix summary: (lang, n_docs, s_micro,
+    * quota) — the exact integers [[temperatureMix]] selects with.
+    */
+  def temperatureQuotas(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quotas = temperatureQuotaMap(docs, budget)
+    counts.toSeq.map { case (l, n) =>
+      (l, n, math.round(math.sqrt(n.toDouble) * 1e6), quotas(l))
+    }.toDF("lang", "n_docs", "s_micro", "quota")
   }
 
   /** CCNet-style perplexity bucketing — after [[lmCrossEntropy]] scores

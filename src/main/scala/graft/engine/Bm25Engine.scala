@@ -332,6 +332,56 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     perChunk.sorted(Bm25.better.reverse).take(k).toSeq
   }
 
+  /** Pseudo-relevance feedback (Rocchio/Robertson query expansion — the
+    * classic two-pass retrieval loop): pass 1 retrieves the top-`r`
+    * feedback docs with plain BM25; candidate expansion terms are every
+    * body term occurring in a feedback doc (extracted from the index by
+    * decoding ONLY the feedback docs' chunk partitions — r docs live in
+    * <= r chunks, so the forward-index scan is delta-sized, never
+    * corpus-sized), ranked by the Robertson-style offer weight
+    * rdf(t) · idf(t) (feedback-doc frequency × global idf; global df for
+    * the tiny candidate set comes from one column-pruned (term, df)
+    * dictionary aggregate broadcast-joined on the candidates) with
+    * deterministic (weight desc, term asc) ties; pass 2 re-runs BM25 over
+    * the original + top-`e` expansion terms. Returns (expansion, hits).
+    */
+  def searchTermsPrf(terms: Seq[String], k: Int, r: Int = 5, e: Int = 3)
+      : (Seq[String], Seq[Bm25.Hit]) = {
+    val base = terms.distinct
+    if (e <= 0) return (Seq.empty, searchTerms(base, k))
+    val fb = searchTerms(base, r)
+    if (fb.isEmpty) return (Seq.empty, Seq.empty)
+    val (n, _) = corpusStats
+    val origSet = base.toSet
+    val fbB = spark.sparkContext.broadcast(fb.map(_.docId).toSet)
+    val candPruned =
+      if (chunkDocsConf > 0) {
+        val cs = fb.map(_.docId / chunkDocsConf).distinct
+        postings.filter($"chunk".isin(cs: _*))
+      } else postings
+    // feedback-doc frequency per candidate term; candidate count is
+    // bounded by the feedback docs' combined vocabulary
+    val rdf: Map[String, Long] = candPruned.flatMap { p =>
+      if (p.term.startsWith("#") || origSet.contains(p.term)) None
+      else {
+        val c = graft.codec.PostingCodec.decode(p.df, p.postingsBlob)
+          .count { case (id, _) => fbB.value.contains(id) }
+        if (c > 0) Some((p.term, c.toLong)) else None
+      }
+    }.collect().groupBy(_._1).map { case (t, a) => t -> a.map(_._2).sum }
+    if (rdf.isEmpty) return (Seq.empty, searchTerms(base, k))
+    val candDs = rdf.keys.toSeq.toDF("term")
+    val idfCand = postings.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(candDs), "term")
+      .groupBy($"term").agg(sum($"df").as("df")).collect()
+      .map(row => row.getString(0) -> Bm25.idf(n, row.getLong(1))).toMap
+    val expansion = rdf.keys.toSeq
+      .map(t => (t, rdf(t).toDouble * idfCand.getOrElse(t, 0.0)))
+      .sortBy { case (t, ow) => (-ow, t) }
+      .take(e).map(_._1)
+    (expansion, searchTerms(base ++ expansion, k))
+  }
+
   /** Positional phrase BM25 top-k: the phrase is scored as ONE virtual
     * term whose per-doc tf is the consecutive-run count
     * ([[Bm25.phraseTfs]] — the ISRPhrase semantics on docId+position

@@ -90,6 +90,19 @@ object SearchDemo {
       hits.zipWithIndex.foreach { case (h, i) =>
         println(f"${i + 1}%2d. score=${h.score}%.4f docId=${h.docId}%-5d ${h.url}")
       }
+    } else if (query.startsWith("prf:")) {
+      // pseudo-relevance feedback: prints the chosen expansion then the
+      // re-ranked top-k
+      val engine = new graft.engine.Bm25Engine(spark, indexDir)
+      val q = query.substring(query.indexOf(':') + 1)
+      val terms = graft.tokenizer.Tokenizer.bodyTokens(q).distinct.toSeq
+      val t0 = System.nanoTime()
+      val (exp, hits) = engine.searchTermsPrf(terms, 10)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(s"""PRF Query: "$q" + [${exp.mkString(", ")}] -> ${hits.size} results in ${f"$dt%.3f"} s""")
+      hits.zipWithIndex.foreach { case (h, i) =>
+        println(f"${i + 1}%2d. score=${h.score}%.4f docId=${h.docId}")
+      }
     } else if (query.startsWith("bm25f:") || query.startsWith("champ:") ||
                query.startsWith("prox:") || query.startsWith("ql:") ||
                query.startsWith("phrase:")) {

@@ -391,6 +391,37 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureMix: exact sqrt-micro quotas, hash-order selection, bucket invariance") {
+    import spark.implicits._
+    // lang counts 9/4/1 -> sqrt 3/2/1 -> micro 3e6/2e6/1e6, total 6e6;
+    // budget 6 -> quotas exactly 3/2/1 (and the tail lang zz gets 2.3x
+    // its proportional share 1/14*6 = 0.43 — the point of α < 1)
+    val fx = (1 to 9).map(i => (i.toLong, "en", "x")) ++
+             (11 to 14).map(i => (i.toLong, "fr", "x")) ++
+             Seq((21L, "zz", "x"))
+    val df = fx.toDF("doc_id", "lang", "text")
+    val q = TextAnalysis.temperatureQuotas(df, 6L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(q === Set(("en", 9L, 3000000L, 3L), ("fr", 4L, 2000000L, 2L),
+      ("zz", 1L, 1000000L, 1L)))
+    def h(id: Long) = (id % 99991L) * 2654435761L % 104729L
+    val want = fx.groupBy(_._2).flatMap { case (lang, rows) =>
+      val quota = Map("en" -> 3, "fr" -> 2, "zz" -> 1)(lang)
+      rows.map(_._1).sortBy(id => (h(id), id)).take(quota)
+    }.toSet
+    for (parts <- Seq(1, 3, 7)) {
+      val got = TextAnalysis.temperatureMix(df, 6L, numPartitions = parts)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === want, s"parts=$parts")
+    }
+    // rk is the 1-based in-language hash rank
+    val rks = TextAnalysis.temperatureMix(df, 6L).collect()
+      .map(r => (r.getString(1), r.getLong(2))).groupBy(_._1)
+      .map { case (l, a) => l -> a.map(_._2).sorted.toSeq }
+    assert(rks === Map("en" -> Seq(1L, 2L, 3L), "fr" -> Seq(1L, 2L), "zz" -> Seq(1L)))
+    assert(TextAnalysis.temperatureMix(df, 0L).count() === 0L)
+  }
+
   test("perplexityBuckets: per-lang rank tiers over the 4-dp score, div rule") {
     import spark.implicits._
     // 7 en docs + 3 fr docs; expected buckets re-derived by an

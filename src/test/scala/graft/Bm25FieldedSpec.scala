@@ -338,6 +338,69 @@ class Bm25FieldedSpec extends AnyFunSuite {
       round9(engine.searchPhrase(Seq("merge", "sort"), 15)))
   }
 
+  /** unrounded plain-BM25 score map (dl = kept total, idf over body df). */
+  def bm25ScoreMap(docs: Seq[IdDoc], terms: Seq[String]): Map[Long, Double] = {
+    val body = docs.map(d => d.docId -> Tokenizer.bodyTokens(d.content)).toMap
+    val titleKeptN = docs.map(d =>
+      d.docId -> Tokenizer.titleTokens(d.path).length).toMap
+    val dl = docs.map(d =>
+      d.docId -> (titleKeptN(d.docId) + body(d.docId).length).toDouble).toMap
+    val n = docs.size
+    val avgdl = dl.values.sum / n
+    val idf = terms.map { t =>
+      t -> Bm25.idf(n, docs.count(d => body(d.docId).contains(t)).toLong)
+    }.toMap
+    docs.flatMap { d =>
+      var s = 0.0
+      var any = false
+      terms.foreach { t =>
+        val tf = body(d.docId).count(_ == t)
+        if (tf > 0) { any = true; s += idf(t) * Bm25.tfPart(tf.toDouble, dl(d.docId), avgdl) }
+      }
+      if (any) Some(d.docId -> s) else None
+    }.toMap
+  }
+
+  /** plain-Scala PRF twin: stage-1 top-r, rdf·idf offer-weight top-e
+    * expansion (ties by term), stage-2 BM25 over the expanded set.
+    */
+  def prfTwin(docs: Seq[IdDoc], terms: Seq[String], k: Int, r: Int, e: Int)
+      : (Seq[String], Seq[(Long, Double)]) = {
+    val body = docs.map(d => d.docId -> Tokenizer.bodyTokens(d.content)).toMap
+    val n = docs.size
+    val fb = bm25ScoreMap(docs, terms).toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(r).map(_._1).toSet
+    val cand = docs.filter(d => fb(d.docId)).flatMap(d => body(d.docId).distinct)
+      .filterNot(terms.contains).groupBy(identity)
+    val ow = cand.map { case (t, occ) =>
+      val gdf = docs.count(d => body(d.docId).contains(t)).toLong
+      t -> occ.size.toDouble * Bm25.idf(n, gdf)
+    }
+    val expansion = ow.toSeq.sortBy { case (t, w) => (-w, t) }.take(e).map(_._1)
+    val hits = bm25ScoreMap(docs, terms ++ expansion).toSeq
+      .map { case (id, s) => (id, math.rint(s * 1e9) / 1e9) }
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+    (expansion, hits)
+  }
+
+  test("PRF == plain-Scala staged twin; expansion excludes query terms; e=0 degenerates") {
+    val docs = fixtureDocs
+    val idx = buildIndex(docs, "prf")
+    val engine = new Bm25Engine(spark, idx)
+    for ((terms, r, e) <- Seq((Seq("spark", "merge"), 4, 3),
+        (Seq("dup"), 6, 2), (Seq("sort", "join"), 3, 5))) {
+      val (gotExp, gotHits) = engine.searchTermsPrf(terms, 12, r, e)
+      val (wantExp, wantHits) = prfTwin(docs, terms, 12, r, e)
+      assert(gotExp === wantExp, s"expansion terms=$terms r=$r e=$e")
+      assert(round9(gotHits) === wantHits, s"hits terms=$terms r=$r e=$e")
+      assert(gotExp.forall(t => !terms.contains(t) && !t.startsWith("#")))
+    }
+    val (exp0, hits0) = engine.searchTermsPrf(Seq("spark", "merge"), 12, r = 4, e = 0)
+    assert(exp0.isEmpty)
+    assert(round9(hits0) ===
+      round9(engine.searchTerms(Seq("spark", "merge"), 12, engine.Or)))
+  }
+
   test("fielded + champion on the sf0.001 corpus (uniform titles) stay twin-identical") {
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     val docs = src.collect().toSeq
@@ -354,5 +417,9 @@ class Bm25FieldedSpec extends AnyFunSuite {
       qlTwin(docs, Seq("spark", "dup", "merge"), 30, 300.0))
     assert(round9(engine.searchPhrase(Seq("sort", "merge"), 30)) ===
       phraseTwin(docs, Seq("sort", "merge"), 30))
+    val (expS, hitsS) = engine.searchTermsPrf(Seq("spark", "dup", "merge"), 30, 5, 3)
+    val (expW, hitsW) = prfTwin(docs, Seq("spark", "dup", "merge"), 30, 5, 3)
+    assert(expS === expW)
+    assert(round9(hitsS) === hitsW)
   }
 }
