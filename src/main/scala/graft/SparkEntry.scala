@@ -893,6 +893,33 @@ object SparkEntry {
     })
   }
 
+  /** One sharded-JSONL rendering of the corpus per scale dir (8 shards,
+    * shard = docId mod 8). q_jsonl_docs / q_jsonl_term_stats read THIS
+    * round-tripped corpus, so the driver's DuckDB oracle pins the JSONL
+    * export/ingest path byte-for-byte (md5 digests) and
+    * tokenize-identically (term stats == whole-corpus truth).
+    */
+  private val jsonlCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def jsonlDir(s: SparkSession, sfDir: String): String = synchronized {
+    jsonlCache.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      Corpus.writeJsonlShards(Corpus.fromDocumentsParquet(s, sfDir), out,
+        numShards = 8)
+      out
+    })
+  }
+
+  /** CSV twin of [[jsonlDir]] (RFC 4180 quoted multiLine path). */
+  private val csvCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def csvDir(s: SparkSession, sfDir: String): String = synchronized {
+    csvCache.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      Corpus.writeCsvShards(Corpus.fromDocumentsParquet(s, sfDir), out,
+        numShards = 8)
+      out
+    })
+  }
+
   /** Flagship: index build + reference-scored search, end to end. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -958,6 +985,35 @@ object SparkEntry {
         .select(col("doc_id"), col("content_sha"),
           coalesce(col("doc_tokens"), lit(0L)).as("doc_tokens"))
     }),
+
+    // ---- sharded text-format sources/sinks (JSONL = the LLM-training
+    // interchange format; CSV = the RFC 4180 multiLine path) ----
+    // per-doc md5 digest THROUGH the JSONL round trip: byte-exact content
+    // fidelity (escaping of newlines/quotes/unicode), shard-dir assignment
+    // (the discovered partition column), and completeness (every doc_id
+    // exactly once) — all against DuckDB's digest of the parquet truth
+    "q_jsonl_docs" -> ((s, dir) =>
+      s.read.schema(Corpus.shardReadSchema).json(jsonlDir(s, dir))
+        .select(col("docId").as("doc_id"),
+          col("shard").cast("long").as("shard"),
+          md5(col("content")).as("digest"))
+        .orderBy(asc("doc_id"))),
+    // the round-tripped corpus must TOKENIZE identically to the parquet
+    // truth — i.e. a JSONL-ingested corpus feeds the whole index/analysis
+    // pipeline with zero drift
+    "q_jsonl_term_stats" -> ((s, dir) =>
+      TextAnalysis.termStats(
+        Corpus.fromJsonlShards(s, jsonlDir(s, dir)).toDF()
+          .select(col("docId").as("doc_id"), col("content").as("text")))
+        .orderBy(desc("tf"), asc("term"))),
+    // CSV twin of q_jsonl_docs through the public reader (multiLine
+    // quoted round trip); shard re-derived by the writer's own rule
+    "q_csv_docs" -> ((s, dir) =>
+      Corpus.fromCsvShards(s, csvDir(s, dir)).toDF()
+        .select(col("docId").as("doc_id"),
+          pmod(col("docId"), lit(8L)).as("shard"),
+          md5(col("content")).as("digest"))
+        .orderBy(asc("doc_id"))),
 
     // ---- boolean retrieval semantics (J2/J3/J4 equivalents) ----
     "q_conjunctive" -> ((s, dir) =>
@@ -1749,6 +1805,19 @@ object SparkEntry {
       |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin)
     Map(
       "q_term_stats" -> (duckToks + """
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
+
+      // the JSONL/CSV round trips must reproduce the parquet truth
+      // byte-for-byte (md5 over the content) with the writer's
+      // doc_id-mod-8 shard assignment, every doc exactly once
+      "q_jsonl_docs" -> """SELECT doc_id, doc_id % 8 AS shard,
+        |md5(text) AS digest FROM documents ORDER BY doc_id""".stripMargin,
+      "q_csv_docs" -> """SELECT doc_id, doc_id % 8 AS shard,
+        |md5(text) AS digest FROM documents ORDER BY doc_id""".stripMargin,
+      // and tokenize identically (same truth as q_term_stats, but the
+      // Spark side reads the JSONL rendering, not the parquet)
+      "q_jsonl_term_stats" -> (duckToks + """
         |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
 

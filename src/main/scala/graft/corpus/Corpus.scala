@@ -135,6 +135,111 @@ object Corpus {
       .as[IdDoc]
   }
 
+  /** Explicit read schema for text-format document shards (the [[IdDoc]]
+    * shape; the `shard` partition column is discovered from the dir
+    * layout, not the rows). NEVER inferred: JSON/CSV schema inference is
+    * a full extra pass over the data — at 100 TB that doubles ingest I/O
+    * before the first useful byte, and a skewed sample can silently
+    * narrow a column's type.
+    */
+  val shardReadSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("docId", LongType, nullable = false),
+      StructField("repo", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("commit", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("content", StringType, nullable = false)))
+  }
+
+  private def shardedWriter(ids: Dataset[IdDoc], numShards: Int) = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    ids.toDF()
+      .withColumn("shard", pmod(col("docId"), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "docId")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard")
+  }
+
+  /** Export an id-assigned corpus as sharded JSONL — the LLM-training
+    * interchange format (one JSON object per line, `shard=N/` dirs, rows
+    * docId-ascending inside a shard, exactly one file per shard because
+    * each shard value hashes to exactly one task). `shard = docId mod
+    * numShards` is deterministic and SQL-reproducible so cross-engine
+    * oracles can re-derive the assignment; callers who want the
+    * *shuffled* training order compose with
+    * `TextAnalysis.shardForTraining` first. Size numShards so a shard
+    * stays a one-task unit (~100-500 MB): that is also what makes an
+    * optional non-splittable `compression` codec ("gzip") acceptable —
+    * the file is never split anyway.
+    */
+  def writeJsonlShards(ids: Dataset[IdDoc], dir: String, numShards: Int,
+                       compression: String = "none"): Unit =
+    shardedWriter(ids, numShards).option("compression", compression).json(dir)
+
+  /** Read a [[writeJsonlShards]] corpus back (explicit schema, no
+    * inference pass). JSONL is the *splittable* text ingest format: an
+    * uncompressed shard bigger than maxPartitionBytes still scans in
+    * parallel because JSON lines split on newlines.
+    */
+  def fromJsonlShards(spark: SparkSession, dir: String): Dataset[IdDoc] = {
+    import spark.implicits._
+    spark.read.schema(shardReadSchema).json(dir)
+      .select(col("docId"), col("repo"), col("path"), col("commit"),
+        col("lang"), col("content"))
+      .as[IdDoc]
+  }
+
+  /** CSV twin of [[writeJsonlShards]] (RFC 4180 quoting: quote-doubling
+    * via escape==quote, so embedded quotes/delimiters round-trip exactly;
+    * whitespace trimming OFF — the writer defaults it ON; `emptyValue`
+    * pinned to quoted-empty so "" survives the trip).
+    *
+    * The trip is byte-exact (spec-pinned, CR/CRLF content included) for
+    * tables written HERE: the always-LF header line pins the reader's
+    * line-separator auto-detection to LF before any quoted CR appears.
+    * Foreign CSVs without that guarantee may see quoted CRs normalized —
+    * corpora where \r must survive arbitrary producers ship as JSONL.
+    */
+  def writeCsvShards(ids: Dataset[IdDoc], dir: String, numShards: Int): Unit =
+    shardedWriter(ids, numShards)
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("emptyValue", "\"\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+
+  /** Read a [[writeCsvShards]] corpus back. SCALE CAVEAT (the reason
+    * JSONL is the default interchange format): quoted multi-line fields
+    * force `multiLine=true`, and a multiLine CSV file is NOT splittable —
+    * each shard file is one task no matter its size. Acceptable only
+    * because [[writeCsvShards]] shards are sized as one-task units;
+    * corpora that arrive as few huge CSVs must be re-sharded (or
+    * re-rendered as JSONL) before parallel ingest.
+    *
+    * Deliberately NO explicit `lineSep`: setting it makes the parser
+    * normalize CR/CRLF inside quoted fields (observed: CRLF -> LF, lone
+    * CR dropped), while auto-detection — pinned to LF by the header
+    * line of every [[writeCsvShards]] file — preserves quoted CRs
+    * byte-exactly (spec-pinned).
+    */
+  def fromCsvShards(spark: SparkSession, dir: String): Dataset[IdDoc] = {
+    import spark.implicits._
+    spark.read.schema(shardReadSchema)
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      // a read-side nullValue that can never occur in a document keeps
+      // the parsed empty string "" from collapsing to null (the reader's
+      // default nullValue IS the empty string)
+      .option("nullValue", "\u0000")
+      .csv(dir)
+      .select(col("docId"), col("repo"), col("path"), col("commit"),
+        col("lang"), col("content"))
+      .as[IdDoc]
+  }
+
   /** Seeded synthetic corpus (FIXTURES.md §1). Generated on the driver —
     * only used at unit-test scales.
     */
