@@ -1346,6 +1346,18 @@ object SparkEntry {
     // CCNet-style per-language head/middle/tail tiers over the LM score
     "q_ppl_buckets" -> ((s, dir) =>
       TextAnalysis.perplexityBuckets(docsDf(s, dir), nBuckets = 3)),
+    // mergeable per-language length histogram + bin-resolution quantiles
+    // (one corpus pass -> bounded grid; window cumsum over BINS, never
+    // the corpus — the sketch-shaped alternative to a global sort)
+    "q_len_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(docsDf(s, dir), binWidth = 32L)),
+    "q_len_quantiles" -> ((s, dir) =>
+      TextAnalysis.histogramQuantiles(docsDf(s, dir), binWidth = 32L)),
+    // curriculum ordering: global 0..N-1 positions by ascending LM
+    // difficulty via the scalable range-partition rank (the
+    // single-partition row_number Window is the oracle twin only)
+    "q_curriculum" -> ((s, dir) =>
+      TextAnalysis.curriculumOrder(docsDf(s, dir)).orderBy(asc("pos"))),
     // snippet extraction: 3-token context around the first 'merge' hit
     "q_snippets" -> ((s, dir) => TextAnalysis.snippets(docsDf(s, dir), "merge", 3)),
     // deterministic training shards: the reproducible global shuffle
@@ -2806,6 +2818,41 @@ object SparkEntry {
 
       // perplexity-bucket twin: rank the 4-dp-rounded xent per language
       // (doc_id ties), bucket = integral (3*(rnk-1)) // n on both engines
+      // mergeable length histogram + integer quantile rule: smallest bin
+      // with cum*1000 >= q*total; hi_tokens = exclusive upper edge
+      "q_len_histogram" -> """
+        |WITH c AS (
+        |  SELECT lang, CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT lang, n // 32 AS bin, count(*) AS n_docs
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      "q_len_quantiles" -> """
+        |WITH c AS (
+        |  SELECT lang, CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |hist AS (SELECT lang, n // 32 AS bin, count(*) AS n_docs
+        |         FROM c GROUP BY 1, 2),
+        |cum AS (SELECT lang, bin,
+        |               CAST(sum(n_docs) OVER (PARTITION BY lang ORDER BY bin) AS BIGINT) AS cum,
+        |               CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |        FROM hist)
+        |SELECT lang, q_permille, min(bin) AS bin,
+        |       (min(bin) + 1) * 32 AS hi_tokens
+        |FROM cum CROSS JOIN (VALUES (500), (900), (990)) qs(q_permille)
+        |WHERE cum * 1000 >= q_permille * total
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // curriculum rank twin: the single-partition row_number Window IS
+      // the oracle (the operator's range-partition rank must equal it)
+      "q_curriculum" -> (duckToks + duckLmPer + """
+        |, alldocs AS (
+        |  SELECT d.doc_id, coalesce(p.xent, 0.0) AS xent
+        |  FROM documents d LEFT JOIN per p USING (doc_id))
+        |SELECT doc_id, xent,
+        |       CAST(row_number() OVER (ORDER BY xent, doc_id) - 1 AS BIGINT) AS pos
+        |FROM alldocs ORDER BY pos""".stripMargin),
+
       "q_ppl_buckets" -> (duckToks + duckLmPer + """
         |, scored AS (
         |  SELECT d.doc_id, d.lang, coalesce(p.xent, 0.0) AS xent

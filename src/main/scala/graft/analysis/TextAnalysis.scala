@@ -633,4 +633,86 @@ object TextAnalysis {
         round(coalesce(col("top_n") / col("n_shingles"), lit(0.0)), 6)
           .as("top_share"))
   }
+
+  /** Mergeable whitespace-token length histogram per language:
+    * `(lang, bin, n_docs)` with `bin = ws_tokens div binWidth`. ONE
+    * corpus pass collapsing to a (langs × bins) grid — a bounded summary
+    * that merges across shards by bin-wise SUM (the register-grid
+    * property the HLL/CMS sketches have, here for length distributions).
+    * Everything integer-exact, so the DuckDB twin replays it verbatim.
+    */
+  def lengthHistogram(docs: DataFrame, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    docs.select(col("lang"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n"))
+      .select(col("lang"), expr(s"n div $binWidth").as("bin"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Quantiles at bin resolution from the mergeable histogram: for each
+    * requested q (permille), the smallest bin whose cumulative count
+    * reaches q of the language's total — `cum·1000 >= q·total` in pure
+    * integers, no float interpolation to diverge cross-engine.
+    * `hi_tokens = (bin+1)·binWidth` is the exclusive upper edge ("q of
+    * the corpus is shorter than hi_tokens").
+    *
+    * Scale shape: the only corpus-sized work is [[lengthHistogram]]'s
+    * one pass; the Window cumsum runs over the (langs × bins) GRID —
+    * bounded by construction, never by the corpus. Contrast an exact
+    * percentile, which global-sorts every row; bin width is the explicit
+    * accuracy-vs-summary-size dial, the same trade the count sketches
+    * make.
+    */
+  def histogramQuantiles(docs: DataFrame, binWidth: Long,
+                         qsPermille: Seq[Int] = Seq(500, 900, 990)): DataFrame = {
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q > 0 && q <= 1000),
+      s"quantiles must be permille values in (0, 1000]: $qsPermille")
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+    lengthHistogram(docs, binWidth)
+      .withColumn("cum", sum(col("n_docs")).over(byLang.orderBy(col("bin"))))
+      .withColumn("total", sum(col("n_docs")).over(byLang))
+      .select(col("lang"), col("bin"), col("cum"), col("total"),
+        explode(array(qsPermille.map(q => lit(q)): _*)).as("q_permille"))
+      .filter(col("cum") * 1000 >= col("q_permille").cast("long") * col("total"))
+      .groupBy(col("lang"), col("q_permille"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col("lang"), col("q_permille"), col("bin"),
+        ((col("bin") + 1) * binWidth).as("hi_tokens"))
+  }
+
+  /** Curriculum ordering: a global training position 0..N-1 for every
+    * document, ascending bigram-LM difficulty ([[lmCrossEntropy]] xent,
+    * ties by doc_id; bigram-less docs score 0.0 and lead). Semantically
+    * `row_number() OVER (ORDER BY xent, doc_id) - 1`, but that Window is
+    * a SINGLE-partition bottleneck at corpus scale — this uses the
+    * range-partition + per-partition-offset pattern
+    * (Corpus.assignDocIds): parallel range sort, one tiny
+    * per-partition-count collect, offsets applied via
+    * rdd.mapPartitionsWithIndex (never TaskContext.getPartitionId — the
+    * coalesce(1) hazard the Packing regression spec pins). Deterministic
+    * because (xent, doc_id) is a total order and xent is the 4-dp-rounded
+    * value the q_lm_score oracle already proves cross-engine-exact.
+    */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = lmCrossEntropy(docs)
+      .select(col("doc_id").cast("long").as("doc_id"), col("xent"))
+      .repartitionByRange(parts, col("xent"), col("doc_id"))
+      .sortWithinPartitions(col("xent"), col("doc_id"))
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    import spark.implicits._
+    spark.createDataset(rdd.mapPartitionsWithIndex { (pid, it) =>
+      var next = bc.value(pid)
+      it.map { r => val pos = next; next += 1
+        (r.getLong(0), r.getDouble(1), pos) }
+    }).toDF("doc_id", "xent", "pos")
+  }
 }

@@ -517,4 +517,65 @@ class AnalysisSpec extends AnyFunSuite {
       .toList
     assert(got === want.toList)
   }
+
+  test("lengthHistogram: hand bins, shard mergeability by bin-wise sum") {
+    import spark.implicits._
+    // ws token counts: 0 (empty), 2, 3, 4, 8 -> bins (width 4): 0,0,0,1,2
+    val fx = Seq(
+      (1L, "en", ""),                        // 0 tokens -> bin 0
+      (2L, "en", "a b"),                     // 2 -> bin 0
+      (3L, "en", "a b c"),                   // 3 -> bin 0
+      (4L, "en", "a b c d"),                 // 4 -> bin 1 (div, not round)
+      (5L, "fr", "a b c d e f g h"))         // 8 -> bin 2
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.lengthHistogram(fx, 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("en", 0L, 3L), ("en", 1L, 1L), ("fr", 2L, 1L)))
+    // mergeable: hist(A union B) == cellwise sum of hist(A) + hist(B)
+    val a = fx.filter($"doc_id" % 2 === 0)
+    val b = fx.filter($"doc_id" % 2 === 1)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.lengthHistogram(df, 4L).collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val merged = (m(a).keySet ++ m(b).keySet).map { k =>
+      k -> (m(a).getOrElse(k, 0L) + m(b).getOrElse(k, 0L)) }.toMap
+    assert(merged === m(fx))
+  }
+
+  test("histogramQuantiles: smallest bin with cum*1000 >= q*total, edges") {
+    import spark.implicits._
+    // en: 10 docs, token counts 1..10, width 2 -> bins 0(1),1(2,3),2(4,5),
+    // 3(6,7),4(8,9),5(10); cum: 1,3,5,7,9,10
+    val fx = (1 to 10).map(i =>
+      (i.toLong, "en", (1 to i).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.histogramQuantiles(fx, 2L, Seq(100, 500, 900, 1000))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // q=100: need cum*10 >= total=10 -> first bin (cum 1). q=500: cum >= 5
+    // -> bin 2. q=900: cum >= 9 -> bin 4. q=1000: cum >= 10 -> bin 5.
+    assert(got === Set((100, 0L, 2L), (500, 2L, 6L), (900, 4L, 10L),
+      (1000, 5L, 12L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.histogramQuantiles(fx, 2L, Seq(0))
+    }
+  }
+
+  test("curriculumOrder: equals the row_number Window twin; coalesce(1)-safe") {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.limit(40)
+    val twin = TextAnalysis.lmCrossEntropy(d)
+      .select(col("doc_id"), col("xent"),
+        (row_number().over(Window.orderBy(col("xent"), col("doc_id"))) - 1)
+          .cast("long").as("pos"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val got = TextAnalysis.curriculumOrder(d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === twin)
+    // positions stay a dense 0..N-1 permutation under a downstream
+    // coalesce(1) (the TaskContext partition-id hazard regression)
+    val pos1 = TextAnalysis.curriculumOrder(d).coalesce(1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(pos1.values.toSeq.sorted === (0L until pos1.size.toLong))
+    assert(pos1 === got.map(t => (t._1, t._3)).toMap)
+  }
 }
