@@ -1171,6 +1171,10 @@ object SparkEntry {
     // pairs -> clusters: connected components over the LSH near-dup
     // pairs (min-label propagation to the fixpoint), keep = min doc_id
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(docsDf(s, dir), 0.7)),
+    // quality-aware representative: keep each cluster's highest
+    // kept-token-count member (ties to the lower doc_id), singletons kept
+    "q_dedup_keepbest" -> ((s, dir) =>
+      Dedup.keepBestPerCluster(docsDf(s, dir), 0.7)),
     // leakage-safe split: near-dup clusters land on ONE side (singleton
     // docs are their own component); 20% test by the component bucket
     "q_leakage_split" -> ((s, dir) =>
@@ -2338,6 +2342,22 @@ object SparkEntry {
         |SELECT id AS doc_id, min(r) AS component,
         |       CAST(id = min(r) AS BIGINT) AS keep
         |FROM walk GROUP BY id""".stripMargin),
+
+      // quality-aware representative twin: same transitive closure,
+      // singleton fallback, score = kept-token count, winner = first by
+      // (score DESC, doc_id) within the component
+      "q_dedup_keepbest" -> (duckComponents + """
+        |, comp AS (SELECT id, min(r) AS component FROM walk GROUP BY id),
+        |scored AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |         CAST(len(list_filter(string_split_regex(d.text, '\s+'),
+        |              x -> regexp_matches(x, '^[A-Za-z]+$') AND length(x) < 20))
+        |              AS BIGINT) AS score
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+        |SELECT doc_id, component, score,
+        |       CAST(row_number() OVER (PARTITION BY component
+        |              ORDER BY score DESC, doc_id) = 1 AS BIGINT) AS keep
+        |FROM scored""".stripMargin),
 
       // leakage-safe split twin: same transitive closure, then docs in
       // no pair fall back to their own singleton component, and the

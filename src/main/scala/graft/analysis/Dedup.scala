@@ -213,6 +213,34 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component"),
         (col("id") === col("component")).cast("long").as("keep"))
 
+  /** Dedup with QUALITY-aware representative selection — what a pipeline
+    * actually keeps from a near-dup cluster is its best member, not its
+    * lowest id: score = kept-token count (the integer-portable "longest
+    * clean rendition" rule), ties broken by LOWER doc_id. Every doc is
+    * assigned (docs in no near-dup pair are their own singleton
+    * component and always kept).
+    *
+    * Shuffle shape on top of [[dedupClusters]]: the score is a per-row
+    * projection in the scan, the cluster join's right side is the
+    * near-dup-sized edge table, and the winner is a row_number over the
+    * component key — ONE corpus exchange with a streaming rank frame
+    * (no per-component history buffer), the information floor for "every
+    * doc needs its cluster's verdict".
+    */
+  def keepBestPerCluster(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(docs, threshold)
+      .select(col("doc_id"), col("component"))
+    docs.select(col("doc_id"),
+        size(TextAnalysis.keptTokens(col("text"))).cast("long").as("score"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"), col("score"))
+      .withColumn("keep",
+        (row_number().over(Window.partitionBy(col("component"))
+          .orderBy(col("score").desc, col("doc_id"))) === 1).cast("long"))
+  }
+
   /** Leakage-safe train/test split — the contamination-proof corpus
     * split every eval-honest training pipeline needs: near-duplicate
     * docs must land on the SAME side (a test doc whose near-twin is in

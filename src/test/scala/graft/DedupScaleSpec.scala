@@ -175,4 +175,34 @@ class DedupScaleSpec extends AnyFunSuite {
       assert(got == want, s"prefixBound($sz, $t) = $got, want $want")
     }
   }
+
+  test("keepBestPerCluster: highest kept-token member wins, ties to lower id, singletons kept") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta" // 8 kept
+    val docs = Seq(
+      (1L, base),                                   // cluster {1,2,3}, score 8
+      (2L, base + " iota kappa x9 w_1"),            // score 10 (junk not kept)
+      (3L, base),                                   // score 8 (exact dup of 1)
+      (10L, "one two three four five six"),         // tie cluster {10,11}
+      (11L, "one two three four five six"),
+      (20L, "lonely standalone document text here") // singleton
+    ).toDF("doc_id", "text")
+    val got = Dedup.keepBestPerCluster(docs, threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // cluster {1,2,3}: component 1, the LONGER doc 2 wins (score 10 > 8)
+    assert(got(1L) === ((1L, 8L, 0L)), got)
+    assert(got(2L) === ((1L, 10L, 1L)), got)
+    assert(got(3L) === ((1L, 8L, 0L)), got)
+    // tie cluster: equal scores, lower id kept
+    assert(got(10L) === ((10L, 6L, 1L)), got)
+    assert(got(11L) === ((10L, 6L, 0L)), got)
+    // singleton: own component, always kept
+    assert(got(20L) === ((20L, 5L, 1L)), got)
+    // exactly one keeper per component, every doc assigned
+    assert(got.size === 6)
+    val keepers = got.values.groupBy(_._1).map { case (c, vs) =>
+      c -> vs.count(_._3 == 1L) }
+    assert(keepers.values.forall(_ == 1), keepers)
+  }
 }
