@@ -909,6 +909,36 @@ object SparkEntry {
     })
   }
 
+  /** One versioned corpus-stats store per scale dir, built INCREMENTALLY:
+    * init over the first half of the documents, fold the rest in as a
+    * delta batch, then simulate a crash (strip the newest version's
+    * _SUCCESS) and re-deliver the same batch — so q_stats_store checks
+    * the replay-idempotent merge path end-to-end: the final grid must
+    * equal DuckDB's from-scratch length histogram over the whole corpus.
+    */
+  private val statsCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def statsDir(s: SparkSession, sfDir: String): String = synchronized {
+    statsCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft_stats").toString
+      val docs = docsDf(s, sfDir)
+      val mid = docs.agg(max(col("doc_id"))).as[Long].head() / 2
+      graft.streaming.StatsStore.init(
+        docs.filter(col("doc_id") <= mid), out, binWidth = 32L)
+      val delta = docs.filter(col("doc_id") > mid)
+      graft.streaming.StatsStore.applyBatch(s, delta, out)
+      // crash after the write, before the commit marker: the version is
+      // invisible; at-least-once re-delivery rewrites identical content
+      val newest = graft.streaming.StatsStore.currentVersion(s, out)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$out/grid/v=$newest/_SUCCESS"), false)
+      graft.streaming.StatsStore.applyBatch(s, delta, out)
+      out
+    })
+  }
+
   /** CSV twin of [[jsonlDir]] (RFC 4180 quoted multiLine path). */
   private val csvCache = scala.collection.mutable.HashMap.empty[String, String]
   private def csvDir(s: SparkSession, sfDir: String): String = synchronized {
@@ -1357,6 +1387,10 @@ object SparkEntry {
       TextAnalysis.lengthHistogram(docsDf(s, dir), binWidth = 32L)),
     "q_len_quantiles" -> ((s, dir) =>
       TextAnalysis.histogramQuantiles(docsDf(s, dir), binWidth = 32L)),
+    // the VERSIONED stats store (incremental init+delta+crash-replay,
+    // statsDir) must converge to the same grid as a from-scratch pass
+    "q_stats_store" -> ((s, dir) =>
+      graft.streaming.StatsStore.grid(s, statsDir(s, dir))),
     // curriculum ordering: global 0..N-1 positions by ascending LM
     // difficulty via the scalable range-partition rank (the
     // single-partition row_number Window is the oracle twin only)
@@ -2841,6 +2875,15 @@ object SparkEntry {
       // mergeable length histogram + integer quantile rule: smallest bin
       // with cum*1000 >= q*total; hi_tokens = exclusive upper edge
       "q_len_histogram" -> """
+        |WITH c AS (
+        |  SELECT lang, CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                    x -> length(x) > 0)) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT lang, n // 32 AS bin, count(*) AS n_docs
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // the incrementally-maintained store's grid == the from-scratch
+      // histogram (same SQL truth as q_len_histogram)
+      "q_stats_store" -> """
         |WITH c AS (
         |  SELECT lang, CAST(len(list_filter(string_split_regex(text, '\s+'),
         |                    x -> length(x) > 0)) AS BIGINT) AS n
