@@ -69,6 +69,82 @@ object SparkEntry {
       |         list_transform(lines, l -> CAST(length(l) AS BIGINT)) AS lls
       |  FROM m1)""".stripMargin
 
+  /** The [[licCodeDf]] plantings re-derived in SQL, plus the header
+    * window and the three detection signals — shared by the
+    * q_code_license* / q_code_imports / q_import_stats oracles.
+    */
+  private val duckLicCode =
+    """WITH lic AS (
+      |  SELECT 'org' || (doc_id % 50) || '/proj' || (doc_id % 50) AS repo,
+      |         source || '/doc' || doc_id || '.txt' AS path,
+      |         concat(
+      |           CASE WHEN doc_id % 7 = 0
+      |                THEN '// SPDX-License-Identifier: MIT' || chr(10) ||
+      |                     '// Licensed under the Apache License, Version 2.0 (precedence probe)' || chr(10)
+      |                ELSE '' END,
+      |           CASE WHEN doc_id % 7 = 1
+      |                THEN '/* Licensed under the Apache License, Version 2.0 (the "License") */' || chr(10)
+      |                ELSE '' END,
+      |           CASE WHEN doc_id % 7 = 2
+      |                THEN '// This file is part of X, under the GNU General Public License v3.' || chr(10)
+      |                ELSE '' END,
+      |           CASE WHEN doc_id % 7 = 3
+      |                THEN '// Redistribution and use in source and binary forms, with or without modification' || chr(10)
+      |                ELSE '' END,
+      |           CASE WHEN doc_id % 7 = 4
+      |                THEN '// Copyright (c) 2024 Example Authors. All rights reserved.' || chr(10)
+      |                ELSE '' END,
+      |           CASE WHEN doc_id % 7 = 6
+      |                THEN repeat('// pad' || chr(10), 20) ||
+      |                     '// SPDX-License-Identifier: Apache-2.0' || chr(10)
+      |                ELSE '' END,
+      |           CASE WHEN doc_id % 5 = 2
+      |                THEN 'import org.apache.spark.sql' || chr(10) ||
+      |                     'from collections import defaultdict' || chr(10) ||
+      |                     'import util' || (doc_id % 11) || chr(10)
+      |                ELSE '' END,
+      |           CASE WHEN doc_id % 5 = 4
+      |                THEN '  import util' || (doc_id % 11) || chr(10)
+      |                ELSE '' END,
+      |           text) AS content
+      |  FROM documents),
+      |det AS (
+      |  SELECT repo, path, content,
+      |         coalesce(regexp_extract(hdr,
+      |           'spdx-license-identifier:[ \t]*([a-z0-9.+-]+)', 1), '') AS spdx,
+      |         CASE WHEN contains(hdr, 'licensed under the apache license, version 2.0') THEN 'apache-2.0'
+      |              WHEN contains(hdr, 'gnu general public license') THEN 'gpl-3.0'
+      |              WHEN contains(hdr, 'redistribution and use in source and binary forms') THEN 'bsd-3-clause'
+      |              WHEN contains(hdr, 'permission is hereby granted, free of charge') THEN 'mit'
+      |              ELSE '' END AS phrase,
+      |         (contains(hdr, 'copyright') OR contains(hdr, 'license')) AS claimed
+      |  FROM (SELECT repo, path, content,
+      |               lower(array_to_string(
+      |                 list_slice(string_split(content, chr(10)), 1, 20), chr(10))) AS hdr
+      |        FROM lic)),
+      |licout AS (
+      |  SELECT repo, path,
+      |         CASE WHEN spdx <> '' THEN spdx
+      |              WHEN phrase <> '' THEN phrase
+      |              WHEN claimed THEN 'unknown' ELSE 'none' END AS license,
+      |         CASE WHEN spdx <> '' THEN 'spdx'
+      |              WHEN phrase <> '' THEN 'phrase'
+      |              WHEN claimed THEN 'heuristic' ELSE 'none' END AS via
+      |  FROM det),
+      |imps AS (
+      |  SELECT repo, path, module FROM (
+      |    SELECT repo, path,
+      |           (string_split_regex(stmt, '[ \t]+'))[2] AS module
+      |    FROM (
+      |      SELECT repo, path,
+      |             unnest(list_filter(
+      |               list_transform(string_split(content, chr(10)),
+      |                 l -> regexp_replace(l, '^[ \t]+', '')),
+      |               l -> starts_with(l, 'import ') OR starts_with(l, 'from ')))
+      |               AS stmt
+      |      FROM lic))
+      |  WHERE module IS NOT NULL AND module <> '')""".stripMargin
+
   /** Bloom-sidecar bits grid replayed from tokenization truth: the
     * chunkDocs=200 index's (chunk, term) pairs — duckToks body terms
     * UNION '#'-decorated title terms re-derived from the Corpus path
@@ -604,6 +680,55 @@ object SparkEntry {
         when(col("docId") % 4 === 1,
           lit("\n  // vendored helper\n# legacy note\n/* block */"))
           .otherwise(lit(""))).as("content"))
+
+  /** [[codeDf]]'s (repo, path) derivation with planted LICENSE headers
+    * and IMPORT statements (the corpus carries neither naturally —
+    * checked — so, like the PII plantings, the discriminating content is
+    * derived from doc_id and re-derived identically by the oracle CTEs):
+    *
+    *  - % 7 == 0: SPDX MIT tag AND an Apache phrase — SPDX must win;
+    *  - % 7 == 1/2/3: Apache / GPL / BSD boilerplate phrases;
+    *  - % 7 == 4: a bare copyright claim — `unknown`, gate must drop;
+    *  - % 7 == 6: 20 pad lines push an SPDX tag to line 21 — OUTSIDE
+    *    the header window, must read as `none`;
+    *  - % 5 == 2: three import statements (one module varying by
+    *    doc_id % 11), % 5 == 4: an INDENTED import (blank-strip probe).
+    */
+  private def licCodeDf(s: SparkSession, dir: String): DataFrame = {
+    val pad20 = Seq.fill(20)("// pad").mkString("", "\n", "\n")
+    docsDf(s, dir).select(
+      concat(lit("org"), col("doc_id") % 50, lit("/proj"), col("doc_id") % 50)
+        .as("repo"),
+      concat(col("source"), lit("/doc"), col("doc_id"), lit(".txt")).as("path"),
+      concat(
+        when(col("doc_id") % 7 === 0,
+          lit("// SPDX-License-Identifier: MIT\n" +
+            "// Licensed under the Apache License, Version 2.0 (precedence probe)\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 1,
+          lit("/* Licensed under the Apache License, Version 2.0 (the \"License\") */\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 2,
+          lit("// This file is part of X, under the GNU General Public License v3.\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 3,
+          lit("// Redistribution and use in source and binary forms, with or without modification\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 4,
+          lit("// Copyright (c) 2024 Example Authors. All rights reserved.\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 6,
+          lit(pad20 + "// SPDX-License-Identifier: Apache-2.0\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2,
+          concat(lit("import org.apache.spark.sql\n" +
+              "from collections import defaultdict\nimport util"),
+            col("doc_id") % 11, lit("\n"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 4,
+          concat(lit("  import util"), col("doc_id") % 11, lit("\n")))
+          .otherwise(lit("")),
+        col("text")).as("content"))
+  }
 
   /** The time-travel snapshot mark the q_timetravel_* oracles pin: the
     * corpus midpoint docId — the exact base/append boundary of
@@ -1696,6 +1821,14 @@ object SparkEntry {
     // and character-class stats over the input_hint code table (content
     // re-lined + autogen/hex rows injected deterministically) ----
     "q_code_quality" -> ((s, dir) => CodeQuality.metrics(codeDf(s, dir))),
+    // license governance over the planted-header table: detection
+    // (SPDX > phrase > heuristic > none) and the permissive-only gate
+    "q_code_license" -> ((s, dir) => CodeQuality.licenseInfo(licCodeDf(s, dir))),
+    "q_code_license_gate" -> ((s, dir) =>
+      CodeQuality.licenseGate(licCodeDf(s, dir))),
+    // dependency extraction: per-file import modules + corpus-wide stats
+    "q_code_imports" -> ((s, dir) => CodeQuality.imports(licCodeDf(s, dir))),
+    "q_import_stats" -> ((s, dir) => CodeQuality.importStats(licCodeDf(s, dir))),
 
     // ---- code-corpus filter verdict (CodeQuality.filterVerdict): the
     // keep/drop decision at the standard thresholds ----
@@ -3602,6 +3735,20 @@ object SparkEntry {
         |        OR contains(lower(content), 'do not edit')
         |        OR contains(lower(content), 'autogenerated')) AS is_autogen
         |FROM m2""".stripMargin),
+
+      // license detection + permissive gate + import extraction over the
+      // planted-header table (licCodeDf), replayed from the shared CTEs
+      "q_code_license" -> (duckLicCode + """
+        |SELECT repo, path, license, via FROM licout""".stripMargin),
+      "q_code_license_gate" -> (duckLicCode + """
+        |SELECT repo, path, license, via,
+        |       license IN ('mit', 'apache-2.0', 'bsd-3-clause') AS keep
+        |FROM licout""".stripMargin),
+      "q_code_imports" -> (duckLicCode + """
+        |SELECT repo, path, module FROM imps""".stripMargin),
+      "q_import_stats" -> (duckLicCode + """
+        |SELECT module, count(*) AS tf, count(DISTINCT path) AS n_files
+        |FROM imps GROUP BY module""".stripMargin),
 
       // code-filter verdict: thresholds over the ROUNDED metrics (the
       // Spark side computes keep from the rounded columns too)
