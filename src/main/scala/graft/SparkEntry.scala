@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.analysis.{AnnStore, Bpe, Clustering, CodeQuality, Decontamination, Dedup, Dsir, Fusion, Graph, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, Rerank, Similarity, Sketches, SpellCorrect, TemporalJoins, TextAnalysis}
+import graft.analysis.{AnnStore, Bpe, Clustering, CodeQuality, Decontamination, Dedup, Dsir, Fusion, Graph, IvfPqStore, IvfStore, Multimodal, Packing, Quantization, RepoHistory, Rerank, Similarity, Sketches, SpellCorrect, TemporalJoins, TextAnalysis}
 import graft.corpus.Corpus
 import graft.engine.{Bm25Engine, SearchEngine}
 import graft.index.{IndexBuilder, IndexStore, TimeTravel}
@@ -144,6 +144,28 @@ object SparkEntry {
       |               AS stmt
       |      FROM lic))
       |  WHERE module IS NOT NULL AND module <> '')""".stripMargin
+
+  /** The [[verCodeDf]] version synthesis re-derived in SQL, plus the
+    * ranked view the snapshot oracles read (rn = 1 is the latest
+    * version per path; ties — impossible here by construction, pinned
+    * by spec — would break on commit DESC like the Spark max_by).
+    */
+  private val duckVers =
+    """WITH vers AS (
+      |  SELECT 'org' || (doc_id % 50) || '/proj' || (doc_id % 50) AS repo,
+      |         source || '/doc' || doc_id || '.txt' AS path,
+      |         substr(md5(doc_id || ':' || v), 1, 8) AS commit,
+      |         doc_id * 100 + v * 7 AS commit_ts,
+      |         text || ' v' || v AS content
+      |  FROM (SELECT *, unnest(range(0, (doc_id % 3) + 1)) AS v FROM documents)),
+      |ranked AS (
+      |  SELECT repo, path, commit, CAST(commit_ts AS BIGINT) AS commit_ts,
+      |         content,
+      |         row_number() OVER (PARTITION BY repo, path
+      |                            ORDER BY commit_ts DESC, commit DESC) AS rn
+      |  FROM vers),
+      |mk AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 * 100 + 3 AS ts
+      |       FROM documents)""".stripMargin
 
   /** Bloom-sidecar bits grid replayed from tokenization truth: the
     * chunkDocs=200 index's (chunk, term) pairs — duckToks body terms
@@ -728,6 +750,34 @@ object SparkEntry {
           concat(lit("  import util"), col("doc_id") % 11, lit("\n")))
           .otherwise(lit("")),
         col("text")).as("content"))
+  }
+
+  /** The VERSIONED code table for the RepoHistory operators: each doc
+    * expands to 1 + (doc_id % 3) versions — commit = md5(doc_id ":" v)
+    * prefix, commit_ts = doc_id*100 + v*7 (strictly ordered per path),
+    * content drifts per version. Deterministic and SQL-reproducible
+    * (the duckVers CTE rebuilds it row-for-row).
+    */
+  private def verCodeDf(s: SparkSession, dir: String): DataFrame =
+    docsDf(s, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        explode(sequence(lit(0L), col("doc_id") % 3)).as("v"))
+      .select(
+        concat(lit("org"), col("doc_id") % 50, lit("/proj"), col("doc_id") % 50)
+          .as("repo"),
+        concat(col("source"), lit("/doc"), col("doc_id"), lit(".txt")).as("path"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("v").cast("string"))), 1, 8).as("commit"),
+        (col("doc_id") * 100 + col("v") * 7).as("commit_ts"),
+        concat(col("text"), lit(" v"), col("v")).as("content"))
+
+  /** The as-of mark for q_repo_asof/q_repo_changed: mid-corpus,
+    * offset +3 so it falls strictly INSIDE a path's version run (not on
+    * a commit_ts) — the boundary-exercising analog of [[asOfMark]].
+    */
+  private def repoTsMark(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    docsDf(s, dir).agg(max($"doc_id")).as[Long].head() / 2 * 100 + 3
   }
 
   /** The time-travel snapshot mark the q_timetravel_* oracles pin: the
@@ -1829,6 +1879,16 @@ object SparkEntry {
     // dependency extraction: per-file import modules + corpus-wide stats
     "q_code_imports" -> ((s, dir) => CodeQuality.imports(licCodeDf(s, dir))),
     "q_import_stats" -> ((s, dir) => CodeQuality.importStats(licCodeDf(s, dir))),
+    // repo version history over the commit axis: current checkout,
+    // as-of checkout (the working-tree twin of index TimeTravel),
+    // per-path churn, and the changed-since incremental re-index feed
+    "q_repo_snapshot" -> ((s, dir) =>
+      RepoHistory.latestSnapshot(verCodeDf(s, dir))),
+    "q_repo_asof" -> ((s, dir) =>
+      RepoHistory.snapshotAsOf(verCodeDf(s, dir), repoTsMark(s, dir))),
+    "q_repo_churn" -> ((s, dir) => RepoHistory.churnStats(verCodeDf(s, dir))),
+    "q_repo_changed" -> ((s, dir) =>
+      RepoHistory.changedSince(verCodeDf(s, dir), repoTsMark(s, dir))),
 
     // ---- code-corpus filter verdict (CodeQuality.filterVerdict): the
     // keep/drop decision at the standard thresholds ----
@@ -3749,6 +3809,30 @@ object SparkEntry {
       "q_import_stats" -> (duckLicCode + """
         |SELECT module, count(*) AS tf, count(DISTINCT path) AS n_files
         |FROM imps GROUP BY module""".stripMargin),
+
+      // repo version history: latest checkout, as-of checkout, churn,
+      // changed-since — all replayed from the duckVers synthesis
+      "q_repo_snapshot" -> (duckVers + """
+        |SELECT repo, path, commit, commit_ts, content
+        |FROM ranked WHERE rn = 1""".stripMargin),
+      "q_repo_asof" -> (duckVers + """
+        |SELECT repo, path, commit, CAST(commit_ts AS BIGINT) AS commit_ts,
+        |       content
+        |FROM (
+        |  SELECT repo, path, commit, commit_ts, content,
+        |         row_number() OVER (PARTITION BY repo, path
+        |                            ORDER BY commit_ts DESC, commit DESC) AS rn
+        |  FROM vers, mk WHERE commit_ts <= mk.ts)
+        |WHERE rn = 1""".stripMargin),
+      "q_repo_churn" -> (duckVers + """
+        |SELECT repo, path, count(*) AS n_versions,
+        |       CAST(min(commit_ts) AS BIGINT) AS first_ts,
+        |       CAST(max(commit_ts) AS BIGINT) AS last_ts,
+        |       count(DISTINCT content) AS n_distinct_contents
+        |FROM vers GROUP BY repo, path""".stripMargin),
+      "q_repo_changed" -> (duckVers + """
+        |SELECT repo, path, commit, commit_ts, content
+        |FROM ranked, mk WHERE rn = 1 AND commit_ts > mk.ts""".stripMargin),
 
       // code-filter verdict: thresholds over the ROUNDED metrics (the
       // Spark side computes keep from the rounded columns too)
