@@ -1331,6 +1331,17 @@ object SparkEntry {
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
+    // more-like-this: doc 0's top-5 TF-IDF keywords (keywordsTfIdf
+    // rule, df probed from the index) as an OR query, seed excluded
+    "q_more_like_this" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      val seedText = docsDf(s, dir).filter(col("doc_id") === 0L)
+        .select(col("text")).head().getString(0)
+      engine.moreLikeThis(0L, seedText, kTerms = 5, k = 30)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
     // BM25F field-weighted top-k: title field = the '#'-decorated lists
     // already in the index ('doc' appears in every synthesized path, so
     // the title field genuinely contributes); idf over the per-doc
@@ -2229,6 +2240,37 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, round(raw, 4) AS score FROM scores
         |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      // more-like-this: seed keyword selection (the q_keywords tfidf
+      // rule at doc 0) feeding the q_bm25_topk scoring formula, seed
+      // excluded from the hits
+      "q_more_like_this" -> (duckToks + """
+        |, stf AS (SELECT term, count(*) AS tf FROM toks
+        |          WHERE doc_id = 0 GROUP BY 1),
+        |sdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+        |        WHERE term IN (SELECT term FROM stf) GROUP BY 1),
+        |scnt AS (SELECT count(*) AS n FROM documents),
+        |kws AS (SELECT term FROM (
+        |    SELECT stf.term,
+        |           round(stf.tf * ln(scnt.n * 1.0 / sdf.df), 6) AS tfidf
+        |    FROM stf JOIN sdf USING (term) CROSS JOIN scnt)
+        |  ORDER BY tfidf DESC, term LIMIT 5),
+        |dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN (SELECT term FROM kws) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, round(raw, 4) AS score FROM scores
+        |WHERE doc_id <> 0 ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
 
       // BM25F from first principles: body toks from text, title toks from
       // the synthesized path's letter runs (raw count = numTitleWords,

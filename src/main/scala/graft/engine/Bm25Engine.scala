@@ -382,6 +382,38 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     (expansion, searchTerms(base ++ expansion, k))
   }
 
+  /** More-like-this retrieval (the Elasticsearch MLT operator — "find
+    * documents like this one"): the seed document's top-`kTerms` TF-IDF
+    * keywords become an OR query, the seed itself is excluded from the
+    * hits. Keyword selection is the EXACT `TextAnalysis.keywordsTfIdf`
+    * rule — tfidf = round(tf · ln(N/df), 6), ties term-ascending — but
+    * computed engine-side at query cost: tf from tokenizing the ONE
+    * seed text driver-side (frozen body rules), df from the memoized
+    * index-dictionary probe (term-pushdown — no corpus scan), N from
+    * persisted stats. Terms absent from the index contribute nothing.
+    */
+  def moreLikeThis(seedDocId: Long, seedText: String, kTerms: Int = 5,
+                   k: Int = GraftConfig.TopK): Seq[Bm25.Hit] = {
+    require(kTerms > 0, "kTerms must be positive")
+    val tf = graft.tokenizer.Tokenizer.bodyTokens(seedText)
+      .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    if (tf.isEmpty) return Seq.empty
+    val dfMap = globalDf(tf.keys.toSeq.sorted)
+    val n = corpusStats._1
+    val selected = tf.toSeq
+      .flatMap { case (t, f) =>
+        dfMap.get(t).map { df =>
+          val w = BigDecimal(f.toDouble * math.log(n.toDouble / df.toDouble))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (t, w)
+        }
+      }
+      .sortBy { case (t, w) => (-w, t) }
+      .take(kTerms).map(_._1)
+    if (selected.isEmpty) Seq.empty
+    else searchTerms(selected, k + 1, Or).filter(_.docId != seedDocId).take(k)
+  }
+
   /** Positional phrase BM25 top-k: the phrase is scored as ONE virtual
     * term whose per-doc tf is the consecutive-run count
     * ([[Bm25.phraseTfs]] — the ISRPhrase semantics on docId+position

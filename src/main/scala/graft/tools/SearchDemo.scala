@@ -103,6 +103,21 @@ object SearchDemo {
       hits.zipWithIndex.foreach { case (h, i) =>
         println(f"${i + 1}%2d. score=${h.score}%.4f docId=${h.docId}")
       }
+    } else if (query.startsWith("mlt:")) {
+      // more-like-this: the argument is a seed doc_id; its top TF-IDF
+      // keywords (printed) become an OR query, the seed is excluded
+      val engine = new graft.engine.Bm25Engine(spark, indexDir)
+      val seedId = query.substring(query.indexOf(':') + 1).trim.toLong
+      val seedText = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === seedId)
+        .select("text").head().getString(0)
+      val t0 = System.nanoTime()
+      val hits = engine.moreLikeThis(seedId, seedText, kTerms = 5, k = 10)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(s"MLT seed doc $seedId -> ${hits.size} results in ${f"$dt%.3f"} s")
+      hits.zipWithIndex.foreach { case (h, i) =>
+        println(f"${i + 1}%2d. score=${h.score}%.4f docId=${h.docId}")
+      }
     } else if (query.startsWith("bm25f:") || query.startsWith("champ:") ||
                query.startsWith("prox:") || query.startsWith("ql:") ||
                query.startsWith("phrase:")) {

@@ -92,6 +92,34 @@ class Bm25Spec extends AnyFunSuite {
     assert(engine.searchTerms(Seq("spark", "zzzz"), 5, engine.And).isEmpty)
   }
 
+  test("moreLikeThis == keywordsTfIdf-rule selection + searchTerms, seed excluded") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-mlt")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val engine = new Bm25Engine(spark, out)
+    val texts = src.collect().map(d => d.docId -> d.content).toMap
+    // first-principles keyword selection for the seed, independent of
+    // the engine: tf from the seed's body tokens, df over the corpus
+    val seed = 0L
+    val allToks = texts.map { case (id, c) =>
+      id -> graft.tokenizer.Tokenizer.bodyTokens(c) }
+    val tf = allToks(seed).groupBy(identity).map { case (t, a) => t -> a.length }
+    val n = texts.size.toDouble
+    val dfOf = (t: String) => allToks.count(_._2.contains(t)).toDouble
+    val expTerms = tf.toSeq.map { case (t, f) =>
+      (t, BigDecimal(f * math.log(n / dfOf(t)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (t, w) => (-w, t) }.take(5).map(_._1)
+    val got = engine.moreLikeThis(seed, texts(seed), kTerms = 5, k = 30)
+    val exp = engine.searchTerms(expTerms, 31, engine.Or)
+      .filter(_.docId != seed).take(30)
+    assert(got.map(h => (h.docId, math.rint(h.score * 1e9))) ===
+      exp.map(h => (h.docId, math.rint(h.score * 1e9))))
+    assert(got.nonEmpty && !got.exists(_.docId == seed) && got.size === 30)
+    // text with no indexable tokens -> empty
+    assert(engine.moreLikeThis(seed, "12345 !!", kTerms = 5, k = 10).isEmpty)
+  }
+
   test("concurrent queries on ONE engine are identical to sequential (dfCache race)") {
     // the pthread-per-request analog (index/indexServer.cpp:178-198): N
     // threads share one engine; the global-df memo must not race. Term
