@@ -1199,6 +1199,17 @@ object SparkEntry {
     })
   }
 
+  /** ORC twin of [[jsonlDir]] (columnar interchange path). */
+  private val orcCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def orcDir(s: SparkSession, sfDir: String): String = synchronized {
+    orcCache.getOrElseUpdate(sfDir, {
+      val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      Corpus.writeOrcShards(Corpus.fromDocumentsParquet(s, sfDir), out,
+        numShards = 8)
+      out
+    })
+  }
+
   /** Flagship: index build + reference-scored search, end to end. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -1289,6 +1300,13 @@ object SparkEntry {
     // quoted round trip); shard re-derived by the writer's own rule
     "q_csv_docs" -> ((s, dir) =>
       Corpus.fromCsvShards(s, csvDir(s, dir)).toDF()
+        .select(col("docId").as("doc_id"),
+          pmod(col("docId"), lit(8L)).as("shard"),
+          md5(col("content")).as("digest"))
+        .orderBy(asc("doc_id"))),
+    // ORC twin (columnar interchange; binary-exact by construction)
+    "q_orc_docs" -> ((s, dir) =>
+      Corpus.fromOrcShards(s, orcDir(s, dir)).toDF()
         .select(col("docId").as("doc_id"),
           pmod(col("docId"), lit(8L)).as("shard"),
           md5(col("content")).as("digest"))
@@ -2153,6 +2171,8 @@ object SparkEntry {
       "q_jsonl_docs" -> """SELECT doc_id, doc_id % 8 AS shard,
         |md5(text) AS digest FROM documents ORDER BY doc_id""".stripMargin,
       "q_csv_docs" -> """SELECT doc_id, doc_id % 8 AS shard,
+        |md5(text) AS digest FROM documents ORDER BY doc_id""".stripMargin,
+      "q_orc_docs" -> """SELECT doc_id, doc_id % 8 AS shard,
         |md5(text) AS digest FROM documents ORDER BY doc_id""".stripMargin,
       // and tokenize identically (same truth as q_term_stats, but the
       // Spark side reads the JSONL rendering, not the parquet)

@@ -240,6 +240,28 @@ object Corpus {
       .as[IdDoc]
   }
 
+  /** ORC twin of [[writeJsonlShards]] — the columnar interchange format
+    * for warehouses that standardize on ORC instead of Parquet (Hive
+    * lineage). Same layout contract: `shard=N/` dirs, one file per
+    * shard, rows docId-ascending. Binary-typed columns make the trip
+    * byte-exact by construction (no quoting/escaping layer at all);
+    * ORC stripes keep big shards splittable like Parquet.
+    */
+  def writeOrcShards(ids: Dataset[IdDoc], dir: String, numShards: Int): Unit =
+    shardedWriter(ids, numShards).orc(dir)
+
+  /** Read a [[writeOrcShards]] corpus back. The explicit schema skips
+    * nothing ORC-side (self-describing format) but pins the read types
+    * so a widened writer cannot silently change downstream plans.
+    */
+  def fromOrcShards(spark: SparkSession, dir: String): Dataset[IdDoc] = {
+    import spark.implicits._
+    spark.read.schema(shardReadSchema).orc(dir)
+      .select(col("docId"), col("repo"), col("path"), col("commit"),
+        col("lang"), col("content"))
+      .as[IdDoc]
+  }
+
   /** Seeded synthetic corpus (FIXTURES.md §1). Generated on the driver —
     * only used at unit-test scales.
     */

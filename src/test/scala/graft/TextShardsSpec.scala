@@ -64,6 +64,21 @@ class TextShardsSpec extends AnyFunSuite {
     assert(asMap(back) === asMap(fixture))
   }
 
+  test("ORC round-trip is byte-exact on adversarial content (columnar path)") {
+    val dir = tmp("graft_orc_rt")
+    Corpus.writeOrcShards(ds(fixture), dir, numShards = 3)
+    val back = Corpus.fromOrcShards(spark, dir).collect().toSeq
+    assert(asMap(back) === asMap(fixture))
+    // layout contract holds for ORC too: shard dirs, one file per shard
+    val fs = new java.io.File(dir)
+    val shardDirs = fs.listFiles().filter(_.getName.startsWith("shard=")).sorted
+    assert(shardDirs.map(_.getName).toSeq ===
+      Seq("shard=0", "shard=1", "shard=2"))
+    shardDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".orc")) === 1, d.getName)
+    }
+  }
+
   test("gzip JSONL shards round-trip (one-task non-splittable codec path)") {
     val dir = tmp("graft_jsonl_gz")
     Corpus.writeJsonlShards(ds(fixture), dir, numShards = 2, compression = "gzip")
