@@ -1349,6 +1349,18 @@ object SparkEntry {
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
+    // freshness-filtered BM25: only docs past the mid-corpus mark
+    // compete (global idf/avgdl — the filter narrows candidates, not
+    // the collection stats); the mark lands mid-chunk, so the boundary
+    // transcode path is exercised
+    "q_bm25_since" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      val mark = asOfMark(s, dir)
+      engine.searchTermsSince(Seq("spark", "dup", "merge"), 30, mark)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
     // more-like-this: doc 0's top-5 TF-IDF keywords (keywordsTfIdf
     // rule, df probed from the index) as an OR query, seed excluded
     "q_more_like_this" -> ((s, dir) => {
@@ -2251,6 +2263,28 @@ object SparkEntry {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
         |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1)
+        |SELECT doc_id, round(raw, 4) AS score FROM scores
+        |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      // freshness-filtered BM25: GLOBAL df/avgdl/N, tf restricted to
+      // docs past the mid-corpus mark
+      "q_bm25_since" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tfall AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |          WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tfall GROUP BY 1),
+        |mk AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS m FROM documents),
+        |tf AS (SELECT tfall.* FROM tfall, mk WHERE doc_id > mk.m),
         |scores AS (
         |  SELECT tf.doc_id,
         |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *

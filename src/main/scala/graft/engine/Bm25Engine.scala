@@ -382,6 +382,104 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     (expansion, searchTerms(base ++ expansion, k))
   }
 
+  /** Freshness-filtered BM25 top-k: only documents with
+    * docId > `sinceDocId` compete — "new results since the last crawl",
+    * the query-side pairing of the daily-delta `appendBuild` story
+    * (docIds only move upward, so a docId mark IS a recency cutoff —
+    * the TimeTravel invariant read in the other direction). Collection
+    * statistics stay GLOBAL (standard filtered-retrieval semantics: the
+    * filter narrows candidates, not idf/avgdl).
+    *
+    * Scale shape: chunks entirely at or below the mark are pruned
+    * BEFORE any read (`chunk >= mark div chunkDocs` — partition
+    * pruning, the postingsAsOf trick reversed); only the ONE boundary
+    * chunk's lists are decode-filter-reencoded (positions are
+    * doc-local — the compact invariant — so the transcode is exact) and
+    * the frozen kernels then run unchanged on all of them. A legacy
+    * index without persisted chunkDocs transcodes every chunk instead
+    * of pruning with a guessed geometry (readStats sentinel contract).
+    */
+  def searchTermsSince(terms: Seq[String], k: Int, sinceDocId: Long,
+                       mode: Mode = Or, useWand: Boolean = true): Seq[Bm25.Hit] = {
+    val (n, avgdl) = corpusStats
+    val boundary = if (chunkDocsConf > 0) sinceDocId / chunkDocsConf else -1L
+    val postsAll = postings.filter($"term".isin(terms: _*))
+    val posts =
+      if (boundary >= 0) postsAll.filter($"chunk" >= boundary) else postsAll
+
+    val dfMap = globalDf(terms)
+    if (mode == And && terms.exists(t => !dfMap.contains(t))) return Seq.empty
+    if (dfMap.isEmpty) return Seq.empty
+    val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+
+    val idfB = spark.sparkContext.broadcast(idfMap)
+    val conj = mode == And
+    val wand = useWand
+    val needTerms = terms.distinct.size
+    val mark = sinceDocId
+    val bnd = boundary
+
+    def score(termLists: Seq[Bm25.TermList], docLen: Bm25.DocLen): Iterator[Bm25.Hit] =
+      if (termLists.isEmpty || (conj && termLists.size != needTerms)) Iterator.empty
+      else (if (conj) Bm25.scoreConjunctive(termLists, docLen, avgdl, k)
+            else if (wand) Bm25.scoreWand(termLists, docLen, avgdl, k)
+            else Bm25.scoreExhaustive(termLists, docLen, avgdl, k)).iterator
+
+    // strictly-above-boundary chunks are entirely fresh: lists pass
+    // through untouched; the boundary (or every chunk, legacy) pays one
+    // decode-filter-reencode of the query terms' lists only
+    def toLists(chunk: Long,
+                ps: Iterator[graft.index.PostingRow]): Seq[Bm25.TermList] =
+      ps.flatMap { p =>
+        if (bnd >= 0 && chunk > bnd)
+          Some(Bm25.TermList(p.term, idfB.value(p.term),
+            p.blocks.map(_.maxTf).max, p.df, p.blocks, p.postingsBlob))
+        else {
+          val kept = graft.codec.PostingCodec.decode(p.df, p.postingsBlob)
+            .filter(_._1 > mark)
+          if (kept.isEmpty) None
+          else {
+            val (df2, _, blocks2, blob2) =
+              graft.codec.PostingCodec.encode(
+                scala.collection.immutable.ArraySeq.unsafeWrapArray(kept))
+            Some(Bm25.TermList(p.term, idfB.value(p.term),
+              blocks2.map(_.maxTf).max, df2, blocks2, blob2))
+          }
+        }
+      }.toSeq
+
+    val perChunk = lensBroadcast match {
+      case Some(bc) =>
+        posts.groupByKey(_.chunk).flatMapGroups { (chunk, ps) =>
+          bc.value.get(chunk) match {
+            case None => Iterator.empty
+            case Some(lens) => score(toLists(chunk, ps), id => lens.get(id))
+          }
+        }.collect()
+      case None =>
+        val qualifying = (mode match {
+          case And =>
+            posts.groupBy($"chunk").agg(countDistinct($"term").as("nt"))
+              .filter($"nt" === needTerms)
+          case Or => posts.select($"chunk").distinct()
+        }).select($"chunk").as[Long].collect()
+        if (qualifying.isEmpty) return Seq.empty
+        val postsQ = posts.filter($"chunk".isin(qualifying: _*))
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+          .select($"chunk", $"docId", $"docLength")
+          .as[(Long, Long, Long)]
+        postsQ.groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_._1)) { (chunk, ps, ds) =>
+            val lens = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+            ds.foreach { case (_, docId, len) => lens.put(docId, len.toDouble) }
+            if (lens.isEmpty) Iterator.empty
+            else score(toLists(chunk, ps), id => lens.get(id))
+          }
+          .collect()
+    }
+    perChunk.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
   /** More-like-this retrieval (the Elasticsearch MLT operator — "find
     * documents like this one"): the seed document's top-`kTerms` TF-IDF
     * keywords become an OR query, the seed itself is excluded from the

@@ -92,6 +92,32 @@ class Bm25Spec extends AnyFunSuite {
     assert(engine.searchTerms(Seq("spark", "zzzz"), 5, engine.And).isEmpty)
   }
 
+  test("searchTermsSince == global ranking filtered to docId > mark (boundary transcode)") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-bm25-since")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val engine = new Bm25Engine(spark, out)
+    val terms = Seq("spark", "dup", "merge")
+    // every OR-matching doc with its global score (k=600 > corpus size)
+    val all = engine.searchTerms(terms, 600, engine.Or)
+    for (mark <- Seq(0L, 250L, 399L, 499L)) { // mid-chunk marks straddle chunk 1
+      val got = engine.searchTermsSince(terms, 30, mark)
+      val exp = all.filter(_.docId > mark)
+        .sorted(Bm25.better.reverse).take(30)
+      assert(got.map(h => (h.docId, math.rint(h.score * 1e9))) ===
+        exp.map(h => (h.docId, math.rint(h.score * 1e9))), s"mark=$mark")
+      assert(got.forall(_.docId > mark), s"mark=$mark leaked old docs")
+    }
+    // And mode: all terms must co-occur within the fresh tail
+    val andSince = engine.searchTermsSince(Seq("spark", "dup"), 50, 250L, engine.And)
+    val andAll = engine.searchTerms(Seq("spark", "dup"), 600, engine.And)
+    assert(andSince.map(_.docId) ===
+      andAll.filter(_.docId > 250L).sorted(Bm25.better.reverse).take(50).map(_.docId))
+    // mark at/after the high-water: empty
+    assert(engine.searchTermsSince(terms, 10, 499L).map(_.docId).forall(_ > 499L))
+    assert(engine.searchTermsSince(terms, 10, 10000L).isEmpty)
+  }
+
   test("moreLikeThis == keywordsTfIdf-rule selection + searchTerms, seed excluded") {
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     val out = SparkTestBase.tempDir("graft-mlt")
