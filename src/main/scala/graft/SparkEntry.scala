@@ -1349,6 +1349,17 @@ object SparkEntry {
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
+    // repo-collapsed BM25: at most 2 hits per repository from the
+    // top-100 pool (grouped retrieval / site collapse)
+    "q_bm25_collapsed" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      engine.searchTermsCollapsed(Seq("spark", "dup", "merge"), k = 30,
+          perRepo = 2, pool = 100)
+        .map { case (h, r) =>
+          (h.docId, math.floor(h.score * 10000 + 0.5) / 10000, r) }
+        .toDF("doc_id", "score", "repo")
+    }),
     // freshness-filtered BM25: only docs past the mid-corpus mark
     // compete (global idf/avgdl — the filter narrows candidates, not
     // the collection stats); the mark lands mid-chunk, so the boundary
@@ -2272,6 +2283,35 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, round(raw, 4) AS score FROM scores
         |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      // repo-collapsed BM25: per-repo rank within the global-order
+      // top-100 pool, rr <= 2, then the global top-30
+      "q_bm25_collapsed" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |pool AS (SELECT doc_id, raw FROM scores
+        |         ORDER BY raw DESC, doc_id LIMIT 100),
+        |ranked AS (
+        |  SELECT doc_id, raw,
+        |         'org' || (doc_id % 50) || '/proj' || (doc_id % 50) AS repo,
+        |         row_number() OVER (
+        |           PARTITION BY doc_id % 50
+        |           ORDER BY raw DESC, doc_id) AS rr
+        |  FROM pool)
+        |SELECT doc_id, round(raw, 4) AS score, repo FROM ranked
+        |WHERE rr <= 2 ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
 
       // freshness-filtered BM25: GLOBAL df/avgdl/N, tf restricted to
       // docs past the mid-corpus mark

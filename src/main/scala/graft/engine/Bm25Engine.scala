@@ -382,6 +382,48 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     (expansion, searchTerms(base ++ expansion, k))
   }
 
+  /** Repo-collapsed BM25 top-k — the "site collapse" every search UI
+    * applies (at most `perRepo` hits from any one repository), the
+    * code-corpus analog of the reference ranker's duplicate-URL drop
+    * (ranker/ranker.h dedup, applied one level up). Two-phase grouped
+    * retrieval: rank the top-`pool` global candidates, resolve their
+    * repos with ONE chunk-pruned metadata lookup (pool-sized, never the
+    * corpus), then walk the pool in score order keeping a doc iff its
+    * repo has fewer than `perRepo` kept hits. Exact whenever the
+    * collapsed top-k lies within the pool — size `pool` accordingly
+    * (k * perRepo-th order statistics; the default 100 covers k=30
+    * comfortably). Returns (docId, score, repo).
+    *
+    * repo = the url's first two segments (`org/proj` of the
+    * Corpus.url derivation `repo/path@commit`).
+    */
+  def searchTermsCollapsed(terms: Seq[String], k: Int, perRepo: Int = 2,
+                           pool: Int = 100): Seq[(Bm25.Hit, String)] = {
+    require(perRepo > 0 && pool >= k, "need perRepo > 0 and pool >= k")
+    val hits = searchTerms(terms, pool, Or)
+    if (hits.isEmpty) return Seq.empty
+    val ids = hits.map(_.docId)
+    val metaSrc =
+      if (chunkDocsConf > 0) {
+        val cs = ids.map(_ / chunkDocsConf).distinct
+        docs.filter($"chunk".isin(cs: _*))
+      } else docs
+    val urlOf = metaSrc.filter($"docId".isin(ids: _*))
+      .select($"docId", $"url").as[(Long, String)].collect().toMap
+    val repoOf = (id: Long) =>
+      urlOf.getOrElse(id, "").split('/').take(2).mkString("/")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Bm25.Hit, String)]
+    val perRepoCount = scala.collection.mutable.HashMap.empty[String, Int]
+    val it = hits.iterator
+    while (kept.size < k && it.hasNext) {
+      val h = it.next()
+      val r = repoOf(h.docId)
+      val c = perRepoCount.getOrElse(r, 0)
+      if (c < perRepo) { perRepoCount(r) = c + 1; kept += ((h, r)) }
+    }
+    kept.toSeq
+  }
+
   /** Freshness-filtered BM25 top-k: only documents with
     * docId > `sinceDocId` compete — "new results since the last crawl",
     * the query-side pairing of the daily-delta `appendBuild` story

@@ -92,6 +92,34 @@ class Bm25Spec extends AnyFunSuite {
     assert(engine.searchTerms(Seq("spark", "zzzz"), 5, engine.And).isEmpty)
   }
 
+  test("searchTermsCollapsed: first perRepo per repo in global order, exact vs brute twin") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-bm25-coll")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val engine = new Bm25Engine(spark, out)
+    val terms = Seq("spark", "dup", "merge")
+    val got = engine.searchTermsCollapsed(terms, k = 30, perRepo = 2, pool = 100)
+    // brute twin: same pool, repo from the corpus derivation, same walk
+    val pool = engine.searchTerms(terms, 100, engine.Or)
+    val repoOf = src.collect().map(d => d.docId -> d.repo).toMap
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val cnt = scala.collection.mutable.HashMap.empty[String, Int]
+    pool.foreach { h =>
+      val r = repoOf(h.docId)
+      if (kept.size < 30 && cnt.getOrElse(r, 0) < 2) {
+        cnt(r) = cnt.getOrElse(r, 0) + 1; kept += ((h.docId, r))
+      }
+    }
+    assert(got.map { case (h, r) => (h.docId, r) } === kept.toSeq)
+    // the cap holds and scores stay in global order
+    assert(got.groupBy(_._2).values.forall(_.size <= 2))
+    assert(got.map(_._1).sliding(2).forall {
+      case Seq(a, b) => a.score > b.score || (a.score == b.score && a.docId < b.docId)
+      case _ => true
+    })
+    assert(got.size === 30)
+  }
+
   test("searchTermsSince == global ranking filtered to docId > mark (boundary transcode)") {
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     val out = SparkTestBase.tempDir("graft-bm25-since")
