@@ -1304,6 +1304,13 @@ object SparkEntry {
           pmod(col("docId"), lit(8L)).as("shard"),
           md5(col("content")).as("digest"))
         .orderBy(asc("doc_id"))),
+    // shard-manifest integrity audit THROUGH the JSONL round trip: the
+    // re-ingested corpus's per-shard counts/extents/XOR-digests must
+    // equal the parquet truth bit-for-bit (any dropped/duplicated/
+    // corrupted doc flips the digest)
+    "q_shard_manifest" -> ((s, dir) =>
+      Corpus.shardManifest(Corpus.fromJsonlShards(s, jsonlDir(s, dir)),
+        numShards = 8)),
     // ORC twin (columnar interchange; binary-exact by construction)
     "q_orc_docs" -> ((s, dir) =>
       Corpus.fromOrcShards(s, orcDir(s, dir)).toDF()
@@ -2197,6 +2204,14 @@ object SparkEntry {
         |md5(text) AS digest FROM documents ORDER BY doc_id""".stripMargin,
       "q_orc_docs" -> """SELECT doc_id, doc_id % 8 AS shard,
         |md5(text) AS digest FROM documents ORDER BY doc_id""".stripMargin,
+      // the manifest truth from the parquet table; the Spark side feeds
+      // the round-tripped JSONL rendering through the same aggregation
+      "q_shard_manifest" -> """
+        |SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |       bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+        |         AS content_digest
+        |FROM documents GROUP BY 1""".stripMargin,
       // and tokenize identically (same truth as q_term_stats, but the
       // Spark side reads the JSONL rendering, not the parquet)
       "q_jsonl_term_stats" -> (duckToks + """

@@ -262,6 +262,31 @@ object Corpus {
       .as[IdDoc]
   }
 
+  /** Per-shard integrity manifest — the audit you actually run after a
+    * 100 TB export: doc count, docId extent, and an ORDER-INDEPENDENT
+    * content digest per shard (bit_xor of each doc's 60-bit md5 prefix —
+    * 15 hex chars so the value fits a signed 64-bit lane portably).
+    * XOR makes the digest mergeable (manifest(A ∪ B) = manifest(A) ⊕
+    * manifest(B) bin-wise) and insensitive to row order, so a manifest
+    * computed over a round-tripped rendering (JSONL/CSV/ORC shards read
+    * back in any split order) must equal the source-of-truth manifest
+    * bit-for-bit; any dropped, duplicated, or corrupted doc flips it.
+    * One bounded exchange (numShards rows out).
+    */
+  def shardManifest(ids: Dataset[IdDoc], numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    ids.toDF()
+      .select(pmod(col("docId"), lit(numShards.toLong)).as("shard"),
+        col("docId"),
+        expr("cast(conv(substring(md5(content), 1, 15), 16, 10) as bigint)")
+          .as("h60"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("docId")).as("min_doc_id"),
+        max(col("docId")).as("max_doc_id"),
+        expr("bit_xor(h60)").as("content_digest"))
+  }
+
   /** Seeded synthetic corpus (FIXTURES.md §1). Generated on the driver —
     * only used at unit-test scales.
     */

@@ -79,6 +79,34 @@ class TextShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("shardManifest: hand XOR, row-order independence, mergeability, tamper detection") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val m = Corpus.shardManifest(ds(fixture), numShards = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    fixture.groupBy(_.docId % 3).foreach { case (shard, docs) =>
+      val want = (docs.size.toLong, docs.map(_.docId).min, docs.map(_.docId).max,
+        docs.map(d => h60(d.content)).reduce(_ ^ _))
+      assert(m(shard) === want, s"shard $shard")
+    }
+    // row order cannot matter (XOR) and manifests merge bin-wise
+    val rev = Corpus.shardManifest(ds(fixture.reverse), numShards = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rev === m.map { case (s, v) => s -> v._4 })
+    // tampering one char flips the digest
+    val tampered = fixture.map(d =>
+      if (d.docId == 0L) d.copy(content = d.content + "x") else d)
+    val t = Corpus.shardManifest(ds(tampered), numShards = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(t(0L) !== m(0L)._4)
+    assert((1L to 2L).forall(s => t(s) === m(s)._4))
+  }
+
   test("gzip JSONL shards round-trip (one-task non-splittable codec path)") {
     val dir = tmp("graft_jsonl_gz")
     Corpus.writeJsonlShards(ds(fixture), dir, numShards = 2, compression = "gzip")
