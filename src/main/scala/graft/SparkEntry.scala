@@ -1000,6 +1000,32 @@ object SparkEntry {
     })
   }
 
+  /** TWO separate shard indexes per scale dir, NEVER merged: corpus
+    * halves built independently, the second half REBASED to docId 0 so
+    * both docId spaces collide (the per-shard build reality).
+    * q_federated_topk queries THESE through engine.FederatedBm25, so the
+    * driver checks the scatter-gather path end-to-end: the df-exchange,
+    * the global-stats scoring, and the chunk-aligned global docId remap
+    * (the oracle scores BM25 from whole-corpus tokenization truth and
+    * remaps doc_ids with the same offset rule).
+    */
+  private val fedCache = scala.collection.mutable.HashMap.empty[String, (String, String)]
+  private def fedDirs(s: SparkSession, sfDir: String): (String, String) = synchronized {
+    fedCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
+      val a = java.nio.file.Files.createTempDirectory("graft_idx_fed_a").toString
+      val b = java.nio.file.Files.createTempDirectory("graft_idx_fed_b").toString
+      val ids = Corpus.fromDocumentsParquet(s, sfDir)
+      val mid = ids.agg(max($"docId")).as[Long].head() / 2
+      val cfg = IndexBuilder.BuildConfig(chunkDocs = 200)
+      IndexBuilder.build(s, ids.filter(_.docId <= mid), a, cfg)
+      IndexBuilder.build(s,
+        ids.filter(_.docId > mid).map(d => d.copy(docId = d.docId - mid - 1)),
+        b, cfg)
+      (a, b)
+    })
+  }
+
   /** One ALIGNED-built index per scale dir: the corpus re-rendered in
     * ingest storage order (docId-sorted, contiguous partitions split at
     * chunk boundaries — what a table written by Corpus.assignDocIds
@@ -1353,6 +1379,20 @@ object SparkEntry {
       import s.implicits._
       val engine = new Bm25Engine(s, indexDir(s, dir))
       engine.searchTerms(Seq("spark", "dup", "merge"), 30, engine.Or)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
+    // federated scatter-gather BM25 over two UNMERGED colliding-docId
+    // shard indexes: the df-exchange folds global N/avgdl/df first, each
+    // shard scores against the GLOBAL stats, hits land in the
+    // mergeIndexes-rule global docId space — rank/score-identical to a
+    // consolidated index (FederationSpec), checked here against
+    // first-principles SQL truth
+    "q_federated_topk" -> ((s, dir) => {
+      import s.implicits._
+      val (a, b) = fedDirs(s, dir)
+      val fed = new graft.engine.FederatedBm25(s, Seq(a, b))
+      fed.searchTerms(Seq("spark", "dup", "merge"), 30)
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
@@ -2298,6 +2338,38 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT doc_id, round(raw, 4) AS score FROM scores
         |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+
+      // federated BM25: scores are docId-shift-invariant (df/N/avgdl/tf
+      // all global), so the oracle is the q_bm25_topk scoring with
+      // doc_id remapped into the federated global space — shard A
+      // (doc_id <= mid) keeps its ids, shard B (rebased to 0) shifts to
+      // the first chunkDocs=200 boundary strictly past shard A's
+      // high-water; ties break on the GLOBAL id like the gather merge
+      "q_federated_topk" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |mk AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid FROM documents),
+        |offs AS (SELECT ((CAST(max(d.doc_id) AS BIGINT) // 200) + 1) * 200 AS o
+        |         FROM documents d, mk WHERE d.doc_id <= mk.mid),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |gid AS (
+        |  SELECT CASE WHEN s.doc_id <= mk.mid THEN s.doc_id
+        |              ELSE s.doc_id - mk.mid - 1 + offs.o END AS gdoc,
+        |         s.raw
+        |  FROM scores s, mk, offs)
+        |SELECT gdoc AS doc_id, round(raw, 4) AS score FROM gid
+        |ORDER BY raw DESC, gdoc LIMIT 30""".stripMargin),
 
       // repo-collapsed BM25: per-repo rank within the global-order
       // top-100 pool, rr <= 2, then the global top-30

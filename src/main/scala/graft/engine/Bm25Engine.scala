@@ -75,14 +75,33 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
   /** (N, avgdl) over pure token lengths (title + body, no EndDoc). */
   lazy val corpusStats: (Long, Double) = (globalStats._1, globalStats._2)
 
+  /** (N, total kept tokens) — the raw sums the federation layer folds
+    * across shards (a mean of means is not the global avgdl).
+    */
+  private[engine] def statsNT: (Long, Long) = (globalStats._1, globalStats._4)
+
+  /** This shard's document frequencies for the federation df-exchange
+    * (memoized like every local query's).
+    */
+  private[engine] def shardDf(terms: Seq[String]): Map[String, Long] =
+    globalDf(terms)
+
+  /** Persisted docs-per-chunk geometry (-1 sentinel on legacy stats). */
+  private[engine] def chunkGeometry: Long = chunkDocsConf
+
   private def chunkDocsConf: Long = globalStats._3
 
   /** Exact corpus token count (title + body kept tokens). */
   private def totalTokens: Long = globalStats._4
 
-  sealed trait Mode
-  case object Or extends Mode       // WAND path
-  case object And extends Mode      // leapfrog intersection
+  /** Retrieval mode, hoisted to the companion so engines over DIFFERENT
+    * shard indexes share one type (the federation layer passes a mode
+    * across engines); the instance aliases keep `engine.Or` call sites
+    * source-compatible.
+    */
+  type Mode = Bm25Engine.Mode
+  val Or: Bm25Engine.Or.type = Bm25Engine.Or     // WAND path
+  val And: Bm25Engine.And.type = Bm25Engine.And  // leapfrog intersection
 
   /** Global-df memo. One engine serves concurrent queries (the
     * pthread-per-request analog, index/indexServer.cpp:178-198), so the
@@ -123,18 +142,27 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     // whose stats predate the chunkDocs column (sentinel -1) skip the
     // predicate entirely rather than pruning with a guessed value that
     // would silently match no partitions.
-    val ids = hits.map(_.docId)
+    val meta = resolveMeta(hits.map(_.docId))
+    hits.map(h => Bm25Hit(h.docId, h.score,
+      meta.get(h.docId).map(_._1).getOrElse(""),
+      meta.get(h.docId).map(_._2).getOrElse("")))
+  }
+
+  /** (docId -> (url, title)) for a FINAL top-k id list — chunk-pruned to
+    * the <= k directories holding a hit (shared by [[search]] and the
+    * federation layer, which resolves each global hit from its owning
+    * shard's docs table).
+    */
+  private[engine] def resolveMeta(ids: Seq[Long]): Map[Long, (String, String)] = {
+    if (ids.isEmpty) return Map.empty
     val pruned =
       if (chunkDocsConf > 0) {
         val hitChunks = ids.map(_ / chunkDocsConf).distinct
         docs.filter($"chunk".isin(hitChunks: _*) && $"docId".isin(ids: _*))
       } else docs.filter($"docId".isin(ids: _*))
-    val meta = pruned
+    pruned
       .select($"docId", $"url", $"title").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
-    hits.map(h => Bm25Hit(h.docId, h.score,
-      meta.get(h.docId).map(_._1).getOrElse(""),
-      meta.get(h.docId).map(_._2).getOrElse("")))
   }
 
   /** Per-field corpus averages for BM25F, one column-pruned docs
@@ -499,12 +527,11 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
           }
         }.collect()
       case None =>
-        val qualifying = (mode match {
-          case And =>
+        val qualifying = (if (mode == And)
             posts.groupBy($"chunk").agg(countDistinct($"term").as("nt"))
               .filter($"nt" === needTerms)
-          case Or => posts.select($"chunk").distinct()
-        }).select($"chunk").as[Long].collect()
+          else posts.select($"chunk").distinct()
+        ).select($"chunk").as[Long].collect()
         if (qualifying.isEmpty) return Seq.empty
         val postsQ = posts.filter($"chunk".isin(qualifying: _*))
         val docsQ = docs.filter($"chunk".isin(qualifying: _*))
@@ -768,13 +795,27 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
   def searchTerms(terms: Seq[String], k: Int, mode: Mode = Or,
                   useWand: Boolean = true): Seq[Bm25.Hit] = {
     val (n, avgdl) = corpusStats
-    val posts = postings.filter($"term".isin(terms: _*))
-
     val dfMap = globalDf(terms)
     if (mode == And && terms.exists(t => !dfMap.contains(t))) return Seq.empty
     if (dfMap.isEmpty) return Seq.empty
     val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+    searchTermsWithStats(terms, k, idfMap, avgdl, mode, useWand)
+  }
 
+  /** The scoring phase of [[searchTerms]] with the collection statistics
+    * (per-term idf, avgdl) supplied by the caller instead of derived from
+    * THIS index — the hook [[FederatedBm25]] scores each shard through so
+    * every shard ranks against the same GLOBAL statistics (the classic
+    * distributed-IR df-exchange; the reference's per-machine indexes
+    * skip it and each server ranks against local stats,
+    * frontEnd/communicationServer.h:118-130). Terms absent from idfMap
+    * contribute nothing (df 0 ⇒ no posting rows); conjunctive chunks
+    * still require every REQUESTED term locally.
+    */
+  private[engine] def searchTermsWithStats(terms: Seq[String], k: Int,
+      idfMap: Map[String, Double], avgdl: Double, mode: Mode,
+      useWand: Boolean): Seq[Bm25.Hit] = {
+    val posts = postings.filter($"term".isin(terms: _*))
     val idfB = spark.sparkContext.broadcast(idfMap)
     val conj = mode == And
     val wand = useWand
@@ -810,19 +851,18 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
         val bloomCand =
           if (bloomAvailable)
             graft.index.BloomSidecar.candidateChunks(spark, indexDir,
-              dfMap.keys.toSeq, requireAll = mode == And)
+              idfMap.keys.toSeq, requireAll = mode == And)
           else None
         if (bloomCand.exists(_.isEmpty)) return Seq.empty
         val postsB = bloomCand match {
           case Some(cs) => posts.filter($"chunk".isin(cs.toSeq: _*))
           case None => posts
         }
-        val qualifying = (mode match {
-          case And =>
+        val qualifying = (if (conj)
             postsB.groupBy($"chunk").agg(countDistinct($"term").as("nt"))
               .filter($"nt" === needTerms)
-          case Or => postsB.select($"chunk").distinct()
-        }).select($"chunk").as[Long].collect()
+          else postsB.select($"chunk").distinct()
+        ).select($"chunk").as[Long].collect()
         if (qualifying.isEmpty) return Seq.empty
         val postsQ = postsB.filter($"chunk".isin(qualifying: _*))
         val docsQ = docs.filter($"chunk".isin(qualifying: _*))
@@ -840,4 +880,13 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
 
     perChunk.sorted(Bm25.better.reverse).take(k).toSeq
   }
+}
+
+object Bm25Engine {
+  /** Retrieval mode shared across engine instances (see the class-level
+    * aliases): Or = disjunctive WAND, And = conjunctive leapfrog.
+    */
+  sealed trait Mode
+  case object Or extends Mode
+  case object And extends Mode
 }
