@@ -1653,6 +1653,12 @@ object SparkEntry {
       Similarity.hardNegatives(docsDf(s, dir), embDf(s, dir), "spark", 10)),
 
     // ---- text analysis ----
+    // CCNet-style LM perplexity scoring: Dirichlet bigram / Laplace
+    // unigram model self-trained on the documents table, every doc
+    // scored by avg log-likelihood + perplexity
+    "q_lm_score" -> ((s, dir) =>
+      graft.analysis.LanguageModel.scoreDocs(docsDf(s, dir), docsDf(s, dir),
+        mu = 100.0)),
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docsDf(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(docsDf(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docsDf(s, dir))),
@@ -3169,6 +3175,42 @@ object SparkEntry {
         |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
         |FROM cos CROSS JOIN nq WHERE vec_id <> 0
         |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
+      // LM perplexity: the exact Dirichlet-bigram/Laplace-unigram
+      // closed form replayed — uni/bi counts, the two model scalars,
+      // lag-window pairs, first-token unigram term, per-doc fold
+      "q_lm_score" -> (duckToks + """
+        |, uni AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM uni),
+        |pairs AS (
+        |  SELECT doc_id, pos,
+        |         lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+        |         term AS cur
+        |  FROM toks),
+        |bi AS (SELECT prev, cur, count(*) AS c FROM pairs
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |pcost AS (
+        |  SELECT p.doc_id,
+        |         ln((coalesce(b.c, 0) + 100.0 * (uc.c + 1.0) / (tot.total + tot.vocab + 1)) /
+        |            (up.c + 100.0)) AS cost
+        |  FROM pairs p
+        |  JOIN uni uc ON uc.term = p.cur
+        |  JOIN uni up ON up.term = p.prev
+        |  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur
+        |  CROSS JOIN tot
+        |  WHERE p.prev IS NOT NULL),
+        |fcost AS (
+        |  SELECT p.doc_id, ln((uc.c + 1.0) / (tot.total + tot.vocab + 1)) AS cost
+        |  FROM pairs p JOIN uni uc ON uc.term = p.cur CROSS JOIN tot
+        |  WHERE p.pos = 1),
+        |nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+        |ll AS (SELECT doc_id, sum(cost) AS s
+        |       FROM (SELECT * FROM pcost UNION ALL SELECT * FROM fcost)
+        |       GROUP BY 1)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |       round(ll.s / nt.n_tokens, 6) AS avg_ll,
+        |       round(exp(-ll.s / nt.n_tokens), 4) AS ppl
+        |FROM nt JOIN ll USING (doc_id)""".stripMargin),
 
       "q_lang_id" -> (duckToks + s"""
         |, hits AS (
