@@ -1652,6 +1652,24 @@ object SparkEntry {
     "q_hard_negatives" -> ((s, dir) =>
       Similarity.hardNegatives(docsDf(s, dir), embDf(s, dir), "spark", 10)),
 
+    // TREC-style ranking eval: deterministic run (tf desc, doc_id) and
+    // graded qrels (rel = min(tf, 3)) per query term, then nDCG/MRR/P/
+    // recall at 10 through analysis.RankEval
+    "q_rank_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = TextAnalysis.tokens(docsDf(s, dir))
+        .filter(col("term").isin("spark", "dup", "merge"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val qrels = tf.select(col("term").as("query_id"), col("doc_id"),
+        least(col("tf"), lit(3L)).as("rel"))
+      val runs = tf.withColumn("rank", row_number().over(
+          Window.partitionBy(col("term")).orderBy(desc("tf"), asc("doc_id")))
+          .cast("long"))
+        .filter(col("rank") <= 30)
+        .select(col("term").as("query_id"), col("doc_id"), col("rank"))
+      graft.analysis.RankEval.evaluate(runs, qrels, 10)
+    }),
+
     // ---- text analysis ----
     // CCNet-style LM perplexity scoring: Dirichlet bigram / Laplace
     // unigram model self-trained on the documents table, every doc
@@ -3175,6 +3193,45 @@ object SparkEntry {
         |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
         |FROM cos CROSS JOIN nq WHERE vec_id <> 0
         |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
+      // ranking eval: the same deterministic run/qrels construction,
+      // then the closed-form nDCG/MRR/P/recall fold at k=10
+      "q_rank_eval" -> (duckToks + """
+        |, tf AS (SELECT term AS query_id, doc_id, count(*) AS tf FROM toks
+        |         WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |qrels AS (SELECT query_id, doc_id, least(tf, 3) AS rel FROM tf),
+        |run10 AS (
+        |  SELECT query_id, doc_id, rnk FROM (
+        |    SELECT query_id, doc_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY tf DESC, doc_id) AS rnk
+        |    FROM tf) WHERE rnk <= 10),
+        |perq AS (
+        |  SELECT r.query_id,
+        |         sum(CASE WHEN q.rel > 0
+        |                  THEN (pow(2.0, q.rel) - 1.0) / log2(r.rnk + 1.0)
+        |                  ELSE 0 END) AS dcg,
+        |         min(CASE WHEN q.rel > 0 THEN r.rnk END) AS first_rel,
+        |         sum(CASE WHEN q.rel > 0 THEN 1 ELSE 0 END) AS hits
+        |  FROM run10 r LEFT JOIN qrels q USING (query_id, doc_id)
+        |  GROUP BY 1),
+        |ideal AS (
+        |  SELECT query_id,
+        |         sum(CASE WHEN irank <= 10
+        |                  THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0)
+        |                  ELSE 0 END) AS idcg,
+        |         count(*) AS n_rel
+        |  FROM (SELECT query_id, rel,
+        |               row_number() OVER (PARTITION BY query_id
+        |                                  ORDER BY rel DESC, doc_id) AS irank
+        |        FROM qrels WHERE rel > 0)
+        |  GROUP BY 1)
+        |SELECT p.query_id,
+        |       round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg_at_k,
+        |       round(CASE WHEN p.first_rel IS NOT NULL THEN 1.0 / p.first_rel ELSE 0 END, 6) AS rr_at_k,
+        |       round(p.hits / 10.0, 6) AS p_at_k,
+        |       round(CASE WHEN i.n_rel > 0 THEN p.hits * 1.0 / i.n_rel ELSE 0 END, 6) AS recall_at_k
+        |FROM perq p JOIN ideal i USING (query_id)""".stripMargin),
 
       // LM perplexity: the exact Dirichlet-bigram/Laplace-unigram
       // closed form replayed — uni/bi counts, the two model scalars,
