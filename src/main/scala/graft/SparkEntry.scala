@@ -1026,6 +1026,31 @@ object SparkEntry {
     })
   }
 
+  /** TWO chunk-ALIGNED RefScore shards per scale dir: docId < 200, and
+    * docId >= 200 rebased to 0 (both chunkDocs = 200). The federation
+    * offset rule then places shard B at exactly 200 — so the federated
+    * global (chunk, docId) space COINCIDES with the whole-corpus index
+    * chunk-for-chunk, and q_fed_ref_topk reuses the q_ref_topk replay
+    * SQL verbatim while still exercising the real scatter-gather: two
+    * physical indexes, the offset fold, and the cross-shard insertion
+    * merge in global chunk order.
+    */
+  private val fedRefCache = scala.collection.mutable.HashMap.empty[String, (String, String)]
+  private def fedRefDirs(s: SparkSession, sfDir: String): (String, String) = synchronized {
+    fedRefCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
+      val a = java.nio.file.Files.createTempDirectory("graft_idx_fref_a").toString
+      val b = java.nio.file.Files.createTempDirectory("graft_idx_fref_b").toString
+      val ids = Corpus.fromDocumentsParquet(s, sfDir)
+      val cfg = IndexBuilder.BuildConfig(chunkDocs = 200)
+      IndexBuilder.build(s, ids.filter(_.docId < 200), a, cfg)
+      IndexBuilder.build(s,
+        ids.filter(_.docId >= 200).map(d => d.copy(docId = d.docId - 200)),
+        b, cfg)
+      (a, b)
+    })
+  }
+
   /** One ALIGNED-built index per scale dir: the corpus re-rendered in
     * ingest storage order (docId-sorted, contiguous partitions split at
     * chunk boundaries — what a table written by Corpus.assignDocIds
@@ -1534,6 +1559,19 @@ object SparkEntry {
         .toDF("slot", "doc_id", "score", "url")
     }),
 
+    // federated RefScore: the reference's own serving topology (per-
+    // machine ranking + front-end fan-in) over two physical shards whose
+    // chunk-aligned global space coincides with the whole-corpus index —
+    // checked against the identical q_ref_topk replay SQL
+    "q_fed_ref_topk" -> ((s, dir) => {
+      import s.implicits._
+      val (a, b) = fedRefDirs(s, dir)
+      val fed = new graft.engine.FederatedSearch(s, Seq(a, b))
+      fed.search("dup").zipWithIndex
+        .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
+        .toDF("slot", "doc_id", "score", "url")
+    }),
+
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactGroups(docsDf(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashSignatures(docsDf(s, dir))),
@@ -1674,7 +1712,7 @@ object SparkEntry {
     // CCNet-style LM perplexity scoring: Dirichlet bigram / Laplace
     // unigram model self-trained on the documents table, every doc
     // scored by avg log-likelihood + perplexity
-    "q_lm_score" -> ((s, dir) =>
+    "q_lm_ppl" -> ((s, dir) =>
       graft.analysis.LanguageModel.scoreDocs(docsDf(s, dir), docsDf(s, dir),
         mu = 100.0)),
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docsDf(s, dir))),
@@ -2254,7 +2292,7 @@ object SparkEntry {
       |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
       |FROM cos CROSS JOIN nq WHERE vec_id <> 0
       |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin)
-    Map(
+    val m = Map(
       "q_term_stats" -> (duckToks + """
         |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
         |FROM toks GROUP BY term ORDER BY tf DESC, term""".stripMargin),
@@ -3236,7 +3274,7 @@ object SparkEntry {
       // LM perplexity: the exact Dirichlet-bigram/Laplace-unigram
       // closed form replayed — uni/bi counts, the two model scalars,
       // lag-window pairs, first-token unigram term, per-doc fold
-      "q_lm_score" -> (duckToks + """
+      "q_lm_ppl" -> (duckToks + """
         |, uni AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
         |tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM uni),
         |pairs AS (
@@ -4428,5 +4466,11 @@ object SparkEntry {
         |       CAST(min_dist AS BIGINT) AS min_dist
         |FROM d WHERE min_dist <= 5""".stripMargin)
     )
+    // federated RefScore: the shard split is chunk-ALIGNED (docId < 200 /
+    // >= 200 rebased), so the federated global (chunk, docId) space
+    // coincides with the whole-corpus index and the q_ref_topk replay is
+    // the truth verbatim — sharing the string means the two replays
+    // cannot desynchronize
+    m + ("q_fed_ref_topk" -> m("q_ref_topk"))
   }
 }

@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
   * every target document by its average Dirichlet-smoothed bigram
   * log-likelihood, and filter on the resulting perplexity.
   *
+  * Complements [[TextAnalysis.lmCrossEntropy]], the SELF-trained add-1
+  * difficulty signal feeding perplexity buckets and curriculum order:
+  * this one is the cross-corpus gate — train on a REFERENCE corpus,
+  * score a different target, with tunable Dirichlet mass and OOV floors
+  * that keep unseen vocabulary finite (self-scoring never meets OOV).
+  *
   * Model (exact, closed-form — both engines reproduce it bit-for-bit up
   * to rounding):
   *  - Laplace unigram: p_u(w) = (c(w) + 1) / (total + |V| + 1) — the +1

@@ -60,23 +60,10 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
     gs.head
   }
 
-  /** Per-shard docId offsets under the mergeIndexes fold rule: shard 0
-    * at 0; each next shard at the first chunk boundary strictly past the
-    * federated high-water so far. Derived from each shard's lineage
-    * high-water (docIds are never reused, so deletes/compactions cannot
-    * shrink it and silently re-pack the global space).
+  /** Per-shard docId offsets under the mergeIndexes fold rule (shared
+    * helper — see [[Federation.shardOffsets]]).
     */
-  val offsets: Seq[Long] = {
-    val highs = shards.map(d => IndexBuilder.docIdHighWater(spark, d))
-    val offs = Seq.newBuilder[Long]
-    var cursor = -1L // federated high-water of the shards placed so far
-    highs.foreach { h =>
-      val off = if (cursor < 0) 0L else (cursor / chunkDocs + 1L) * chunkDocs
-      offs += off
-      cursor = math.max(cursor, off + h)
-    }
-    offs.result()
-  }
+  val offsets: Seq[Long] = Federation.shardOffsets(spark, shards, chunkDocs)
 
   /** Global (N, avgdl): raw sums folded across shards, never a mean of
     * per-shard means.
@@ -147,4 +134,109 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
     val i = offsets.lastIndexWhere(_ <= globalId)
     math.max(i, 0)
   }
+}
+
+object Federation {
+  /** Shared chunk geometry across shards, from the persisted stats
+    * (the offset rule is chunk-aligned, so mixed geometries would let a
+    * shifted shard straddle global chunk boundaries — the mergeIndexes
+    * precondition applied shard-wise).
+    */
+  private[engine] def sharedChunkDocs(spark: SparkSession,
+                                      shards: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    val gs = shards.map { d =>
+      val r = graft.index.IndexStore.readStats(spark, d)
+        .agg(max(col("chunkDocs"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    require(gs.forall(_ > 0),
+      s"federation: every shard needs persisted chunkDocs stats (got $gs)")
+    require(gs.distinct.size == 1,
+      s"federation: shards disagree on chunk geometry: $gs")
+    gs.head
+  }
+
+  /** Per-shard docId offsets under the mergeIndexes fold rule: shard 0
+    * at 0; each next shard at the first chunk boundary strictly past the
+    * federated high-water so far. Derived from each shard's lineage
+    * high-water (docIds are never reused, so deletes/compactions cannot
+    * shrink it and silently re-pack the global space). A federated view
+    * over (s0..sk) is thus docId-identical to folding s1..sk into s0
+    * left-to-right with `IndexBuilder.mergeIndexes`.
+    */
+  private[engine] def shardOffsets(spark: SparkSession, shards: Seq[String],
+                                   chunkDocs: Long): Seq[Long] = {
+    val highs = shards.map(d => IndexBuilder.docIdHighWater(spark, d))
+    val offs = Seq.newBuilder[Long]
+    var cursor = -1L // federated high-water of the shards placed so far
+    highs.foreach { h =>
+      val off = if (cursor < 0) 0L else (cursor / chunkDocs + 1L) * chunkDocs
+      offs += off
+      cursor = math.max(cursor, off + h)
+    }
+    offs.result()
+  }
+}
+
+/** Scatter-gather REFERENCE-score search over K independently-built shard
+  * indexes — the reference's serving path itself (frontEnd/webServer.cpp:
+  * 858 HandleSearch → communicationServer.h:118-130 DistributeMessage to
+  * the 8 index-server IPs → per-machine ranking → front-end fan-in):
+  * unlike BM25, RefScore has NO global collection statistics — every
+  * score is chunk-local (per-chunk expected tf, chunk-capacity length
+  * normalization) — so federation needs no stats exchange at all: each
+  * shard ranks its own chunks with the frozen kernels, per-chunk slot
+  * lists are remapped into the mergeIndexes global (chunk, docId) space,
+  * and ONE [[graft.rank.RefRanker.mergeChunkResults]] fold in ascending
+  * GLOBAL chunk order reproduces the reference's order-dependent
+  * insertion dedup exactly. Result: docId- and score-identical to the
+  * consolidated merged index (FederationSpec pins it; q_fed_ref_topk
+  * driver-checks a chunk-aligned split whose global view coincides with
+  * the whole-corpus index, reusing the q_ref_topk replay verbatim).
+  */
+class FederatedSearch(spark: SparkSession, shards: Seq[String]) {
+  require(shards.nonEmpty, "FederatedSearch: need at least one shard index")
+
+  private val chunkDocs: Long = Federation.sharedChunkDocs(spark, shards)
+  private val engines: Seq[SearchEngine] =
+    shards.map(d => new SearchEngine(spark, d, chunkCapacity = chunkDocs))
+
+  /** mergeIndexes fold-rule offsets; chunk bases are offsets/chunkDocs. */
+  val offsets: Seq[Long] = Federation.shardOffsets(spark, shards, chunkDocs)
+  private val bases: Seq[Long] = offsets.map(_ / chunkDocs)
+
+  /** Rank-identical federated reference scoring: the scatter is a driver
+    * loop over shard engines (each one chunk-pruned kernel job); the
+    * gather remaps (chunk, docId) into the global space and folds ALL
+    * shards' slot lists through the reference's cross-chunk insertion
+    * merge in ascending global chunk order.
+    */
+  def search(query: String, topK: Int = GraftConfig.TopK)
+      : Seq[graft.rank.DocScore] = {
+    val (astOpt, flat) = graft.query.QueryParser.parseQuery(query)
+    astOpt match {
+      case None => Seq.empty
+      case Some(ast) =>
+        val hits = engines.zip(offsets).zip(bases).flatMap {
+          case ((e, off), base) =>
+            e.searchChunks(ast, flat, topK)
+              .map(h => h.copy(chunk = h.chunk + base, docId = h.docId + off))
+        }
+        val merged = graft.rank.RefRanker.mergeChunkResults(
+          hits.groupBy(_.chunk).view.mapValues { hs =>
+            hs.sortBy(_.slot)
+              .map(h => graft.rank.DocScore(h.title, h.summary, h.url,
+                h.score, h.docId)).toArray
+          }.toSeq, topK)
+        merged.filter(_.url.nonEmpty).toSeq
+    }
+  }
+
+  /** RESULTS_PER_PAGE slice — the front end's pagination over the
+    * federated fan-in (webServer.cpp:737-757).
+    */
+  def searchPage(query: String, page: Int, perPage: Int = 10)
+      : Seq[graft.rank.DocScore] =
+    search(query).slice(page * perPage, (page + 1) * perPage)
 }

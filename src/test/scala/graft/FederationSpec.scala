@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.corpus.Corpus
-import graft.engine.{Bm25Engine, FederatedBm25}
+import graft.engine.{Bm25Engine, FederatedBm25, FederatedSearch, SearchEngine}
 import graft.index.{IndexBuilder, IndexStore}
 
 /** Scatter-gather federation (engine.FederatedBm25): a federated view
@@ -110,6 +110,47 @@ class FederationSpec extends AnyFunSuite {
       assert(fed.searchTerms(q, 15, Bm25Engine.And) ===
         one.searchTerms(q, 15, Bm25Engine.And))
     }
+  }
+
+  test("federated RefScore == consolidated merged index (the reference serving path)") {
+    val cfg = BuildConfig(chunkDocs = 50)
+    val idsA = corpus(60, seed = 171) // 120 docs
+    val idsB = corpus(40, seed = 172) // 80 docs, colliding ids
+    val shardA = SparkTestBase.tempDir("graft_fedr_a")
+    val shardB = SparkTestBase.tempDir("graft_fedr_b")
+    val merged = SparkTestBase.tempDir("graft_fedr_m")
+    IndexBuilder.build(spark, idsA, shardA, cfg)
+    IndexBuilder.build(spark, idsB, shardB, cfg)
+    IndexBuilder.build(spark, idsA, merged, cfg)
+    val (offset, _) = IndexBuilder.mergeIndexes(spark, merged, shardB)
+
+    val fed = new FederatedSearch(spark, Seq(shardA, shardB))
+    assert(fed.offsets === Seq(0L, offset))
+    val one = new SearchEngine(spark, merged, chunkCapacity = 50)
+
+    val ts = topTerms(merged, 3)
+    val queries = Seq(
+      ts.head,                                  // single term
+      s"${ts(0)} ${ts(1)}",                     // hidden AND
+      s"${ts(0)} OR ${ts(1)}",                  // OR
+      s"(${ts(0)} OR ${ts(1)}) ${ts(2)}",       // nested
+      "\"" + ts(0) + " " + ts(1) + "\"")        // phrase (may be empty)
+    queries.foreach { q =>
+      val f = fed.search(q)
+      val m = one.search(q)
+      assert(f === m, s"RefScore federation divergence for query <$q>")
+    }
+    // the fan-in actually reaches the SHIFTED shard: the two corpora
+    // have disjoint vocabularies and the reference's term-absent abort
+    // (ranker.h:718-720) drops chunks missing ANY flattened word even
+    // under OR, so the cross-shard probe is shard B's own top term —
+    // every hit must come back with a shifted global id
+    val tB = topTerms(shardB, 1).head
+    val bHits = fed.search(tB, topK = 300)
+    assert(bHits === one.search(tB, topK = 300))
+    assert(bHits.nonEmpty && bHits.forall(_.docId >= offset),
+      "expected shifted-shard hits for a shard-B-only term")
+    assert(fed.searchPage(ts.head, 1) === one.searchPage(ts.head, 1))
   }
 
   test("global df is the per-shard sum; mixed chunk geometry is rejected") {
