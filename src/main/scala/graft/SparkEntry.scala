@@ -1421,6 +1421,20 @@ object SparkEntry {
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
+    // BM25 explain: per-(top-30 doc, matching term) component breakdown
+    // (tf, df, idf, tfPart, contribution, total) — the DebugScore
+    // instrument for the probabilistic scorer
+    "q_bm25_explain" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      engine.searchTermsExplain(Seq("spark", "dup", "merge"), 30)
+        .map(e => (e.docId, e.term, e.tf, e.df,
+          math.floor(e.idf * 1e6 + 0.5) / 1e6,
+          math.floor(e.tfPart * 1e6 + 0.5) / 1e6,
+          math.floor(e.contribution * 1e6 + 0.5) / 1e6,
+          math.floor(e.score * 1e4 + 0.5) / 1e4))
+        .toDF("doc_id", "term", "tf", "df", "idf", "tf_part", "contrib", "score")
+    }),
     // repo-collapsed BM25: at most 2 hits per repository from the
     // top-100 pool (grouped retrieval / site collapse)
     "q_bm25_collapsed" -> ((s, dir) => {
@@ -2432,6 +2446,39 @@ object SparkEntry {
         |  FROM scores s, mk, offs)
         |SELECT gdoc AS doc_id, round(raw, 4) AS score FROM gid
         |ORDER BY raw DESC, gdoc LIMIT 30""".stripMargin),
+
+      // BM25 explain: the q_bm25_topk CTEs, emitted per (top-30 doc,
+      // matching term) with each component in the open
+      "q_bm25_explain" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |top AS (SELECT doc_id, raw FROM scores ORDER BY raw DESC, doc_id LIMIT 30)
+        |SELECT t.doc_id, tf.term,
+        |       CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+        |       round(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) AS idf,
+        |       round((tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS tf_part,
+        |       round(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib,
+        |       round(t.raw, 4) AS score
+        |FROM top t
+        |JOIN tf ON tf.doc_id = t.doc_id
+        |JOIN df USING (term)
+        |JOIN dl ON dl.doc_id = t.doc_id
+        |CROSS JOIN stats""".stripMargin),
 
       // repo-collapsed BM25: per-repo rank within the global-order
       // top-100 pool, rr <= 2, then the global top-30

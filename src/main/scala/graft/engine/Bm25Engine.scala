@@ -10,6 +10,14 @@ import graft.tokenizer.Tokenizer
 /** BM25 scored result. */
 case class Bm25Hit(docId: Long, score: Double, url: String, title: String)
 
+/** One term's contribution to one top-k doc's BM25 score (the explain
+  * instrument, [[Bm25Engine.searchTermsExplain]]); raw doubles — callers
+  * round at their presentation boundary.
+  */
+case class Bm25ExplainRow(docId: Long, term: String, tf: Long, df: Long,
+                          idf: Double, tfPart: Double, contribution: Double,
+                          score: Double)
+
 /** Distributed BM25 top-k over the compressed index chunks. Global
   * statistics (N, avgdl, per-term df) are computed with Catalyst
   * aggregates over the stats table + the pruned postings and broadcast
@@ -787,6 +795,58 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
           }.collect()
     }
     hits.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
+  /** BM25 score EXPLANATION — the DebugScore instrument of the reference
+    * ranker (ranker/ranker.h:162-215's per-component breakdown) applied
+    * to the probabilistic scorer: for each of the final top-k docs, one
+    * row per matching query term with (tf, df, idf, tfPart,
+    * contribution = idf·tfPart) plus the doc's total — the "explain"
+    * every relevance investigation starts from; contributions sum to the
+    * score exactly (same Bm25.idf/tfPart the kernels use).
+    *
+    * Cost: one ordinary [[searchTerms]] plus a CHUNK-PRUNED forward
+    * extraction of the ≤ k hit docs' tfs from the posting blobs (the PRF
+    * pattern — ≤ k docs live in ≤ k chunks, so the decode is hit-sized,
+    * never corpus-sized) and one ≤ k-row length resolve.
+    */
+  def searchTermsExplain(terms: Seq[String], k: Int): Seq[Bm25ExplainRow] = {
+    val base = terms.distinct
+    val hits = searchTerms(base, k, Or)
+    if (hits.isEmpty) return Seq.empty
+    val (n, avgdl) = corpusStats
+    val dfMap = globalDf(base)
+    val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+    val ids = hits.map(_.docId)
+    val idB = spark.sparkContext.broadcast(ids.toSet)
+    val posts =
+      if (chunkDocsConf > 0) {
+        val cs = ids.map(_ / chunkDocsConf).distinct
+        postings.filter($"chunk".isin(cs: _*) && $"term".isin(base: _*))
+      } else postings.filter($"term".isin(base: _*))
+    val tfs: Map[(Long, String), Long] = posts.flatMap { p =>
+      graft.codec.PostingCodec.decode(p.df, p.postingsBlob).toSeq
+        .filter { case (id, _) => idB.value.contains(id) }
+        .map { case (id, ps) => (id, p.term, ps.length.toLong) }
+    }.collect().map { case (id, t, tf) => (id, t) -> tf }.toMap
+    val lens: Map[Long, Long] = {
+      val pruned =
+        if (chunkDocsConf > 0) {
+          val cs = ids.map(_ / chunkDocsConf).distinct
+          docs.filter($"chunk".isin(cs: _*) && $"docId".isin(ids: _*))
+        } else docs.filter($"docId".isin(ids: _*))
+      pruned.select($"docId", $"docLength").as[(Long, Long)].collect().toMap
+    }
+    val ordered = base.sorted
+    hits.flatMap { h =>
+      ordered.flatMap { t =>
+        tfs.get((h.docId, t)).map { tf =>
+          val tp = Bm25.tfPart(tf.toDouble, lens(h.docId).toDouble, avgdl)
+          Bm25ExplainRow(h.docId, t, tf, dfMap(t), idfMap(t), tp,
+            idfMap(t) * tp, h.score)
+        }
+      }
+    }
   }
 
   /** Core: returns global top-k (docId, score), deterministic order

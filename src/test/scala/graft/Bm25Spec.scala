@@ -92,6 +92,36 @@ class Bm25Spec extends AnyFunSuite {
     assert(engine.searchTerms(Seq("spark", "zzzz"), 5, engine.And).isEmpty)
   }
 
+  test("searchTermsExplain: contributions sum to the hit score; tfs are token-count truth") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-bm25-expl")
+    IndexBuilder.build(spark, src, out, IndexBuilder.BuildConfig(chunkDocs = 200))
+    val engine = new Bm25Engine(spark, out)
+    val terms = Seq("spark", "dup", "merge")
+    val hits = engine.searchTerms(terms, 15, engine.Or)
+    val rows = engine.searchTermsExplain(terms, 15)
+    // every hit is explained; totals match; contributions sum to them
+    val byDoc = rows.groupBy(_.docId)
+    assert(byDoc.keySet === hits.map(_.docId).toSet)
+    hits.foreach { h =>
+      val rs = byDoc(h.docId)
+      assert(rs.forall(_.score === h.score))
+      assert(math.abs(rs.map(_.contribution).sum - h.score) < 1e-9, s"doc ${h.docId}")
+      rs.foreach(r => assert(math.abs(r.idf * r.tfPart - r.contribution) < 1e-12))
+    }
+    // tf/df are tokenization truth (cross-check via the raw corpus)
+    val texts = src.collect().map(d => d.docId -> d.content).toMap
+    val dfTruth = terms.map(t => t ->
+      texts.values.count(c => graft.tokenizer.Tokenizer.bodyTokens(c).contains(t)).toLong).toMap
+    rows.foreach { r =>
+      val toks = graft.tokenizer.Tokenizer.bodyTokens(texts(r.docId))
+      assert(r.tf === toks.count(_ == r.term).toLong, s"tf for ${r.docId}/${r.term}")
+      assert(r.df === dfTruth(r.term), s"df for ${r.term}")
+    }
+    // a term absent from a doc produces no row
+    assert(rows.forall(r => r.tf > 0))
+  }
+
   test("searchTermsCollapsed: first perRepo per repo in global order, exact vs brute twin") {
     val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
     val out = SparkTestBase.tempDir("graft-bm25-coll")
