@@ -1619,6 +1619,10 @@ object SparkEntry {
     // ---- similarity search ----
     "q_ann_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(embDf(s, dir), queryId = 0L, k = 10)),
+    // late-interaction MaxSim (ColBERT-style): embedding treated as 4
+    // contiguous token vectors, score = sum_i max_j cos(q_i, d_j)
+    "q_maxsim_topk" -> ((s, dir) =>
+      Similarity.maxSimTopK(embDf(s, dir), queryId = 0L, k = 10, m = 4)),
     // SQ8 scalar quantization: per-dim envelope codes + midpoint
     // dequantization (exploded per-dim view for the oracle), and the
     // asymmetric (raw query vs reconstructed corpus) quantized top-k
@@ -3090,6 +3094,31 @@ object SparkEntry {
         |SELECT vec_id, round(dot / (nv * nq.nq), 6) AS cosine
         |FROM cos CROSS JOIN nq WHERE vec_id <> 0
         |ORDER BY round(dot / (nv * nq.nq), 6) DESC, vec_id LIMIT 10""".stripMargin),
+
+      // MaxSim: m=4 subspaces of sub=16 dims; every (query-slice i,
+      // doc-slice j) cosine from the parts view, row-wise max, sum
+      "q_maxsim_topk" -> (duckEmbParts + """
+        |, sub AS (SELECT CAST(max(dim) AS BIGINT) // 4 AS s FROM parts WHERE vec_id = 0),
+        |qp AS (SELECT dim, v FROM parts WHERE vec_id = 0),
+        |rng AS (SELECT i.range AS i, j.range AS j FROM range(4) i, range(4) j),
+        |cos_ij AS (
+        |  SELECT p.vec_id, r.i, r.j,
+        |         sum(p.v * q.v) AS dot,
+        |         sqrt(sum(p.v * p.v)) AS nd,
+        |         sqrt(sum(q.v * q.v)) AS nq
+        |  FROM parts p
+        |  CROSS JOIN sub
+        |  JOIN rng r ON p.dim > r.j * sub.s AND p.dim <= (r.j + 1) * sub.s
+        |  JOIN qp q ON q.dim = p.dim - r.j * sub.s + r.i * sub.s
+        |  WHERE p.vec_id <> 0
+        |  GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT vec_id, i,
+        |         max(CASE WHEN nd > 0 THEN dot / (nd * nq) ELSE -1 END) AS mx
+        |  FROM cos_ij GROUP BY 1, 2),
+        |sc AS (SELECT vec_id, round(sum(mx), 6) AS maxsim FROM best GROUP BY 1)
+        |SELECT vec_id, maxsim FROM sc
+        |ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin),
 
       "q_ann_lsh_buckets" -> (duckEmbParts + duckLshBuckets + """
         |SELECT vec_id, bucket FROM buckets""".stripMargin),

@@ -196,6 +196,56 @@ object Similarity {
     probeTopK(emb, probes, queryId, k, nBits)
   }
 
+  /** Late-interaction retrieval (ColBERT-style MaxSim — Khattab &
+    * Zaharia, SIGIR'20): the embedding column is treated as m contiguous
+    * token vectors (the PQ subspace convention applied to retrieval),
+    * and score(q, d) = sum_i max_j cos(q_i, d_j) — each query subvector
+    * finds its best-matching doc subvector, so partial/reordered matches
+    * score where a single pooled cosine washes them out. m = 1 provably
+    * degenerates to plain cosine ([[bruteForceTopK]] — spec-pinned).
+    *
+    * Scale shape: the query's m subvectors (+ norms) are collected once
+    * (m·d/m = d doubles) and shipped as literals; per doc the m×m slice
+    * cosines, the m row-wise maxes, and their sum are ONE codegen'd
+    * projection over the scan (slice/zip_with/aggregate/greatest) —
+    * zero shuffles, then TakeOrdered k. Degenerate (zero-norm) doc
+    * subvectors contribute cosine -1 rather than NULL so `greatest`
+    * stays total; docs whose dimension differs from the query's are
+    * filtered out (a multi-vector column must be homogeneous).
+    */
+  def maxSimTopK(emb: DataFrame, queryId: Long, k: Int, m: Int): DataFrame = {
+    require(m > 0, s"m must be positive, got $m")
+    val qRow = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding")).head()
+    val q = qRow.getSeq[Float](0).map(_.toDouble).toArray
+    require(q.nonEmpty, s"maxSimTopK: query vector $queryId is empty")
+    require(q.length % m == 0,
+      s"maxSimTopK: dimension ${q.length} not divisible by m=$m")
+    val sub = q.length / m
+    val qSlices = (0 until m).map(i => q.slice(i * sub, (i + 1) * sub))
+    val qNorms = qSlices.map(s => math.sqrt(s.map(x => x * x).sum))
+    require(qNorms.forall(_ > 0), "maxSimTopK: zero-norm query subvector")
+
+    val vd = vecD(col("embedding"))
+    def dSlice(j: Int) = slice(vd, lit(j * sub + 1), lit(sub))
+    val score = (0 until m).map { i =>
+      val qi = typedLit(qSlices(i).toSeq)
+      val cosines = (0 until m).map { j =>
+        val dj = dSlice(j)
+        val nj = normCol(dj)
+        when(nj > 0, dotCol(dj, qi) / (nj * lit(qNorms(i))))
+          .otherwise(lit(-1.0))
+      }
+      if (cosines.size == 1) cosines.head else greatest(cosines: _*)
+    }.reduce(_ + _)
+
+    emb.filter(size(col("embedding")) === q.length)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(score, 6).as("maxsim"))
+      .orderBy(desc("maxsim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** ANN quality evaluation — recall@k of the single-bucket LSH search
     * against exact brute force, per query: |ann top-k ∩ true top-k| / k.
     * The eval harness every production ANN deployment runs before

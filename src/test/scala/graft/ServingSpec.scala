@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.engine.{Bm25Engine, Bm25Serving}
+import graft.index.{IndexBuilder, IndexStore}
+
+/** Serving-layer cache + hot reload (engine.Bm25Serving): memoized repeat
+  * queries, lineage/tombstone version-token invalidation across the full
+  * maintenance lifecycle (append → delete → compact), the stale fast
+  * path, and concurrent-query smoke.
+  */
+class ServingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import IndexBuilder.BuildConfig
+
+  private def corpus(filesPerRepo: Int, seed: Long) = {
+    val docs = Corpus.synthetic(spark, 2, filesPerRepo, seed = seed)
+    Corpus.assignDocIds(spark, docs)
+  }
+
+  private def topTerm(dir: String): String =
+    IndexStore.readPostings(spark, dir).collect()
+      .filterNot(_.term.startsWith("#"))
+      .groupBy(_.term).map { case (t, rs) => (t, rs.map(_.df).sum) }
+      .toSeq.minBy { case (t, df) => (-df, t) }._1
+
+  test("repeat query hits the cache; maintenance lifecycle reloads the engine") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 50)
+    val ids = corpus(60, seed = 191).persist() // 120 docs
+    val dir = SparkTestBase.tempDir("graft_serv")
+    val half = 59L
+    IndexBuilder.build(spark, ids.filter(_.docId <= half), dir, cfg)
+
+    val serving = new Bm25Serving(spark, dir)
+    val t = topTerm(dir)
+    val r1 = serving.searchTerms(Seq(t), 10)
+    val r2 = serving.searchTerms(Seq(t), 10)
+    assert(r1 === r2)
+    assert(serving.stats === ((1L, 1L, 0L)), "expected one hit, one miss, no reload")
+
+    // APPEND moves the lineage token: reload + fresh results
+    IndexBuilder.appendBuild(spark, ids.filter(_.docId > half), dir, cfg)
+    val r3 = serving.searchTerms(Seq(t), 10)
+    assert(serving.stats._3 === 1L, "append must trigger a reload")
+    assert(r3 === new Bm25Engine(spark, dir).searchTerms(Seq(t), 10))
+
+    // DELETE moves the tombstone token (postings unchanged -> same hits)
+    IndexBuilder.markDeleted(spark, dir, ids.filter(_.docId % 7 == 3).map(_.docId))
+    val r4 = serving.searchTerms(Seq(t), 10)
+    assert(serving.stats._3 === 2L, "markDeleted must trigger a reload")
+    assert(r4 === r3, "pending tombstones do not change postings")
+
+    // COMPACT rewrites partitions: a STALE engine's cached scans would
+    // fail or lie — the reload serves the purged truth
+    IndexBuilder.compact(spark, dir)
+    val r5 = serving.searchTerms(Seq(t), 10)
+    assert(serving.stats._3 === 3L, "compact must trigger a reload")
+    assert(r5 === new Bm25Engine(spark, dir).searchTerms(Seq(t), 10))
+    val purged = ids.filter(_.docId % 7 == 3).map(_.docId).collect().toSet
+    assert(r5.forall(h => !purged.contains(h.docId)))
+    ids.unpersist()
+  }
+
+  test("checkVersion = false serves the cached generation unchanged") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 50)
+    val ids = corpus(40, seed = 192).persist() // 80 docs
+    val dir = SparkTestBase.tempDir("graft_serv_fast")
+    IndexBuilder.build(spark, ids.filter(_.docId <= 39L), dir, cfg)
+    val serving = new Bm25Serving(spark, dir)
+    val t = topTerm(dir)
+    val r1 = serving.searchTerms(Seq(t), 10)
+    IndexBuilder.appendBuild(spark, ids.filter(_.docId > 39L), dir, cfg)
+    // fast path: no probe, stale-but-consistent answer from the cache
+    val fast = serving.searchTerms(Seq(t), 10, checkVersion = false)
+    assert(fast === r1)
+    assert(serving.stats._3 === 0L)
+    // next checked query reloads
+    val checked = serving.searchTerms(Seq(t), 10)
+    assert(serving.stats._3 === 1L)
+    assert(checked === new Bm25Engine(spark, dir).searchTerms(Seq(t), 10))
+    ids.unpersist()
+  }
+
+  test("concurrent identical queries: one engine generation, identical results") {
+    val cfg = BuildConfig(chunkDocs = 50)
+    val ids = corpus(30, seed = 193)
+    val dir = SparkTestBase.tempDir("graft_serv_conc")
+    IndexBuilder.build(spark, ids, dir, cfg)
+    val serving = new Bm25Serving(spark, dir)
+    val t = topTerm(dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rs = Await.result(
+      Future.sequence((1 to 8).map(_ => Future(serving.searchTerms(Seq(t), 10)))),
+      2.minutes)
+    assert(rs.distinct.size === 1)
+    assert(serving.stats._3 === 0L)
+  }
+}
