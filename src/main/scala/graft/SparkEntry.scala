@@ -2055,6 +2055,19 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("rnk"))
       Fusion.rrf(Seq(dense, sparse), k0 = 60, topK = 10)
     }),
+    // score-based hybrid fusion (CombMNZ): the same two legs WITH their
+    // scores, min-max normalized per list to exact micro-units, sum
+    // multiplied by the per-doc list count
+    "q_comb_hybrid" -> ((s, dir) => {
+      val dense = Similarity.bruteForceTopK(embDf(s, dir), queryId = 0L, k = 10)
+        .select(col("vec_id").as("id"), col("cosine").as("score"))
+      val sparse = TextAnalysis.tokens(docsDf(s, dir))
+        .filter(col("term") === "spark")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), asc("doc_id")).limit(10)
+        .select(col("doc_id").as("id"), col("tf").cast("double").as("score"))
+      Fusion.combFusion(Seq(dense, sparse), topK = 10, mnz = true)
+    }),
 
     // ---- benchmark decontamination: docs sharing any probe 5-gram are
     // flagged (hits) / dropped (clean); probe set = first 5 grams of
@@ -4111,6 +4124,50 @@ object SparkEntry {
         |SELECT id, rrf_nano, n_lists, rnk FROM (
         |  SELECT id, CAST(nano AS BIGINT) AS rrf_nano, n_lists,
         |         row_number() OVER (ORDER BY nano DESC, id) AS rnk
+        |  FROM fused)
+        |WHERE rnk <= 10""".stripMargin),
+
+      // CombMNZ hybrid: the same legs with SCORES — per-list min-max to
+      // micro-units (degenerate list -> 1e6 each), sum x list count
+      "q_comb_hybrid" -> (duckToks + """
+        |, parts AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |q AS (SELECT dim, v AS qv FROM parts WHERE vec_id = 0),
+        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+        |cos AS (
+        |  SELECT p.vec_id, sum(p.v * q.qv) AS dot, sqrt(sum(p.v * p.v)) AS nv
+        |  FROM parts p JOIN q USING (dim) GROUP BY 1),
+        |dense AS (
+        |  SELECT id, s FROM (
+        |    SELECT vec_id AS id, round(dot / (nv * nq.nq), 6) AS s,
+        |           row_number() OVER (ORDER BY round(dot / (nv * nq.nq), 6) DESC,
+        |                              vec_id) AS rnk
+        |    FROM cos CROSS JOIN nq WHERE vec_id <> 0)
+        |  WHERE rnk <= 10),
+        |sp AS (SELECT doc_id AS id, count(*) AS tf FROM toks
+        |       WHERE term = 'spark' GROUP BY 1),
+        |sparse AS (
+        |  SELECT id, CAST(tf AS DOUBLE) AS s FROM (
+        |    SELECT id, tf, row_number() OVER (ORDER BY tf DESC, id) AS rnk FROM sp)
+        |  WHERE rnk <= 10),
+        |dmm AS (SELECT min(s) AS mn, max(s) AS mx FROM dense),
+        |smm AS (SELECT min(s) AS mn, max(s) AS mx FROM sparse),
+        |micro AS (
+        |  SELECT id, CAST(round(1000000.0 * CASE WHEN mx = mn THEN 1.0
+        |             ELSE (s - mn) / (mx - mn) END) AS BIGINT) AS micro
+        |  FROM dense, dmm
+        |  UNION ALL
+        |  SELECT id, CAST(round(1000000.0 * CASE WHEN mx = mn THEN 1.0
+        |             ELSE (s - mn) / (mx - mn) END) AS BIGINT) AS micro
+        |  FROM sparse, smm),
+        |fused AS (
+        |  SELECT id, sum(micro) AS s_micro, count(*) AS n_lists
+        |  FROM micro GROUP BY 1)
+        |SELECT id, comb_micro, n_lists, rnk FROM (
+        |  SELECT id, CAST(s_micro * n_lists AS BIGINT) AS comb_micro, n_lists,
+        |         row_number() OVER (ORDER BY s_micro * n_lists DESC, id) AS rnk
         |  FROM fused)
         |WHERE rnk <= 10""".stripMargin),
 

@@ -41,4 +41,53 @@ object Fusion {
       .withColumn("rnk", row_number().over(
         Window.orderBy(desc("rrf_nano"), asc("id"))).cast("long"))
   }
+
+  /** Score-based fusion — CombSUM / CombMNZ (Fox & Shaw, TREC-2), the
+    * other classic hybrid merge: where [[rrf]] uses only positions,
+    * these use the SCORES after per-list min-max normalization to
+    * [0, 1] (scores across engines are incomparable; within one list
+    * they are not). CombSUM sums the normalized scores; CombMNZ
+    * multiplies the sum by the number of lists that retrieved the doc
+    * (rewarding multi-engine agreement harder than one strong leg).
+    *
+    * Determinism contract: inputs are the engines' ROUNDED presentation
+    * scores; each normalized value is frozen to integer MICRO-units —
+    * round(1e6 · (s − min)/(max − min)) — before any summing, so both
+    * engines sum exact integers. A degenerate list (max == min: every
+    * member equally best) contributes the full 1e6 per member. Ties
+    * break to the lower id.
+    *
+    * Input: one DataFrame per list with `id` and `score`. Output:
+    * (id, comb_micro, n_lists, rnk 1-based) top-`topK`.
+    *
+    * Plan shape: per list ONE tiny (min, max) aggregate broadcast back
+    * over the list (top-k bounded by construction); then the rrf plan —
+    * union, one exchange on id, TakeOrdered, rank window over ≤ topK
+    * rows.
+    */
+  def combFusion(rankings: Seq[DataFrame], topK: Int = 10,
+                 mnz: Boolean = false): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(topK > 0, "topK > 0")
+    val all = rankings.map { r =>
+      val scored = r.select(col("id").cast("long").as("id"),
+        col("score").cast("double").as("s"))
+      val mm = scored.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+      scored.crossJoin(broadcast(mm))
+        .select(col("id"),
+          round(lit(1e6) * when(col("mx") === col("mn"), lit(1.0))
+            .otherwise((col("s") - col("mn")) / (col("mx") - col("mn"))), 0)
+            .cast("long").as("micro"))
+    }.reduce(_ unionByName _)
+    val base = all.groupBy(col("id"))
+      .agg(sum(col("micro")).as("s_micro"), count(lit(1)).as("n_lists"))
+    val scored =
+      if (mnz) base.select(col("id"),
+        (col("s_micro") * col("n_lists")).as("comb_micro"), col("n_lists"))
+      else base.select(col("id"), col("s_micro").as("comb_micro"),
+        col("n_lists"))
+    scored.orderBy(desc("comb_micro"), asc("id")).limit(topK)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(desc("comb_micro"), asc("id"))).cast("long"))
+  }
 }

@@ -73,4 +73,35 @@ class FusionSpec extends AnyFunSuite {
       .sortBy { case (id, n) => (-n, id) }.take(10).map(_._1)
     assert(got.map(_._1) === twin.toList)
   }
+
+  test("combFusion hand fixture: min-max micro-units, degenerate list, MNZ") {
+    import spark.implicits._
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("id", "score")
+    val b = Seq((2L, 7.0), (4L, 7.0)).toDF("id", "score") // degenerate
+    val sum = Fusion.combFusion(Seq(a, b), topK = 10, mnz = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList.sortBy(_._4)
+    // a normalizes to 1e6/5e5/0; b (max==min) gives 1e6 to both members
+    assert(sum === List(
+      (2L, 1500000L, 2L, 1L),
+      (1L, 1000000L, 1L, 2L),
+      (4L, 1000000L, 1L, 3L),  // tie with 1 -> id asc
+      (3L, 0L, 1L, 4L)))
+    val mnz = Fusion.combFusion(Seq(a, b), topK = 10, mnz = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mnz(2L) === 3000000L) // x2 lists
+    assert(mnz(1L) === 1000000L)
+  }
+
+  test("MNZ rewards agreement where SUM prefers the single strong leg") {
+    import spark.implicits._
+    val a = Seq((1L, 1.0), (2L, 0.45), (9L, 0.0)).toDF("id", "score")
+    val b = Seq((9L, 1.0), (2L, 0.45), (7L, 0.0)).toDF("id", "score")
+    def order(mnz: Boolean) = Fusion.combFusion(Seq(a, b), 10, mnz)
+      .collect().map(_.getLong(0)).toList
+    // SUM: 1 and 9 tie at 1e6 (id asc), then 2 at 0.9e6
+    assert(order(mnz = false) === List(1L, 9L, 2L, 7L))
+    // MNZ: 9 (1e6 x 2) > 2 (0.9e6 x 2) > 1 (1e6 x 1)
+    assert(order(mnz = true) === List(9L, 2L, 1L, 7L))
+  }
 }
