@@ -1623,6 +1623,15 @@ object SparkEntry {
     // contiguous token vectors, score = sum_i max_j cos(q_i, d_j)
     "q_maxsim_topk" -> ((s, dir) =>
       Similarity.maxSimTopK(embDf(s, dir), queryId = 0L, k = 10, m = 4)),
+    // mean-pooled group centroids through the typed partial-agg
+    // Aggregator (repo-level embeddings; exploded per-dim for the oracle)
+    "q_repo_centroids" -> ((s, dir) =>
+      graft.analysis.VectorAgg.groupCentroids(embDf(s, dir),
+          concat(lit("org"), col("vec_id") % 50))
+        .select(col("group").as("grp"), col("n_vecs"),
+          posexplode(col("centroid")))
+        .select(col("grp"), col("n_vecs"),
+          (col("pos") + 1).cast("long").as("dim"), col("col").as("v"))),
     // SQ8 scalar quantization: per-dim envelope codes + midpoint
     // dequantization (exploded per-dim view for the oracle), and the
     // asymmetric (raw query vs reconstructed corpus) quantized top-k
@@ -3132,6 +3141,17 @@ object SparkEntry {
         |sc AS (SELECT vec_id, round(sum(mx), 6) AS maxsim FROM best GROUP BY 1)
         |SELECT vec_id, maxsim FROM sc
         |ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin),
+
+      // group centroids: per-(group, dim) average over the parts view
+      "q_repo_centroids" -> (duckEmbParts + """
+        |, g AS (SELECT 'org' || (vec_id % 50) AS grp, vec_id
+        |        FROM embeddings WHERE len(embedding) > 0),
+        |cnt AS (SELECT grp, count(*) AS n_vecs FROM g GROUP BY 1)
+        |SELECT g.grp, cnt.n_vecs, CAST(p.dim AS BIGINT) AS dim,
+        |       round(avg(p.v), 6) AS v
+        |FROM parts p JOIN g ON g.vec_id = p.vec_id
+        |JOIN cnt ON cnt.grp = g.grp
+        |GROUP BY 1, 2, 3""".stripMargin),
 
       "q_ann_lsh_buckets" -> (duckEmbParts + duckLshBuckets + """
         |SELECT vec_id, bucket FROM buckets""".stripMargin),
