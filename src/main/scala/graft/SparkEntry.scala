@@ -1586,6 +1586,18 @@ object SparkEntry {
         .toDF("slot", "doc_id", "score", "url")
     }),
 
+    // federated Dirichlet QL over the same chunk-aligned shards: the
+    // cf-exchange folds the collection model globally, so the ranking
+    // equals the whole-corpus q_ql_topk truth verbatim
+    "q_fed_ql_topk" -> ((s, dir) => {
+      import s.implicits._
+      val (a, b) = fedRefDirs(s, dir)
+      val fed = new graft.engine.FederatedBm25(s, Seq(a, b))
+      fed.searchTermsQl(Seq("spark", "dup", "merge"), 30, mu = 300.0)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
+
     // ---- dedup family ----
     "q_dedup_exact" -> ((s, dir) => Dedup.exactGroups(docsDf(s, dir))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashSignatures(docsDf(s, dir))),
@@ -4624,6 +4636,10 @@ object SparkEntry {
     // coincides with the whole-corpus index and the q_ref_topk replay is
     // the truth verbatim — sharing the string means the two replays
     // cannot desynchronize
-    m + ("q_fed_ref_topk" -> m("q_ref_topk"))
+    // federated QL rides the same chunk-aligned split (global ids ==
+    // original, collection model global by construction), so its truth
+    // is q_ql_topk verbatim too
+    m + ("q_fed_ref_topk" -> m("q_ref_topk")) +
+      ("q_fed_ql_topk" -> m("q_ql_topk"))
   }
 }

@@ -327,6 +327,25 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     if (cfMap.isEmpty || totalC == 0L) return Seq.empty
     val kept = base.filter(cfMap.contains)
     val pcMap = kept.map(t => t -> cfMap(t).toDouble / totalC.toDouble).toMap
+    searchTermsQlWithStats(kept, k, pcMap, mu)
+  }
+
+  /** This shard's collection frequencies for the federation cf-exchange
+    * (memoized like every local query's).
+    */
+  private[engine] def shardCf(terms: Seq[String]): Map[String, Long] =
+    globalCf(terms)
+
+  /** The scoring phase of [[searchTermsQl]] with the collection model
+    * p(t|C) supplied by the caller — the [[FederatedBm25]] hook: QL's
+    * global statistics are the collection LM (cf / total tokens), so the
+    * federation exchange folds cf and token totals across shards and
+    * every shard smooths against the same background distribution.
+    * `kept` must contain only terms present in pcMap.
+    */
+  private[engine] def searchTermsQlWithStats(kept: Seq[String], k: Int,
+      pcMap: Map[String, Double], mu: Double): Seq[Bm25.Hit] = {
+    if (kept.isEmpty) return Seq.empty
     val pcB = spark.sparkContext.broadcast(pcMap)
     val orderB = spark.sparkContext.broadcast(kept.zipWithIndex.toMap)
     val posts = postings.filter($"term".isin(kept: _*))

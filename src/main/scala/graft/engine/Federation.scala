@@ -102,6 +102,32 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
     merged.sorted(Bm25.better.reverse).take(k).toSeq
   }
 
+  /** Federated Dirichlet query-likelihood: QL's global statistics are
+    * the collection LM, so the exchange here folds per-term collection
+    * frequencies AND token totals across shards — every shard then
+    * smooths against the same background p(t|C) and the federated
+    * ranking equals the consolidated index's
+    * ([[Bm25Engine.searchTermsQl]] semantics; OOV terms drop).
+    */
+  def searchTermsQl(terms: Seq[String], k: Int,
+                    mu: Double = 300.0): Seq[Bm25.Hit] = {
+    val base = terms.distinct
+    val (n, _) = corpusStats
+    if (base.isEmpty || n == 0L) return Seq.empty
+    val totalC = engines.map(_.statsNT._2).sum
+    val cf = engines.flatMap(_.shardCf(base).toSeq)
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
+      .filter(_._2 > 0L)
+    if (cf.isEmpty || totalC == 0L) return Seq.empty
+    val kept = base.filter(cf.contains)
+    val pcMap = kept.map(t => t -> cf(t).toDouble / totalC.toDouble).toMap
+    val merged = engines.zip(offsets).flatMap { case (e, off) =>
+      e.searchTermsQlWithStats(kept, k, pcMap, mu)
+        .map(h => h.copy(docId = h.docId + off))
+    }
+    merged.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
   /** Tokenize with the frozen rules, scatter-gather, then resolve each
     * hit's url/title from its OWNING shard's docs table (chunk-pruned,
     * ≤ k rows per shard).

@@ -62,6 +62,13 @@ class FederationSpec extends AnyFunSuite {
       assert(f === m, s"divergence for q=$q mode=$mode wand=$wand")
     }
 
+    // federated Dirichlet QL: the cf-exchange makes the collection model
+    // global, so the LM ranking matches the consolidated index too
+    for (q <- queries) {
+      assert(fed.searchTermsQl(q, 10) === one.searchTermsQl(q, 10),
+        s"QL federation divergence for q=$q")
+    }
+
     // metadata resolves from the OWNING shard and matches the merged
     // index's own docs table
     val query = terms.mkString(" ")
