@@ -1754,6 +1754,9 @@ object SparkEntry {
     "q_lm_ppl" -> ((s, dir) =>
       graft.analysis.LanguageModel.scoreDocs(docsDf(s, dir), docsDf(s, dir),
         mu = 100.0)),
+    // corpus vocabulary report card: tokens/vocab/hapax/TTR/top-share +
+    // Zipf slope over the top-100 frequency ranks
+    "q_vocab_stats" -> ((s, dir) => TextAnalysis.vocabStats(docsDf(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docsDf(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(docsDf(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docsDf(s, dir))),
@@ -3427,6 +3430,28 @@ object SparkEntry {
         |       round(ll.s / nt.n_tokens, 6) AS avg_ll,
         |       round(exp(-ll.s / nt.n_tokens), 4) AS ppl
         |FROM nt JOIN ll USING (doc_id)""".stripMargin),
+
+      // vocab report card: one tf aggregate + scalar fold + top-100
+      // Zipf OLS, all closed-form
+      "q_vocab_stats" -> (duckToks + """
+        |, tf AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+        |sc AS (SELECT sum(c) AS n_tokens, count(*) AS vocab,
+        |              sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS hapax,
+        |              max(c) AS top_c FROM tf),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rnk
+        |        FROM tf ORDER BY c DESC, term LIMIT 100),
+        |z AS (SELECT count(*) AS r, sum(ln(rnk)) AS sx, sum(ln(c)) AS sy,
+        |             sum(ln(rnk) * ln(c)) AS sxy,
+        |             sum(ln(rnk) * ln(rnk)) AS sxx
+        |      FROM top)
+        |SELECT CAST(sc.n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(sc.vocab AS BIGINT) AS vocab,
+        |       CAST(sc.hapax AS BIGINT) AS hapax,
+        |       round(sc.vocab * 1.0 / sc.n_tokens, 6) AS ttr,
+        |       round(sc.top_c * 1.0 / sc.n_tokens, 6) AS top_share,
+        |       round((z.r * z.sxy - z.sx * z.sy) /
+        |             (z.r * z.sxx - z.sx * z.sx), 4) AS zipf_slope
+        |FROM sc, z""".stripMargin),
 
       "q_lang_id" -> (duckToks + s"""
         |, hits AS (

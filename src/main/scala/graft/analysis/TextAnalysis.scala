@@ -715,4 +715,41 @@ object TextAnalysis {
         (r.getLong(0), r.getDouble(1), pos) }
     }).toDF("doc_id", "xent", "pos")
   }
+
+  /** Corpus vocabulary report card — the distribution diagnostics every
+    * dataset release publishes (and every tokenizer-budget decision
+    * needs): total kept tokens, vocabulary size, hapax count (terms
+    * occurring once — the long tail's leading edge), type-token ratio,
+    * top-term share, and the Zipf slope (OLS of ln freq on ln rank over
+    * the top `zipfTopR` terms; natural text runs near -1, synthetic or
+    * templated corpora flatten it). One row out.
+    *
+    * Scale shape: ONE term-frequency aggregate (vocab-sized output),
+    * one scalar fold over it, and a rank window over only the top-R
+    * rows (TakeOrdered, never a global sort of the vocab). Ratios round
+    * at 6 dp, the slope at 4 (it folds 2·R logs — wider float exposure).
+    */
+  def vocabStats(docs: DataFrame, zipfTopR: Int = 100): DataFrame = {
+    require(zipfTopR > 1, s"zipfTopR must be > 1, got $zipfTopR")
+    val tf = tokens(docs).groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val scalars = tf.agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+      max(col("c")).as("top_c"))
+    val top = tf.orderBy(desc("c"), asc("term")).limit(zipfTopR)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("c"), asc("term"))))
+    val zipf = top.select(
+        log(col("rnk").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+      .agg(count(lit(1)).as("r"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    scalars.crossJoin(zipf).select(
+      col("n_tokens"), col("vocab"), col("hapax"),
+      round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"),
+      round(col("top_c").cast("double") / col("n_tokens"), 6).as("top_share"),
+      round((col("r") * col("sxy") - col("sx") * col("sy")) /
+        (col("r") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+  }
 }

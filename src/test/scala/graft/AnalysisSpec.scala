@@ -578,4 +578,26 @@ class AnalysisSpec extends AnyFunSuite {
     assert(pos1.values.toSeq.sorted === (0L until pos1.size.toLong))
     assert(pos1 === got.map(t => (t._1, t._3)).toMap)
   }
+
+  test("vocabStats: hand-computed report card incl. the Zipf OLS slope") {
+    import spark.implicits._
+    // tf: a:2 b:2 c:1 (plus filtered noise) -> n=5 vocab=3 hapax=1
+    val docs = Seq((1L, "a a b w0rd_1"), (2L, "b c " + "x" * 25))
+      .toDF("doc_id", "text")
+    val r = graft.analysis.TextAnalysis.vocabStats(docs, zipfTopR = 100)
+      .collect().head
+    assert(r.getLong(0) === 5L)   // n_tokens
+    assert(r.getLong(1) === 3L)   // vocab
+    assert(r.getLong(2) === 1L)   // hapax
+    assert(r.getDouble(3) === 0.6)  // ttr
+    assert(r.getDouble(4) === 0.4)  // top_share (max c = 2)
+    // OLS over ranks (a,2) (b,2) (c,1): x = ln 1..3, y = ln 2, ln 2, ln 1
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(2.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val slope = (n * xs.zip(ys).map { case (x, y) => x * y }.sum -
+      xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    val r4 = BigDecimal(slope).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) === r4)
+  }
 }
