@@ -1760,6 +1760,10 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docsDf(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.quality(docsDf(s, dir))),
     "q_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(docsDf(s, dir))),
+    // MOSS winnowing (k=3, w=4) over a bounded doc subset: every
+    // window's rightmost-minimum 60-bit gram hash, deduped
+    "q_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowing(docsDf(s, dir).filter(col("doc_id") % 17 === 0))),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docsDf(s, dir))),
     // BPE tokenizer training: round-0 pair counts, the 3-round greedy
     // merge table, and every word's segmentation after those merges
@@ -3520,6 +3524,24 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text,
         |            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents""".stripMargin,
+
+      // winnowing: window min via a bounded range self-join (w=4), the
+      // rightmost argmin resolved by a second bounded join on the min
+      // hash, then dedup — the relational twin of the min_by frame
+      "q_winnowing" -> (duckToks + duckShingles + """
+        |, gr AS (SELECT doc_id, pos,
+        |                CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+        |         FROM sh WHERE doc_id % 17 = 0),
+        |wm AS (SELECT g1.doc_id, g1.pos AS s, min(g2.h) AS mh, count(*) AS cnt
+        |       FROM gr g1 JOIN gr g2 ON g2.doc_id = g1.doc_id
+        |            AND g2.pos BETWEEN g1.pos AND g1.pos + 3
+        |       GROUP BY 1, 2),
+        |sel AS (SELECT w.doc_id, max(g.pos) AS pos, w.mh AS fp
+        |        FROM wm w JOIN gr g ON g.doc_id = w.doc_id
+        |             AND g.pos BETWEEN w.s AND w.s + 3 AND g.h = w.mh
+        |        WHERE w.cnt = 4
+        |        GROUP BY w.doc_id, w.s, w.mh)
+        |SELECT DISTINCT doc_id, pos, fp FROM sel""".stripMargin),
 
       "q_fingerprint" -> (duckToks + duckShingles + """
         |SELECT d.doc_id, coalesce(f.fp, md5('')) AS fingerprint

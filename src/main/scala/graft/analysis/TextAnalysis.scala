@@ -194,6 +194,43 @@ object TextAnalysis {
         concat_ws(" ", slice(col("kt"), col("p"), lit(n))).as("shingle"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every k-token shingle to a
+    * 60-bit md5 prefix (the h60 convention, SQL-portable), slide a
+    * w-window over each document's hash sequence, select every window's
+    * MINIMUM hash (rightmost position on ties), and dedup selections.
+    * The winnowing GUARANTEE: any shared token run of length
+    * >= w + k - 1 between two documents shares at least one selected
+    * fingerprint — position-robust local clone detection where a fixed
+    * stride can straddle the overlap ([[fingerprint]] is the whole-doc
+    * variant, CodeQuality's dup blocks the exact-line one). Output
+    * (doc_id, pos, fp); density ~ 2/(w+1) of the grams.
+    *
+    * Plan shape: grams are the per-row [[shingles]] projection; the
+    * whole selection is ONE doc-keyed window pass (rowsBetween 0..w-1):
+    * `min_by` over the frame ordered by (h, -pos) picks the rightmost
+    * minimum in one aggregate — no self-join, no second exchange; docs
+    * partition the corpus so no global order materializes.
+    */
+  def winnowing(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, s"k and w must be positive (got k=$k, w=$w)")
+    import org.apache.spark.sql.expressions.Window
+    val gr = shingles(docs, k)
+      .select(col("doc_id"), col("pos"),
+        expr("cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)")
+          .as("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    gr.select(col("doc_id"),
+        min_by(struct(col("pos"), col("h")),
+          struct(col("h"), (lit(0L) - col("pos")))).over(frame).as("sel"),
+        count(lit(1)).over(frame).as("cnt"))
+      .filter(col("cnt") === w)
+      .select(col("doc_id"), col("sel").getField("pos").as("pos"),
+        col("sel").getField("h").as("fp"))
+      .distinct()
+  }
+
   /** Document fingerprint: the minimum md5 over the doc's 3-shingles —
     * a deterministic rolling-hash-style content fingerprint (minhash with
     * k = 1); docs with no shingle fall back to md5 of the empty string.

@@ -600,4 +600,53 @@ class AnalysisSpec extends AnyFunSuite {
     val r4 = BigDecimal(slope).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getDouble(5) === r4)
   }
+
+  test("winnowing == plain-Scala twin; guarantee, tie rule, short docs") {
+    import spark.implicits._
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def twin(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val toks = graft.tokenizer.Tokenizer.bodyTokens(text).toVector
+      if (toks.length < k) return Set.empty
+      val hs = toks.sliding(k).map(_.mkString(" ")).map(h60).toVector
+      (0 to hs.length - w).flatMap { s =>
+        val mh = hs.slice(s, s + w).min
+        val rm = (s until s + w).filter(i => hs(i) == mh).max
+        Some(((rm + 1).toLong, mh))
+      }.toSet
+    }
+
+    // tie-rule stress: periodic text repeats gram hashes inside windows
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "a b c a b c a b c a b"),
+      (3L, "one two three"),             // 1 gram < w -> empty
+      (4L, "solo pair"))                 // < k tokens -> empty
+      .toDF("doc_id", "text")
+    val got = graft.analysis.TextAnalysis.winnowing(docs, k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val texts = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "a b c a b c a b c a b")
+    texts.foreach { case (id, t) =>
+      assert(got.getOrElse(id, Set.empty) === twin(t, 3, 4), s"doc $id")
+    }
+    assert(!got.contains(3L) && !got.contains(4L))
+
+    // the winnowing guarantee: a shared run of w + k - 1 = 6 tokens
+    // between otherwise-different docs shares >= 1 fingerprint
+    val shared = "lorem ipsum dolor sit amet consectetur"
+    val pair = Seq(
+      (10L, "red green blue " + shared + " yellow purple"),
+      (11L, "north south east west " + shared + " up down"))
+      .toDF("doc_id", "text")
+    val fps = graft.analysis.TextAnalysis.winnowing(pair, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(10L) & fps(11L)).nonEmpty, "guarantee violated")
+  }
 }
