@@ -1764,6 +1764,10 @@ object SparkEntry {
     // window's rightmost-minimum 60-bit gram hash, deduped
     "q_winnowing" -> ((s, dir) =>
       TextAnalysis.winnowing(docsDf(s, dir).filter(col("doc_id") % 17 === 0))),
+    // the cross-doc MOSS report: pairs sharing >= 2 winnowed
+    // fingerprints with the shared count
+    "q_clone_pairs" -> ((s, dir) =>
+      TextAnalysis.clonePairs(docsDf(s, dir), minShared = 2L)),
     "q_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(docsDf(s, dir))),
     // BPE tokenizer training: round-0 pair counts, the 3-round greedy
     // merge table, and every word's segmentation after those merges
@@ -3542,6 +3546,23 @@ object SparkEntry {
         |        WHERE w.cnt = 4
         |        GROUP BY w.doc_id, w.s, w.mh)
         |SELECT DISTINCT doc_id, pos, fp FROM sel""".stripMargin),
+
+      // clone pairs: the winnowing selection over ALL docs, deduped per
+      // (doc, fp), fp-bucket self-joined, pair counts >= 2
+      "q_clone_pairs" -> (duckToks + duckShingles + """
+        |, gr AS (SELECT doc_id, pos,
+        |                CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) AS h
+        |         FROM sh),
+        |wm AS (SELECT g1.doc_id, g1.pos AS s, min(g2.h) AS mh, count(*) AS cnt
+        |       FROM gr g1 JOIN gr g2 ON g2.doc_id = g1.doc_id
+        |            AND g2.pos BETWEEN g1.pos AND g1.pos + 3
+        |       GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT w.doc_id, w.mh AS fp
+        |       FROM wm w WHERE w.cnt = 4)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |       count(*) AS shared_fps
+        |FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
 
       "q_fingerprint" -> (duckToks + duckShingles + """
         |SELECT d.doc_id, coalesce(f.fp, md5('')) AS fingerprint

@@ -231,6 +231,25 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Winnowed clone-pair candidates — the cross-document MOSS report:
+    * doc pairs sharing at least `minShared` selected fingerprints, with
+    * the shared count (ranking signal: more shared windows = longer /
+    * more repeated overlap). Plan: [[winnowing]]'s one window pass, a
+    * per-doc fp dedup, then an fp-bucket equi-self-join (the LSH
+    * band-join shape — pair volume follows fingerprint popularity,
+    * never corpus²) and one pair-keyed count; a < b dedup.
+    */
+  def clonePairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                 minShared: Long = 2): DataFrame = {
+    require(minShared > 0, s"minShared must be positive, got $minShared")
+    val fp = winnowing(docs, k, w).select(col("doc_id"), col("fp")).distinct()
+    fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Document fingerprint: the minimum md5 over the doc's 3-shingles —
     * a deterministic rolling-hash-style content fingerprint (minhash with
     * k = 1); docs with no shingle fall back to md5 of the empty string.

@@ -649,4 +649,24 @@ class AnalysisSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert((fps(10L) & fps(11L)).nonEmpty, "guarantee violated")
   }
+
+  test("clonePairs: planted overlap surfaces, a < b, shared-count gate") {
+    import spark.implicits._
+    val shared = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val docs = Seq(
+      (10L, "red green blue " + shared + " yellow purple"),
+      (11L, "north south east west " + shared + " up down"),
+      (12L, "totally different words without any overlap here at all"))
+      .toDF("doc_id", "text")
+    val pairs = graft.analysis.TextAnalysis.clonePairs(docs, minShared = 1L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.keySet === Set((10L, 11L)), s"got ${pairs.keySet}")
+    val fps = graft.analysis.TextAnalysis.winnowing(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (fps(10L) & fps(11L)).size.toLong
+    assert(pairs((10L, 11L)) === expect)
+    assert(graft.analysis.TextAnalysis.clonePairs(docs, minShared = expect + 1)
+      .collect().isEmpty)
+  }
 }
