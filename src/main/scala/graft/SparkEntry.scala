@@ -2263,6 +2263,12 @@ object SparkEntry {
     "q_facets" -> ((s, dir) =>
       graft.engine.Facets.conjunctiveFacets(s, indexDir(s, dir),
         Seq("spark", "dup"))),
+    // federated facets over the chunk-aligned shard pair: histograms are
+    // additive over disjoint shards, so the truth is q_facets verbatim
+    "q_fed_facets" -> ((s, dir) => {
+      val (a, b) = fedRefDirs(s, dir)
+      graft.engine.Facets.federatedFacets(s, Seq(a, b), Seq("spark", "dup"))
+    }),
 
     // ---- NEAR/k proximity (Proximity.nearDocs): docs with the pair
     // within 5 positions, off the REAL index's posting blobs (one
@@ -4708,6 +4714,7 @@ object SparkEntry {
     // original, collection model global by construction), so its truth
     // is q_ql_topk verbatim too
     m + ("q_fed_ref_topk" -> m("q_ref_topk")) +
-      ("q_fed_ql_topk" -> m("q_ql_topk"))
+      ("q_fed_ql_topk" -> m("q_ql_topk")) +
+      ("q_fed_facets" -> m("q_facets")) // additive histograms: same truth
   }
 }

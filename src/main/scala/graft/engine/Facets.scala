@@ -67,4 +67,21 @@ object Facets {
       .groupBy(facet)
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Federated facet counts over K shard indexes: a facet histogram is
+    * ADDITIVE over disjoint doc sets, so the scatter runs each shard's
+    * chunk-pruned [[conjunctiveFacets]] and the gather is one facet-keyed
+    * sum — no docId remap, no stats exchange (counts are absolute). The
+    * one facet the shard boundary could corrupt is a facet DERIVED from
+    * docIds; url/path-derived facets (the native ones) are split-proof.
+    * FederationSpec pins equality with the consolidated merged index.
+    */
+  def federatedFacets(spark: SparkSession, shards: Seq[String],
+                      terms: Seq[String],
+                      facet: Column = repoFacet): DataFrame = {
+    require(shards.nonEmpty, "federatedFacets: need at least one shard")
+    shards.map(d => conjunctiveFacets(spark, d, terms, facet))
+      .reduce(_ unionByName _)
+      .groupBy(col("facet")).agg(sum(col("n_docs")).as("n_docs"))
+  }
 }

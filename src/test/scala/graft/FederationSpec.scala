@@ -147,6 +147,15 @@ class FederationSpec extends AnyFunSuite {
       val m = one.search(q)
       assert(f === m, s"RefScore federation divergence for query <$q>")
     }
+    // federated facet counts are the additive gather of per-shard
+    // histograms — equal to the consolidated index's sidebar
+    val fTerm = topTerms(merged, 1)
+    val fedF = graft.engine.Facets.federatedFacets(spark, Seq(shardA, shardB), fTerm)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val oneF = graft.engine.Facets.conjunctiveFacets(spark, merged, fTerm)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fedF === oneF)
+
     // the fan-in actually reaches the SHIFTED shard: the two corpora
     // have disjoint vocabularies and the reference's term-absent abort
     // (ranker.h:718-720) drops chunks missing ANY flattened word even
