@@ -79,6 +79,44 @@ object SearchDemo {
       hits.foreach { r =>
         println(f"  ${r.getString(0)}%-24s tf=${r.getLong(1)}%-8d df=${r.getLong(2)}")
       }
+    } else if (query.startsWith("fed:") || query.startsWith("fedref:")) {
+      // federated scatter-gather over two shard indexes built from the
+      // corpus halves (second half rebased — colliding docId spaces),
+      // created next to indexDir on first use; "fed:" = global-stats
+      // BM25, "fedref:" = chunk-order RefScore fan-in
+      val a = s"$indexDir-shard0"
+      val b = s"$indexDir-shard1"
+      if (!IndexBuilder.pathExists(spark, s"$a/postings")) {
+        import spark.implicits._
+        val ids = Corpus.fromDocumentsParquet(spark, sfDir)
+        val mid = ids.agg(org.apache.spark.sql.functions.max($"docId"))
+          .as[Long].head() / 2
+        val cfg = IndexBuilder.BuildConfig(chunkDocs = envChunkDocs)
+        IndexBuilder.build(spark, ids.filter(_.docId <= mid), a, cfg)
+        IndexBuilder.build(spark,
+          ids.filter(_.docId > mid).map(d => d.copy(docId = d.docId - mid - 1)),
+          b, cfg)
+        println(s"[build] two shard indexes at $a / $b")
+      }
+      val q = query.substring(query.indexOf(':') + 1)
+      val t0 = System.nanoTime()
+      if (query.startsWith("fedref:")) {
+        val fed = new graft.engine.FederatedSearch(spark, Seq(a, b))
+        val hits = fed.search(q)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(s"""Federated RefScore: "$q" -> ${hits.size} results in ${f"$dt%.3f"} s""")
+        hits.zipWithIndex.foreach { case (h, i) =>
+          println(f"${i + 1}%2d. score=${h.score}%-6d docId=${h.docId}%-6d ${h.url}")
+        }
+      } else {
+        val fed = new graft.engine.FederatedBm25(spark, Seq(a, b))
+        val hits = fed.search(q)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(s"""Federated BM25: "$q" -> ${hits.size} results in ${f"$dt%.3f"} s""")
+        hits.zipWithIndex.foreach { case (h, i) =>
+          println(f"${i + 1}%2d. score=${h.score}%.4f docId=${h.docId}%-6d ${h.url}")
+        }
+      }
     } else if (query.startsWith("bm25:") || query.startsWith("bm25and:")) {
       val engine = new graft.engine.Bm25Engine(spark, indexDir)
       val mode = if (query.startsWith("bm25and:")) engine.And else engine.Or
