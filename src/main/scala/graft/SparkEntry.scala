@@ -3402,12 +3402,14 @@ object SparkEntry {
         |                                  ORDER BY rel DESC, doc_id) AS irank
         |        FROM qrels WHERE rel > 0)
         |  GROUP BY 1)
-        |SELECT p.query_id,
-        |       round(CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0 END, 6) AS ndcg_at_k,
+        |SELECT coalesce(p.query_id, i.query_id) AS query_id,
+        |       round(CASE WHEN coalesce(i.idcg, 0) > 0
+        |                  THEN coalesce(p.dcg, 0) / i.idcg ELSE 0 END, 6) AS ndcg_at_k,
         |       round(CASE WHEN p.first_rel IS NOT NULL THEN 1.0 / p.first_rel ELSE 0 END, 6) AS rr_at_k,
-        |       round(p.hits / 10.0, 6) AS p_at_k,
-        |       round(CASE WHEN i.n_rel > 0 THEN p.hits * 1.0 / i.n_rel ELSE 0 END, 6) AS recall_at_k
-        |FROM perq p JOIN ideal i USING (query_id)""".stripMargin),
+        |       round(coalesce(p.hits, 0) / 10.0, 6) AS p_at_k,
+        |       round(CASE WHEN coalesce(i.n_rel, 0) > 0
+        |                  THEN coalesce(p.hits, 0) * 1.0 / i.n_rel ELSE 0 END, 6) AS recall_at_k
+        |FROM perq p FULL OUTER JOIN ideal i ON p.query_id = i.query_id""".stripMargin),
 
       // LM perplexity: the exact Dirichlet-bigram/Laplace-unigram
       // closed form replayed — uni/bi counts, the two model scalars,

@@ -45,6 +45,9 @@ object Facets {
     * [[repoFacet]]; any Column over the doc row works (lang is not in
     * the doc store — the reference's DocumentData has no language field,
     * SURVEY.md §1.1 — so path/url-derived facets are the native ones).
+    * The facet column is re-aliased to "facet" here, so the output
+    * schema is (facet, n_docs) regardless of the caller's expression —
+    * the empty-result schema and [[federatedFacets]]'s gather rely on it.
     */
   def conjunctiveFacets(spark: SparkSession, idxDir: String,
                         terms: Seq[String],
@@ -64,7 +67,7 @@ object Facets {
     IndexStore.readDocs(spark, idxDir).toDF()
       .filter(col("chunk").isin(qualifying: _*))
       .join(broadcast(hits), Seq("chunk", "docId"))
-      .groupBy(facet)
+      .groupBy(facet.as("facet"))
       .agg(count(lit(1)).as("n_docs"))
   }
 

@@ -51,14 +51,8 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
     * geometries would let a shifted shard straddle global chunk
     * boundaries (the same precondition mergeIndexes enforces).
     */
-  private val chunkDocs: Long = {
-    val gs = engines.map(_.chunkGeometry)
-    require(gs.forall(_ > 0),
-      s"FederatedBm25: every shard needs persisted chunkDocs stats (got $gs)")
-    require(gs.distinct.size == 1,
-      s"FederatedBm25: shards disagree on chunk geometry: $gs")
-    gs.head
-  }
+  private val chunkDocs: Long =
+    Federation.validateChunkDocs(engines.map(_.chunkGeometry))
 
   /** Per-shard docId offsets under the mergeIndexes fold rule (shared
     * helper — see [[Federation.shardOffsets]]).
@@ -171,11 +165,18 @@ object Federation {
   private[engine] def sharedChunkDocs(spark: SparkSession,
                                       shards: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{col, max}
-    val gs = shards.map { d =>
+    validateChunkDocs(shards.map { d =>
       val r = graft.index.IndexStore.readStats(spark, d)
         .agg(max(col("chunkDocs"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
-    }
+    })
+  }
+
+  /** The geometry contract in ONE place (FederatedBm25 feeds its
+    * engines' memoized geometries, sharedChunkDocs the stats reads):
+    * every shard must have persisted chunkDocs and all must agree.
+    */
+  private[engine] def validateChunkDocs(gs: Seq[Long]): Long = {
     require(gs.forall(_ > 0),
       s"federation: every shard needs persisted chunkDocs stats (got $gs)")
     require(gs.distinct.size == 1,

@@ -45,6 +45,8 @@ class Bm25Serving(spark: SparkSession, indexDir: String,
   private val reloadCount = new LongAdder
   @volatile private var gen: Gen = new Gen(version())
 
+  import Bm25Serving.isNewer
+
   /** (lineage rows, pending tombstone rows) — the invalidation token. */
   private def version(): (Long, Long) = {
     val lin =
@@ -67,9 +69,11 @@ class Bm25Serving(spark: SparkSession, indexDir: String,
       val v = version()
       if (v != g.token) {
         synchronized {
-          // re-check under the lock: a racing query may have swapped to
-          // this same version already — swap at most once per token
-          if (gen.token != v) {
+          // re-check under the lock, and swap only FORWARD: a thread
+          // that probed an older version must not replace a generation
+          // another thread already advanced past it (that would drop
+          // the newer generation's warm cache and force a re-reload).
+          if (isNewer(v, gen.token)) {
             gen = new Gen(v)
             reloadCount.increment()
           }
@@ -93,4 +97,17 @@ class Bm25Serving(spark: SparkSession, indexDir: String,
 
   /** The current engine generation (tests + advanced callers). */
   def engine: Bm25Engine = gen.engine
+}
+
+object Bm25Serving {
+  /** Token ordering: lineage rows are append-only, and at a fixed
+    * lineage count tombstones only accumulate (markDeleted appends;
+    * compact clears them but appends lineage) — so (lin, tomb) is
+    * lexicographically monotonic across any maintenance sequence, and
+    * "newer" is strict lexicographic greater-than. The swap path only
+    * moves FORWARD under this order (a thread holding a stale probe
+    * must never replace a generation that already advanced past it).
+    */
+  private[graft] def isNewer(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
 }

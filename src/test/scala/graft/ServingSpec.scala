@@ -84,6 +84,18 @@ class ServingSpec extends AnyFunSuite {
     ids.unpersist()
   }
 
+  test("version-token order is strict lexicographic: swaps only move forward") {
+    val newer = Bm25Serving.isNewer _
+    // lineage advance always wins, whatever the tombstone count does
+    assert(newer((2L, 0L), (1L, 5L)))
+    assert(!newer((1L, 5L), (2L, 0L)))
+    // at fixed lineage, tombstone accumulation is forward
+    assert(newer((3L, 4L), (3L, 1L)))
+    assert(!newer((3L, 1L), (3L, 4L)))
+    // equal tokens are not newer (re-entrant probe must not re-swap)
+    assert(!newer((3L, 4L), (3L, 4L)))
+  }
+
   test("concurrent identical queries: one engine generation, identical results") {
     val cfg = BuildConfig(chunkDocs = 50)
     val ids = corpus(30, seed = 193)
