@@ -27,6 +27,14 @@ object GraftConfig {
   /** configs/config.h:19 NUM_TOP_DOCUMENTS_RETURNED */
   val TopK = 30
 
+  /** Qualifying-chunk count above which SearchEngine's cross-chunk
+    * RefScore merge goes STAGED (census + executor-side prune, driver
+    * collect O(partitions·topK) — SearchEngine.searchChunksPruned).
+    * Below it, the plain per-chunk collect is both exact and cheaper
+    * than the extra census jobs — bench/parity corpora stay on it.
+    */
+  val StagedMergeChunks = 256
+
   /** configs/config.h:20 MAX_DOCUMENT_PER_INDEX_PER_QUERY. The reference
     * loop (ranker/ranker.h:756-765) post-increments numDocsFound in the
     * while condition and then breaks *before scoring* once

@@ -78,7 +78,9 @@ class SearchEngine(spark: SparkSession, indexDir: String,
                    chunkCapacity: Long = GraftConfig.ChunkDocs,
                    cache: Boolean = true,
                    broadcastDocsLimit: Long = 2000000L,
-                   broadcastDocsBytes: Long = 256L << 20) extends Serializable {
+                   broadcastDocsBytes: Long = 256L << 20,
+                   stagedChunkThreshold: Int = GraftConfig.StagedMergeChunks)
+    extends Serializable {
   import spark.implicits._
 
   // cache() keeps hot chunks in executor memory across queries (the
@@ -131,7 +133,7 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     astOpt match {
       case None => Seq.empty
       case Some(ast) =>
-        val hits = searchChunks(ast, flat, topK)
+        val hits = searchChunksPruned(ast, flat, topK)
         val merged = RefRanker.mergeChunkResults(
           hits.groupBy(_.chunk).view.mapValues { hs =>
             hs.sortBy(_.slot)
@@ -164,6 +166,73 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     }
   }
 
+  /** [[searchChunks]] behind the STAGED cross-chunk merge: when more
+    * than `stagedChunkThreshold` chunks qualify, the per-chunk slot rows
+    * stay distributed; a census job finds the globally-duplicated urls /
+    * (title, score) pairs (the only values the insertion fold's
+    * order-dependent dedup rules can fire on), and each partition prunes
+    * its provably side-effect-free clean rows executor-side
+    * ([[RefRanker.pruneStream]] carries the exactness argument). The
+    * driver then collects O(partitions·topK + dup-family) rows instead
+    * of O(chunks·topK), and [[RefRanker.mergeChunkResults]] over the
+    * kept rows is rank-identical to the full sequential fold
+    * (StagedMergeSpec pins it on dup-collision fixtures and property
+    * streams). Below the threshold — every bench/parity corpus — the
+    * plain collect is both exact and cheaper than the census jobs.
+    */
+  private[graft] def searchChunksPruned(ast: QOr, flat: Vector[String],
+                                        topK: Int): Seq[ChunkHit] = {
+    val k = topK
+    kernelDataset[ChunkHit](flat) { ctx =>
+      val chunk = ctx.chunk
+      RefRanker.rankChunk(ast, flat, ctx, k).iterator.zipWithIndex.map {
+        case (s, i) => ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
+      }
+    } match {
+      case Left(collected) => collected
+      case Right((ds, nQualifying)) if nQualifying <= stagedChunkThreshold =>
+        ds.collect().toSeq
+      case Right((ds, _)) => stagedPrune(ds, k)
+    }
+  }
+
+  /** Census + executor-side prune of a distributed hit set (the staged
+    * path of [[searchChunksPruned]]). Falls back to the exact full
+    * collect when the positive-score precondition fails or a dup-value
+    * census overflows the broadcast cap — both keep rank identity, they
+    * just forgo the collect savings.
+    */
+  private def stagedPrune(ds: Dataset[ChunkHit], topK: Int): Seq[ChunkHit] = {
+    val hits = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // empty slots (score 0, url "") are provable no-ops in the fold —
+      // drop them before the census so they can't trip the score guard
+      val real = hits.filter(h => !(h.score == 0L && h.url.isEmpty))
+      val minRow = real.agg(min($"score")).head()
+      if (minRow.isNullAt(0)) return Seq.empty
+      if (minRow.getLong(0) <= 0L) return hits.collect().toSeq
+      val cap = 100000
+      val dupUrls = real.groupBy($"url").count().filter($"count" > 1)
+        .select($"url").as[String].head(cap + 1)
+      if (dupUrls.length > cap) return hits.collect().toSeq
+      val dupPairs = real.groupBy($"title", $"score").count()
+        .filter($"count" > 1)
+        .select($"title", $"score").as[(String, Long)].head(cap + 1)
+      if (dupPairs.length > cap) return hits.collect().toSeq
+      val bu = spark.sparkContext.broadcast(dupUrls.toSet)
+      val bp = spark.sparkContext.broadcast(dupPairs.toSet)
+      val k = topK
+      real.mapPartitions { it =>
+        val rows = it.map(h => (h.chunk, h.slot,
+          DocScore(h.title, h.summary, h.url, h.score, h.docId))).toVector
+        RefRanker.pruneStream(rows, bu.value, bp.value, k).iterator.map {
+          case (c, sl, d) =>
+            ChunkHit(c, sl, d.title, d.summary, d.url, d.score, d.docId)
+        }
+      }.collect().toSeq
+    } finally hits.unpersist()
+  }
+
   /** Per-candidate DebugScore breakdown for a query (ranker.h:162-215;
     * tests/testQuery.cpp:47-61): every scored candidate in every
     * qualifying chunk, with its static/url/title/body components — the
@@ -191,8 +260,22 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     * chunk-pruned cogroup) this index is using.
     */
   private def runKernel[T](flat: Vector[String])(kernel: ChunkContext => Iterator[T])
-                          (implicit enc: org.apache.spark.sql.Encoder[T]): Seq[T] = {
-    if (flat.isEmpty) return Seq.empty
+                          (implicit enc: org.apache.spark.sql.Encoder[T]): Seq[T] =
+    kernelDataset(flat)(kernel) match {
+      case Left(collected) => collected
+      case Right((ds, _)) => ds.collect().toSeq
+    }
+
+  /** The kernel plan WITHOUT the final collect: Left = already-resolved
+    * rows (empty query, Bloom-proven empty, or the resident-sidecar path
+    * whose one-job collect is the plan); Right = the lazy cogroup
+    * Dataset plus the qualifying-chunk count, for callers that want to
+    * keep the rows distributed (the staged merge).
+    */
+  private def kernelDataset[T](flat: Vector[String])(kernel: ChunkContext => Iterator[T])
+      (implicit enc: org.apache.spark.sql.Encoder[T])
+      : Either[Seq[T], (Dataset[T], Int)] = {
+    if (flat.isEmpty) return Left(Seq.empty)
     val distinctFlat = flat.distinct
     val needed = (distinctFlat ++ distinctFlat.map("#" + _)).distinct
 
@@ -204,7 +287,7 @@ class SearchEngine(spark: SparkSession, indexDir: String,
         // resident-sidecar path: ONE job — shuffle only the query's
         // posting rows; the kernel's term-absent abort (ranker.h:718-720)
         // disqualifies chunks without a separate pruning pass
-        posts.groupByKey(_.chunk)
+        Left(posts.groupByKey(_.chunk)
           .flatMapGroups { (chunk, ps) =>
             bc.value.get(chunk) match {
               case None => Iterator.empty
@@ -212,7 +295,7 @@ class SearchEngine(spark: SparkSession, indexDir: String,
                 kernel(ChunkContextBuilder.build(chunk, ps.toVector, ds, cap))
             }
           }
-          .collect().toSeq
+          .collect().toSeq)
       case None =>
         // big-index path: prune chunks first (the term-absent rule is
         // also a major scan saver: rare terms disqualify most chunks),
@@ -226,7 +309,7 @@ class SearchEngine(spark: SparkSession, indexDir: String,
           if (bloomAvailable)
             BloomSidecar.candidateChunks(spark, indexDir, distinctFlat)
           else None
-        if (bloomCand.exists(_.isEmpty)) return Seq.empty
+        if (bloomCand.exists(_.isEmpty)) return Left(Seq.empty)
         val postsB = bloomCand match {
           case Some(cs) => posts.filter($"chunk".isin(cs.toSeq: _*))
           case None => posts
@@ -237,17 +320,16 @@ class SearchEngine(spark: SparkSession, indexDir: String,
           .agg(countDistinct($"term").as("nt"))
           .filter($"nt" === distinctFlat.size)
           .select($"chunk").as[Long].collect().sorted
-        if (qualifying.isEmpty) return Seq.empty
+        if (qualifying.isEmpty) return Left(Seq.empty)
         val postsQ = postsB.filter($"chunk".isin(qualifying: _*))
         val docsQ = docs.filter($"chunk".isin(qualifying: _*))
-        postsQ.groupByKey(_.chunk)
+        Right((postsQ.groupByKey(_.chunk)
           .cogroup(docsQ.groupByKey(_.chunk)) { (chunk, ps, ds) =>
             val postsSeq = ps.toVector
             val docsSeq = ds.toVector
             if (docsSeq.isEmpty) Iterator.empty
             else kernel(ChunkContextBuilder.build(chunk, postsSeq, docsSeq, cap))
-          }
-          .collect().toSeq
+          }, qualifying.length))
     }
   }
 }

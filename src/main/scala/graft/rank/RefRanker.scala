@@ -304,16 +304,25 @@ object RefRanker {
     * quirks. Mutates topN in place.
     */
   def insertionSort(data: DocScore, topN: Array[DocScore]): Unit = {
-    if (topN(topN.length - 1).score > data.score) return
+    insertionSortEntered(data, topN); ()
+  }
+
+  /** [[insertionSort]] that reports whether the item ENTERED the array
+    * (mutated it). Used by the staged-merge prune: an item that does not
+    * enter a fold from empty state is below that fold's floor at its
+    * arrival — see [[pruneStream]] for why that makes it droppable.
+    */
+  def insertionSortEntered(data: DocScore, topN: Array[DocScore]): Boolean = {
+    if (topN(topN.length - 1).score > data.score) return false
     var i = 0
     while (i < topN.length) {
-      if (topN(i).url == data.url) return
-      if (topN(i).title == data.title && topN(i).score == data.score) return
+      if (topN(i).url == data.url) return false
+      if (topN(i).title == data.title && topN(i).score == data.score) return false
       i += 1
     }
     i = 0
     while (i < topN.length) {
-      if (topN(i).score == 0) { topN(i) = data; return }
+      if (topN(i).score == 0) { topN(i) = data; return true }
       if (data.score > topN(i).score) {
         var j = topN.length - 1
         while (j > i) {
@@ -321,9 +330,64 @@ object RefRanker {
           j -= 1
         }
         topN(i) = data
-        return
+        return true
       }
       i += 1
+    }
+    false
+  }
+
+  /** EXACT partition-local prune for the staged cross-chunk merge.
+    *
+    * The cross-chunk fold ([[mergeChunkResults]], indexServer.cpp:94-112)
+    * is order-dependent through its dup-URL / dup-(title,score) drops, so
+    * a naive "fold ranges locally, fold range winners globally" staging
+    * is NOT rank-identical (StagedMergeSpec carries counterexamples).
+    * This prune is the sound alternative: given the GLOBAL census of
+    * duplicated values — `dupUrls` = urls occurring on more than one
+    * candidate anywhere in the query's hit set, `dupPairs` likewise for
+    * (title, score) — a partition may drop exactly those items that are
+    * (a) outside every dup family, and (b) never enter an insertion fold
+    * of the partition's own clean items (in (chunk, slot) arrival order,
+    * from empty state).
+    *
+    * Why that is exact (all candidate scores must be > 0 — caller-checked;
+    * the zero-score store/no-shift quirks void the argument otherwise):
+    * with positive scores and the reference's strict-floor + equal-score
+    * fall-through rules, the fold array is at every instant exactly the
+    * top-K of the items inserted so far minus the dup-dropped ones, under
+    * the total order (score desc, arrival asc). A CLEAN item (globally
+    * unique url and (title, score)) can never be dup-dropped and can
+    * never block anything, so its only interaction is that floor. The
+    * partition's clean prefix is a subset of the true fold's pool at the
+    * item's arrival, and the top-K floor is monotone in pool inclusion —
+    * so an item below the partition-local clean floor is below the true
+    * floor, and the true fold drops it with NO state change. Removing it
+    * from the replay stream therefore cannot change any later decision.
+    * Dup-family items are kept verbatim (their drop/enter decisions
+    * depend on cross-partition state and must be replayed), as are clean
+    * items that enter locally and are later evicted (their transient
+    * occupancy raises the floor other items see — StagedMergeSpec's
+    * evicted-enterer fixture shows dropping them diverges).
+    *
+    * Empty slots (score 0, empty url) are filtered outright: against any
+    * reachable array they hit either the strict-floor return or the
+    * dup-url return on another empty slot, so they are always no-ops.
+    *
+    * Rows are (chunk, slot, candidate); output preserves (chunk, slot)
+    * order and is a subsequence of the input's sort.
+    */
+  def pruneStream(rows: Seq[(Long, Int, DocScore)],
+                  dupUrls: Set[String],
+                  dupPairs: Set[(String, Long)],
+                  topK: Int): Seq[(Long, Int, DocScore)] = {
+    val sorted = rows
+      .filterNot { case (_, _, d) => d.score == 0L && d.url.isEmpty }
+      .sortBy { case (c, s, _) => (c, s) }
+    val local = Array.fill(topK)(DocScore.empty)
+    sorted.filter { case (_, _, d) =>
+      dupUrls.contains(d.url) || dupPairs.contains((d.title, d.score)) ||
+        insertionSortEntered(d, local)
     }
   }
 

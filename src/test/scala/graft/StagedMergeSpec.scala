@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.corpus.Corpus
+import graft.engine.SearchEngine
+import graft.index.IndexBuilder
+import graft.rank.{DocScore, RefRanker}
+
+/** Staged cross-chunk RefScore merge (SearchEngine.searchChunksPruned /
+  * RefRanker.pruneStream): rank-identity of the census + partition-local
+  * prune with the sequential insertion fold the reference runs
+  * (indexServer.cpp:94-112).
+  *
+  * The fold's dup-URL / dup-(title,score) drops make it order-dependent,
+  * so this spec first DEMONSTRATES that the naive staging (fold ranges
+  * locally, fold range winners globally) diverges on cross-boundary dup
+  * fixtures — the reason the census exists — then pins exactness of the
+  * census-guarded prune on those same fixtures, on an evicted-enterer
+  * chain, and on randomized streams with engineered dup collisions.
+  */
+class StagedMergeSpec extends AnyFunSuite {
+
+  private type Row = (Long, Int, DocScore)
+
+  private def d(url: String, score: Long, title: String = ""): DocScore =
+    DocScore(if (title.isEmpty) "t_" + url else title, "s", url, score, score)
+
+  /** Sequential truth: the exact driver fold search() runs. */
+  private def foldRows(rows: Seq[Row], topK: Int): Seq[DocScore] =
+    RefRanker.mergeChunkResults(
+      rows.groupBy(_._1).view.mapValues { rs =>
+        rs.sortBy(_._2).map(_._3).toArray
+      }.toSeq, topK).filter(_.url.nonEmpty).toSeq
+
+  /** The engine's census, replicated over in-memory rows. */
+  private def census(rows: Seq[Row]): (Set[String], Set[(String, Long)]) = {
+    val real = rows.map(_._3).filterNot(x => x.score == 0L && x.url.isEmpty)
+    val dupUrls = real.groupBy(_.url).filter(_._2.size > 1).keySet
+    val dupPairs = real.groupBy(x => (x.title, x.score))
+      .filter(_._2.size > 1).keySet
+    (dupUrls, dupPairs)
+  }
+
+  /** Staged result: split rows into partitions (each holding whole
+    * chunks, like the cogroup's hash partitioning), prune each with the
+    * given dup sets, fold the kept union.
+    */
+  private def staged(partitions: Seq[Seq[Row]], topK: Int,
+                     dupUrls: Set[String],
+                     dupPairs: Set[(String, Long)]): Seq[DocScore] =
+    foldRows(partitions.flatMap(p =>
+      RefRanker.pruneStream(p, dupUrls, dupPairs, topK)), topK)
+
+  private def stagedWithCensus(partitions: Seq[Seq[Row]], topK: Int): Seq[DocScore] = {
+    val (u, p) = census(partitions.flatten)
+    staged(partitions, topK, u, p)
+  }
+
+  // ---- cross-boundary dup-URL fixture (K=3) ----
+  // partition 1 seeds (z1, z2); partition 2 holds a url that repeats
+  // across its own chunks (a in c2 and c4): a's first, low-score doc is
+  // evicted mid-fold in the TRUE merge, so the second a-doc ENTERS the
+  // truth — a naive range fold dup-drops it locally and diverges.
+  private val dupUrlP1: Seq[Row] = Seq(
+    (0L, 0, d("z1.example/0", 20)),
+    (0L, 1, d("z2.example/0", 19)))
+  private val dupUrlP2: Seq[Row] = Seq(
+    (2L, 0, d("a.example/00", 10)),
+    (3L, 0, d("b.example/00", 15)),
+    (4L, 0, d("a.example/00", 17, title = "t_a2")))
+
+  test("naive staging (no census) diverges on a cross-boundary dup URL") {
+    val truth = foldRows(dupUrlP1 ++ dupUrlP2, 3)
+    // the true merge: [z1 20, z2 19, a10] -> b15 evicts a10 -> a17
+    // re-enters (its url left the array) and evicts b15
+    assert(truth.map(x => (x.url, x.score)) ===
+      Seq(("z1.example/0", 20L), ("z2.example/0", 19L), ("a.example/00", 17L)))
+    val naive = staged(Seq(dupUrlP1, dupUrlP2), 3, Set.empty, Set.empty)
+    assert(naive !== truth,
+      "naive range-staging should diverge here — if it stops diverging, " +
+        "the fixture no longer guards the census")
+    assert(naive.map(_.score) === Seq(20L, 19L, 15L)) // kept b15, lost a17
+  }
+
+  test("census-guarded staging is rank-identical on the dup-URL fixture") {
+    assert(stagedWithCensus(Seq(dupUrlP1, dupUrlP2), 3) ===
+      foldRows(dupUrlP1 ++ dupUrlP2, 3))
+  }
+
+  // ---- cross-boundary dup-(title, score) fixture ----
+  test("census-guarded staging is rank-identical on a dup-(title,score) pair") {
+    // same title+score on different urls across partitions: rule 3
+    // drops the later one in the truth; without the pair census the
+    // later partition would keep pruning decisions that assumed it won
+    val p1: Seq[Row] = Seq(
+      (0L, 0, d("m1.example/0", 40, title = "shared")),
+      (0L, 1, d("m2.example/0", 30)))
+    val p2: Seq[Row] = Seq(
+      (5L, 0, d("m3.example/0", 40, title = "shared")),
+      (5L, 1, d("m4.example/0", 35)),
+      (6L, 0, d("m5.example/0", 33)))
+    assert(stagedWithCensus(Seq(p1, p2), 3) === foldRows(p1 ++ p2, 3))
+    // and the dup pair really fires: the truth keeps only one "shared"
+    val truth = foldRows(p1 ++ p2, 3)
+    assert(truth.count(_.title == "shared") === 1)
+  }
+
+  // ---- evicted-enterer fixture (K=2) ----
+  // x1/x2 enter the partition fold and are later evicted; their
+  // transient occupancy is what floor-drops the first a-doc in the
+  // truth, which is what lets the second a-doc survive rule 2. Pruning
+  // evicted enterers would diverge — pruneStream must keep them.
+  test("evicted enterers are kept — dropping them would flip a dup decision") {
+    val rows: Seq[Row] = Seq(
+      (0L, 0, d("x2.example/0", 6)),
+      (0L, 1, d("x1.example/0", 5)),
+      (1L, 0, d("a.example/00", 3)),
+      (2L, 0, d("a.example/00", 7, title = "t_a2")),
+      (3L, 0, d("y1.example/0", 10)))
+    val (u, p) = census(rows)
+    val kept = RefRanker.pruneStream(rows, u, p, 2)
+    assert(kept.exists(_._3.url == "x1.example/0"),
+      "x1 enters the local fold (array not yet full) and must be kept")
+    assert(kept.exists(_._3.url == "x2.example/0"))
+    assert(stagedWithCensus(Seq(rows), 2) === foldRows(rows, 2))
+    // the truth: a3 floor-dropped under [x2,x1]... wait: K=2 truth is
+    // [6,5] when a3 arrives -> dropped; a7 enters (url absent), y10 wins
+    assert(foldRows(rows, 2).map(x => (x.url, x.score)) ===
+      Seq(("y1.example/0", 10L), ("a.example/00", 7L)))
+  }
+
+  // ---- empty slots and floor-pruning ----
+  test("empty slots are filtered; clean floor casualties are pruned") {
+    val rows: Seq[Row] = (0 until 40).map { i =>
+      (i.toLong, 0, d(f"u$i%02d.example/0", 100L - i))
+    } ++ Seq((40L, 0, DocScore.empty), (40L, 1, DocScore.empty))
+    val (u, p) = census(rows)
+    val kept = RefRanker.pruneStream(rows, u, p, 5)
+    assert(kept.size === 5, "40 clean descending items prune to exactly topK")
+    assert(stagedWithCensus(Seq(rows), 5) === foldRows(rows, 5))
+  }
+
+  // ---- randomized equivalence ----
+  test("property: staged == sequential over random dup-heavy streams") {
+    val rnd = new scala.util.Random(20260821L)
+    (1 to 300).foreach { trial =>
+      val nChunks = 1 + rnd.nextInt(12)
+      val topK = 1 + rnd.nextInt(6)
+      val rows: Seq[Row] = (0 until nChunks).flatMap { c =>
+        (0 until rnd.nextInt(6)).map { s =>
+          // small url/title/score pools force frequent dup collisions
+          val url = s"u${rnd.nextInt(14)}.example/0"
+          val title = s"title${rnd.nextInt(6)}"
+          val score = 1L + rnd.nextInt(9)
+          (c.toLong, s, DocScore(title, "s", url, score, c * 100L + s))
+        }
+      }
+      // partitions hold whole chunks, arbitrary assignment (like hash)
+      val nParts = 1 + rnd.nextInt(4)
+      val parts = rows.groupBy { case (c, _, _) => c % nParts }
+        .values.toSeq
+      val got = stagedWithCensus(parts, topK)
+      val want = foldRows(rows, topK)
+      assert(got === want, s"trial $trial diverged (seed-fixed)")
+    }
+  }
+
+  test("property: zero-dup streams prune to O(parts·topK) and stay identical") {
+    val rnd = new scala.util.Random(43L)
+    (1 to 100).foreach { trial =>
+      val topK = 1 + rnd.nextInt(5)
+      val rows: Seq[Row] = (0 until 20).flatMap { c =>
+        (0 until 3).map { s =>
+          (c.toLong, s,
+            d(f"q$trial%03d-$c%02d-$s.example/0", 1L + rnd.nextInt(1000)))
+        }
+      }
+      val parts = rows.groupBy { case (c, _, _) => c % 3 }.values.toSeq
+      val (u, p) = census(rows)
+      val keptTotal = parts.map(RefRanker.pruneStream(_, u, p, topK).size).sum
+      // enterers per partition: topK survivors + evicted enterers; with
+      // random scores this stays near topK, never the full stream
+      assert(keptTotal <= parts.size * (topK + 20))
+      assert(staged(parts, topK, u, p) === foldRows(rows, topK))
+    }
+  }
+
+  // ---- engine-level: staged path vs plain collect on a real index ----
+  test("engine: staged threshold 0 reproduces the default path exactly") {
+    val src = Corpus.fromDocumentsParquet(spark, "/root/testdata/sf0.001")
+    val out = SparkTestBase.tempDir("graft-staged-eng")
+    IndexBuilder.build(spark, src, out,
+      IndexBuilder.BuildConfig(chunkDocs = 50)) // many chunks
+    val plain = new SearchEngine(spark, out, 50,
+      broadcastDocsLimit = 0L) // force the cogroup path
+    val stagedEng = new SearchEngine(spark, out, 50,
+      broadcastDocsLimit = 0L, stagedChunkThreshold = 0)
+    val queries = Seq("spark merge sort", "\"sort merge\"", "spark OR dup",
+      "spark AND dup", "(spark OR dup) join", "dup", "spark",
+      "scan column window order")
+    queries.foreach { q =>
+      assert(stagedEng.search(q) === plain.search(q), s"query [$q]")
+    }
+  }
+
+  private lazy val spark = SparkTestBase.spark
+}
