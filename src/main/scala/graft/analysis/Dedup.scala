@@ -137,67 +137,112 @@ object Dedup {
 
   /** Connected components over an undirected pair list — the step that
     * turns near-duplicate PAIRS into duplicate CLUSTERS (the production
-    * dedup unit: one representative survives per component). Iterative
-    * min-label propagation: every round each node's label becomes the
-    * min of its own and its neighbors' labels, reaching the fixpoint
-    * (label = min reachable id, a value independent of execution order,
-    * partitioning, or engine) in O(component diameter) rounds. Each
-    * round is ONE shuffle (labels joined to the edge list + a min
-    * aggregate); the round's result is persisted, the previous round
-    * unpersisted, and the logical plan CUT at the persisted rows
-    * (createDataFrame over the cached RDD) so neither lineage depth nor
-    * optimizer time grows with the iteration count — the standard
-    * iterative-DataFrame hygiene that lets the loop run to deep
-    * diameters. Convergence = zero changed labels (one count per
-    * round); near-dup clusters are shallow in practice, `maxIter`
-    * merely bounds the pathological chain — and hitting it FAILS LOUDLY
-    * (IllegalStateException) rather than returning silently-wrong
-    * components: an unconverged label is not the min reachable id, so
-    * dedupClusters would keep several representatives of one true
-    * cluster while the SQL oracle computes the exact closure.
+    * dedup unit: one representative survives per component).
+    * Alternating large-star / small-star contraction (Kiveris, Lattanzi,
+    * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    * MapReduce and Beyond", SoCC'14): each round first points every
+    * node's LARGER neighbors at its neighborhood minimum (large-star),
+    * then folds each node and its smaller neighbors onto that minimum
+    * (small-star). The edge set contracts toward stars centered on each
+    * component's minimum id in O(log n) rounds — independent of
+    * component DIAMETER, unlike min-label propagation whose round count
+    * a long template-drift chain can push past any fixed cap. The
+    * fixpoint (star edges node -> min reachable id) is the same label
+    * function as before: a value independent of execution order,
+    * partitioning, or engine, matching the SQL oracle's exact closure.
+    *
+    * Each half-round is ONE shuffle (a per-node min aggregate joined
+    * back to the edge list); the round's edge set is persisted, the
+    * previous round unpersisted, and the logical plan CUT at the
+    * persisted rows (createDataFrame over the cached RDD) so neither
+    * lineage depth nor optimizer time grows with iterations — the
+    * standard iterative-DataFrame hygiene. Convergence = edge set
+    * unchanged (a count compare plus one edge-sized except); hitting
+    * `maxIter` FAILS LOUDLY (IllegalStateException) rather than
+    * returning silently-wrong components: an unconverged edge set is
+    * not yet a star set, so dedupClusters would keep several
+    * representatives of one true cluster.
     *
     * The returned DataFrame is persisted (its rows were materialized by
     * the convergence check); callers that are finished with it may
     * `unpersist()` it — recomputation stays correct, just uncached.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] exposing the number of alternating rounds
+    * used — DedupScaleSpec pins the O(log n) bound on a path graph
+    * whose diameter would blow past `maxIter` under label propagation.
+    */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+                                    maxIter: Int = 50): (DataFrame, Int) = {
     val spark = pairs.sparkSession
-    val half = pairs.select(col("doc_a").cast("long").as("src"),
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dst",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val raw = pairs.select(col("doc_a").cast("long").as("src"),
       col("doc_b").cast("long").as("dst"))
-    val edges = half
-      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component")).persist()
-    var changed = 1L
+    // canonical directed form: src > dst (small-star's precondition;
+    // large-star re-symmetrizes internally); self-pairs carry no
+    // connectivity and are re-added as singletons at the end
+    var edges = raw.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst")).distinct().persist()
+    var edgeCount = edges.count()
+    var changed = edgeCount > 0
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nmin = edges
-        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min(col("component")).as("nmin"))
-      val step = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"),
-          col("component").as("prev"))
-        .persist()
-      changed = step.filter(col("component") =!= col("prev")).count()
-      val next = spark.createDataFrame(
-        step.select(col("id"), col("component")).rdd,
-        labels.schema).persist()
-      next.count()
-      step.unpersist()
-      labels.unpersist()
-      labels = next
+    while (changed && iter < maxIter) {
+      // LARGE-STAR: for each node u over the symmetric neighborhood,
+      // m = min(N(u) ∪ {u}); emit (v, m) for every neighbor v > u.
+      // Output edges all satisfy src > dst (m <= u < v).
+      val sym = edges.unionByName(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val ls = sym.join(lsMin, Seq("src"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // SMALL-STAR: every neighbor here is < src; m = min of them;
+      // emit (v, m) for v in N(u) ∪ {u}, v != m. Still src > dst.
+      val ssMin = ls.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      val ssStep = ls.join(ssMin, Seq("src"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(ssMin.select(col("src"), col("m").as("dst")))
+        .distinct()
+      val next = spark.createDataFrame(ssStep.rdd, schema).persist()
+      val nextCount = next.count()
+      changed = nextCount != edgeCount || next.except(edges).count() > 0
+      edges.unpersist()
+      edges = next
+      edgeCount = nextCount
       iter += 1
     }
-    edges.unpersist()
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter rounds " +
-          s"($changed labels still changing) — raise maxIter (rounds needed " +
-          "= the largest component's diameter)")
-    labels
+        s"connectedComponents did not converge within $maxIter " +
+          "alternating-star rounds — raise maxIter (rounds needed ~ " +
+          "log2 of the largest component size)")
+    // at the fixpoint `edges` is a star set (v -> component min); add
+    // the roots' self-labels, and keep nodes that appeared ONLY in
+    // self-pairs as their own singletons (the label-propagation
+    // implementation covered them via its edge-derived seed)
+    val starLabels = edges.select(col("src").as("id"), col("dst").as("component"))
+      .unionByName(edges.select(col("dst").as("id"), col("dst").as("component"))
+        .distinct())
+      .distinct()
+    val selfOnly = raw.filter(col("src") === col("dst"))
+      .select(col("src").as("id")).distinct()
+      .join(starLabels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    val labels = starLabels.unionByName(selfOnly).persist()
+    labels.count()
+    edges.unpersist()
+    (labels, iter)
   }
 
   /** Near-duplicate clusters with a deterministic keep-list: LSH

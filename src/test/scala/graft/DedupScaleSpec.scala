@@ -131,6 +131,33 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(got.size === 3 + 2 + 12)
   }
 
+  test("connected components: 200-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    // a template-drift chain: diameter 199, so min-label propagation
+    // would need ~199 rounds (>2x the default 50-round cap and fail);
+    // the alternating large-star/small-star contraction must close it
+    // in logarithmic rounds with exact min labels
+    val n = 200L
+    val pairs = (1000L until 1000L + n - 1).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert((1000L until 1000L + n).forall(got(_) == 1000L),
+      s"path labels wrong: ${got.filter(_._2 != 1000L).take(5)}")
+    assert(rounds <= 12, s"star contraction took $rounds rounds on a " +
+      s"$n-node path — expected O(log n), got diameter-like behavior")
+    labels.unpersist()
+  }
+
+  test("connected components: self-pair-only nodes stay singleton labeled") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (7L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("duplicated-span removal: shared 8-gram scrubbed from both docs, unique text kept") {
     import spark.implicits._
     val span = "one two three four five six seven eight" // the shared 8-gram
