@@ -83,7 +83,11 @@ object Facets {
                       terms: Seq[String],
                       facet: Column = repoFacet): DataFrame = {
     require(shards.nonEmpty, "federatedFacets: need at least one shard")
-    shards.map(d => conjunctiveFacets(spark, d, terms, facet))
+    // concurrent scatter: conjunctiveFacets runs its chunk-resolve job
+    // eagerly, so building the per-shard frames in parallel overlaps
+    // those jobs (results stay in shard order; the sum is commutative)
+    Federation.scatter(shards.map(d =>
+        () => conjunctiveFacets(spark, d, terms, facet)))
       .reduce(_ unionByName _)
       .groupBy(col("facet")).agg(sum(col("n_docs")).as("n_docs"))
   }

@@ -33,10 +33,11 @@ import graft.tokenizer.Tokenizer
   * pending — and the permanent path when shards must stay separate
   * (per-tenant / per-language / per-region placement).
   *
-  * Scale shape: the scatter is a driver loop over shard engines (the
-  * per-shard jobs are the same chunk-pruned kernels the single-index
-  * engine runs — Bloom sidecars, WAND, broadcast lens gates all apply
-  * per shard); the gather merges K sorted top-k lists (≤ K·k rows on the
+  * Scale shape: the scatter submits the per-shard jobs CONCURRENTLY
+  * ([[Federation.scatter]] — the per-shard jobs are the same
+  * chunk-pruned kernels the single-index engine runs: Bloom sidecars,
+  * WAND, broadcast lens gates all apply per shard, and results come
+  * back in shard order); the gather merges K sorted top-k lists (≤ K·k rows on the
   * driver, never data-sized). Global top-k ⊆ union of per-shard top-k
   * because every global winner is a fortiori in its own shard's top-k
   * under identical stats.
@@ -47,23 +48,32 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
   private val engines: Seq[Bm25Engine] =
     shards.map(d => new Bm25Engine(spark, d))
 
-  /** Shared chunk geometry — the offset rule is chunk-aligned, so mixed
-    * geometries would let a shifted shard straddle global chunk
-    * boundaries (the same precondition mergeIndexes enforces).
+  /** Per-shard chunk geometries. Mixed fleets are ALLOWED for BM25/QL
+    * federation: scoring uses global statistics and each shard prunes
+    * chunks in its own geometry, so the only shared contract is a
+    * disjoint global docId space — which [[Federation.shardOffsetsMixed]]
+    * provides by aligning every shard's offset to its OWN chunk size.
+    * (RefScore federation still requires one geometry: its fan-in runs
+    * in global chunk order derived from a single docId/chunkDocs map.)
     */
-  private val chunkDocs: Long =
-    Federation.validateChunkDocs(engines.map(_.chunkGeometry))
+  private val geometries: Seq[Long] = {
+    val gs = engines.map(_.chunkGeometry)
+    require(gs.forall(_ > 0),
+      s"federation: every shard needs persisted chunkDocs stats (got $gs)")
+    gs
+  }
 
-  /** Per-shard docId offsets under the mergeIndexes fold rule (shared
-    * helper — see [[Federation.shardOffsets]]).
+  /** Per-shard docId offsets under the (geometry-aware) mergeIndexes
+    * fold rule — see [[Federation.shardOffsetsMixed]].
     */
-  val offsets: Seq[Long] = Federation.shardOffsets(spark, shards, chunkDocs)
+  val offsets: Seq[Long] =
+    Federation.shardOffsetsMixed(spark, shards, geometries)
 
   /** Global (N, avgdl): raw sums folded across shards, never a mean of
     * per-shard means.
     */
   lazy val corpusStats: (Long, Double) = {
-    val nts = engines.map(_.statsNT)
+    val nts = Federation.scatter(engines.map(e => () => e.statsNT))
     val n = nts.map(_._1).sum
     (n, nts.map(_._2).sum.toDouble / math.max(n, 1L).toDouble)
   }
@@ -73,7 +83,8 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
     * shard's engine so repeat queries pay nothing). Zero-df terms drop.
     */
   def globalDf(terms: Seq[String]): Map[String, Long] =
-    engines.flatMap(_.shardDf(terms).toSeq)
+    Federation.scatter(engines.map(e => () => e.shardDf(terms).toSeq))
+      .flatten
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
       .filter(_._2 > 0L)
 
@@ -89,10 +100,11 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
       return Seq.empty
     if (dfMap.isEmpty) return Seq.empty
     val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
-    val merged = engines.zip(offsets).flatMap { case (e, off) =>
-      e.searchTermsWithStats(terms, k, idfMap, avgdl, mode, useWand)
-        .map(h => h.copy(docId = h.docId + off))
-    }
+    val merged = Federation.scatter(engines.zip(offsets).map {
+      case (e, off) => () =>
+        e.searchTermsWithStats(terms, k, idfMap, avgdl, mode, useWand)
+          .map(h => h.copy(docId = h.docId + off))
+    }).flatten
     merged.sorted(Bm25.better.reverse).take(k).toSeq
   }
 
@@ -108,17 +120,20 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
     val base = terms.distinct
     val (n, _) = corpusStats
     if (base.isEmpty || n == 0L) return Seq.empty
-    val totalC = engines.map(_.statsNT._2).sum
-    val cf = engines.flatMap(_.shardCf(base).toSeq)
+    val totalC = Federation.scatter(engines.map(e => () => e.statsNT))
+      .map(_._2).sum
+    val cf = Federation.scatter(engines.map(e => () => e.shardCf(base).toSeq))
+      .flatten
       .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sum }
       .filter(_._2 > 0L)
     if (cf.isEmpty || totalC == 0L) return Seq.empty
     val kept = base.filter(cf.contains)
     val pcMap = kept.map(t => t -> cf(t).toDouble / totalC.toDouble).toMap
-    val merged = engines.zip(offsets).flatMap { case (e, off) =>
-      e.searchTermsQlWithStats(kept, k, pcMap, mu)
-        .map(h => h.copy(docId = h.docId + off))
-    }
+    val merged = Federation.scatter(engines.zip(offsets).map {
+      case (e, off) => () =>
+        e.searchTermsQlWithStats(kept, k, pcMap, mu)
+          .map(h => h.copy(docId = h.docId + off))
+    }).flatten
     merged.sorted(Bm25.better.reverse).take(k).toSeq
   }
 
@@ -135,13 +150,14 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
     if (hits.isEmpty) return Seq.empty
     // group global ids by owning shard (the LAST shard whose offset is
     // <= id — offsets ascend), resolve locally, re-map to global
+    val byShard = hits.groupBy(h => ownerOf(h.docId)).toSeq
     val meta: Map[Long, (String, String)] =
-      hits.groupBy(h => ownerOf(h.docId)).flatMap { case (i, hs) =>
+      Federation.scatter(byShard.map { case (i, hs) => () =>
         val local = hs.map(_.docId - offsets(i))
         engines(i).resolveMeta(local).map { case (id, ut) =>
           (id + offsets(i)) -> ut
         }
-      }
+      }).flatten.toMap
     hits.map(h => Bm25Hit(h.docId, h.score,
       meta.get(h.docId).map(_._1).getOrElse(""),
       meta.get(h.docId).map(_._2).getOrElse("")))
@@ -157,6 +173,33 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
 }
 
 object Federation {
+  /** Bounded daemon pool for the federated scatter: per-shard Spark jobs
+    * submit CONCURRENTLY (SparkContext schedules jobs from multiple
+    * threads fine) instead of serializing on the driver loop — at the
+    * reference's K=8 the sequential loop was tolerable, at large K it
+    * became the gather's wall-clock. Results come back positionally
+    * (Future.sequence preserves order), so every fold downstream sees
+    * the exact sequence the sequential loop produced — FederationSpec's
+    * consolidated-index identity tests cover the concurrent path.
+    */
+  private lazy val scatterPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        8,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-fed-scatter")
+          t.setDaemon(true)
+          t
+        }))
+
+  /** Run the per-shard thunks concurrently, results in input order. */
+  private[graft] def scatter[A](tasks: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = scatterPool
+    Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+  }
+
   /** Shared chunk geometry across shards, from the persisted stats
     * (the offset rule is chunk-aligned, so mixed geometries would let a
     * shifted shard straddle global chunk boundaries — the mergeIndexes
@@ -193,12 +236,30 @@ object Federation {
     * left-to-right with `IndexBuilder.mergeIndexes`.
     */
   private[engine] def shardOffsets(spark: SparkSession, shards: Seq[String],
-                                   chunkDocs: Long): Seq[Long] = {
+                                   chunkDocs: Long): Seq[Long] =
+    shardOffsetsMixed(spark, shards, Seq.fill(shards.size)(chunkDocs))
+
+  /** The offset rule generalized to PER-SHARD geometries (mixed
+    * chunkDocs fleets — per-tenant shards built at different scales):
+    * each shard lands at the first boundary of its OWN chunk geometry
+    * strictly past the federated high-water so far, so its local
+    * docId -> chunk derivation (docId/chunkDocs_i) shifts by a whole
+    * number of its own chunks and every local chunk boundary stays a
+    * global one in the shard's geometry. Offsets still strictly ascend
+    * past each shard's extent — the global docId space stays disjoint —
+    * and the rule degenerates to the homogeneous mergeIndexes rule when
+    * all geometries agree (shardOffsets delegates here).
+    */
+  private[engine] def shardOffsetsMixed(spark: SparkSession,
+                                        shards: Seq[String],
+                                        chunkDocs: Seq[Long]): Seq[Long] = {
+    require(shards.size == chunkDocs.size,
+      s"federation: ${shards.size} shards vs ${chunkDocs.size} geometries")
     val highs = shards.map(d => IndexBuilder.docIdHighWater(spark, d))
     val offs = Seq.newBuilder[Long]
     var cursor = -1L // federated high-water of the shards placed so far
-    highs.foreach { h =>
-      val off = if (cursor < 0) 0L else (cursor / chunkDocs + 1L) * chunkDocs
+    highs.zip(chunkDocs).foreach { case (h, cd) =>
+      val off = if (cursor < 0) 0L else (cursor / cd + 1L) * cd
       offs += off
       cursor = math.max(cursor, off + h)
     }
@@ -233,11 +294,12 @@ class FederatedSearch(spark: SparkSession, shards: Seq[String]) {
   val offsets: Seq[Long] = Federation.shardOffsets(spark, shards, chunkDocs)
   private val bases: Seq[Long] = offsets.map(_ / chunkDocs)
 
-  /** Rank-identical federated reference scoring: the scatter is a driver
-    * loop over shard engines (each one chunk-pruned kernel job); the
-    * gather remaps (chunk, docId) into the global space and folds ALL
-    * shards' slot lists through the reference's cross-chunk insertion
-    * merge in ascending global chunk order.
+  /** Rank-identical federated reference scoring: the scatter submits
+    * each shard's chunk-pruned kernel job concurrently
+    * ([[Federation.scatter]], results in shard order); the gather
+    * remaps (chunk, docId) into the global space and folds ALL shards'
+    * slot lists through the reference's cross-chunk insertion merge in
+    * ascending global chunk order.
     */
   def search(query: String, topK: Int = GraftConfig.TopK)
       : Seq[graft.rank.DocScore] = {
@@ -245,11 +307,11 @@ class FederatedSearch(spark: SparkSession, shards: Seq[String]) {
     astOpt match {
       case None => Seq.empty
       case Some(ast) =>
-        val hits = engines.zip(offsets).zip(bases).flatMap {
-          case ((e, off), base) =>
+        val hits = Federation.scatter(engines.zip(offsets).zip(bases).map {
+          case ((e, off), base) => () =>
             e.searchChunks(ast, flat, topK)
               .map(h => h.copy(chunk = h.chunk + base, docId = h.docId + off))
-        }
+        }).flatten
         val merged = graft.rank.RefRanker.mergeChunkResults(
           hits.groupBy(_.chunk).view.mapValues { hs =>
             hs.sortBy(_.slot)

@@ -187,9 +187,45 @@ class FederationSpec extends AnyFunSuite {
 
     val c = SparkTestBase.tempDir("graft_fed_df_c")
     IndexBuilder.build(spark, idsB, c, BuildConfig(chunkDocs = 40))
+    // MIXED geometry is allowed for BM25 federation: shard c lands on a
+    // boundary of its OWN 40-doc geometry past shard a's high-water 39
+    val mixed = new FederatedBm25(spark, Seq(a, c))
+    assert(mixed.offsets === Seq(0L, 40L))
+    assert(mixed.globalDf(terms) === expected)
+  }
+
+  test("mixed-geometry BM25 federation matches a consolidated index") {
+    import spark.implicits._
+    val idsA = corpus(20, seed = 163).persist() // 40 docs, ids 0..39
+    val idsB = corpus(15, seed = 164).persist() // 30 docs, ids 0..29
+    val a = SparkTestBase.tempDir("graft_fed_mix_a")
+    val b = SparkTestBase.tempDir("graft_fed_mix_b")
+    val cons = SparkTestBase.tempDir("graft_fed_mix_cons")
+    IndexBuilder.build(spark, idsA, a, BuildConfig(chunkDocs = 50))
+    IndexBuilder.build(spark, idsB, b, BuildConfig(chunkDocs = 40))
+    val fed = new FederatedBm25(spark, Seq(a, b))
+    assert(fed.offsets === Seq(0L, 40L),
+      "shard b must align to its own 40-doc geometry past high-water 39")
+
+    // consolidated truth over the SAME global docId space: BM25 with
+    // global stats is chunk-layout independent, so any geometry works
+    IndexBuilder.build(spark,
+      idsA.unionByName(idsB.map(d => d.copy(docId = d.docId + 40L))),
+      cons, BuildConfig(chunkDocs = 40))
+    val one = new Bm25Engine(spark, cons)
+    val ts = (topTerms(a, 2) ++ topTerms(b, 1)).distinct
+    Seq(Bm25Engine.Or, Bm25Engine.And).foreach { mode =>
+      assert(fed.searchTerms(ts, 30, mode) === one.searchTerms(ts, 30, mode),
+        s"mode $mode")
+    }
+    assert(fed.searchTermsQl(ts, 30) === one.searchTermsQl(ts, 30))
+
+    // RefScore federation still requires ONE geometry (its fan-in runs
+    // in global chunk order of a single docId/chunkDocs map)
     val ex = intercept[IllegalArgumentException] {
-      new FederatedBm25(spark, Seq(a, c)).corpusStats
+      new graft.engine.FederatedSearch(spark, Seq(a, b))
     }
     assert(ex.getMessage.contains("chunk geometry"))
+    idsA.unpersist(); idsB.unpersist()
   }
 }
