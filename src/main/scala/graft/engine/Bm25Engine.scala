@@ -750,18 +750,26 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     if (base.isEmpty || n == 0L || m <= 0) return Seq.empty
     val posts = postings.filter($"term".isin(base: _*))
 
-    // stage 1: champion candidates
+    // stage 1: champion candidates — from the persisted sidecar when
+    // one covers the request (prefix reads + a distributed per-term
+    // window, driver collect <= |terms|·m ids), inline per-blob decode
+    // otherwise (no sidecar, or m exceeds the built prefix depth)
     val mm = m
-    val perChunk = posts.flatMap { p =>
-      graft.codec.PostingCodec.decode(p.df, p.postingsBlob).iterator
-        .map { case (docId, poss) => (p.term, docId, poss.length.toLong) }
-        .toArray
-        .sortBy { case (_, id, tf) => (-tf, id) }
-        .take(mm).iterator
-    }.collect()
-    val candidates: Array[Long] = perChunk.groupBy(_._1).valuesIterator
-      .flatMap(_.sortBy { case (_, id, tf) => (-tf, id) }.take(mm).map(_._2))
-      .toArray.distinct.sorted
+    val candidates: Array[Long] =
+      (if (graft.index.ChampionSidecar.exists(spark, indexDir))
+         graft.index.ChampionSidecar.candidateIds(spark, indexDir, base, mm)
+       else None).getOrElse {
+        val perChunk = posts.flatMap { p =>
+          graft.codec.PostingCodec.decode(p.df, p.postingsBlob).iterator
+            .map { case (docId, poss) => (p.term, docId, poss.length.toLong) }
+            .toArray
+            .sortBy { case (_, id, tf) => (-tf, id) }
+            .take(mm).iterator
+        }.collect()
+        perChunk.groupBy(_._1).valuesIterator
+          .flatMap(_.sortBy { case (_, id, tf) => (-tf, id) }.take(mm).map(_._2))
+          .toArray.distinct.sorted
+      }
     if (candidates.isEmpty) return Seq.empty
 
     // stage 2: full BM25 over the candidate set only

@@ -4,51 +4,23 @@ import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.LongAdder
 
 import org.apache.spark.sql.SparkSession
+import graft.config.GraftConfig
 import graft.index.IndexBuilder
-import graft.rank.Bm25
+import graft.rank.{Bm25, DocScore}
 
-/** Serving-layer query cache + index hot-reload — what the reference's
-  * long-lived index servers get for free from an IMMUTABLE mmap'd index
-  * (index/indexServer.cpp keeps one HashBlob open forever), re-expressed
-  * for a MUTABLE one: repeat queries are memoized per (terms, k, mode,
-  * wand), and staleness is detected with an O(maintenance-log) version
-  * probe — the pair (lineage row count, pending-tombstone row count).
-  * Every build / append / merge / compact APPENDS lineage rows, and
-  * markDeleted changes the tombstone count; compact clears tombstones
-  * but always appends lineage, so no maintenance sequence can restore an
-  * earlier token (no ABA). When the token moves, the wrapped
-  * [[Bm25Engine]] itself is REBUILT — its cached posting/doc scans are
-  * stale after a compact rewrote partitions — and the result cache
-  * drops. The version probe is two footer-light counts per query; serve
-  * paths that cannot afford them can snapshot the token once per
-  * maintenance cycle instead (the `checkVersion = false` fast path).
-  *
-  * Thread-safe: the pthread-per-request model (indexServer.cpp:178-198)
-  * — concurrent queries share one engine; the swap is a volatile
-  * replace; a query racing a swap at worst computes against the engine
-  * generation it started with (the same guarantee a reloading file
-  * server gives).
+/** The shared index-version token for serving caches: the pair
+  * (lineage row count, pending-tombstone row count). Every build /
+  * append / merge / compact APPENDS lineage rows, and markDeleted
+  * changes the tombstone count; compact clears tombstones but always
+  * appends lineage, so no maintenance sequence can restore an earlier
+  * token (no ABA), and the pair is lexicographically MONOTONIC — which
+  * is what lets a cache swap generations forward-only.
   */
-class Bm25Serving(spark: SparkSession, indexDir: String,
-                  maxEntries: Int = 1024) {
-  require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
+object ServingToken {
+  type Token = (Long, Long)
 
-  private final case class Key(terms: Seq[String], k: Int,
-                               mode: Bm25Engine.Mode, wand: Boolean)
-  private final class Gen(val token: (Long, Long)) {
-    val engine = new Bm25Engine(spark, indexDir)
-    val cache = new ConcurrentHashMap[Key, Seq[Bm25.Hit]]()
-  }
-
-  private val hitCount = new LongAdder
-  private val missCount = new LongAdder
-  private val reloadCount = new LongAdder
-  @volatile private var gen: Gen = new Gen(version())
-
-  import Bm25Serving.isNewer
-
-  /** (lineage rows, pending tombstone rows) — the invalidation token. */
-  private def version(): (Long, Long) = {
+  /** Probe the current token — two footer-light counts. */
+  def version(spark: SparkSession, indexDir: String): Token = {
     val lin =
       if (IndexBuilder.pathExists(spark, IndexBuilder.lineageDir(indexDir)))
         spark.read.parquet(IndexBuilder.lineageDir(indexDir)).count()
@@ -57,23 +29,67 @@ class Bm25Serving(spark: SparkSession, indexDir: String,
     (lin, tomb)
   }
 
-  /** Cached lookup; `checkVersion = false` skips the staleness probe for
-    * callers that re-validate out of band (serve-path fast mode).
+  /** Strict lexicographic "a is newer than b": lineage rows are
+    * append-only, and at a fixed lineage count tombstones only
+    * accumulate (markDeleted appends; compact clears them but appends
+    * lineage). The swap path only moves FORWARD under this order — a
+    * thread holding a stale probe must never replace a generation that
+    * already advanced past it.
     */
-  def searchTerms(terms: Seq[String], k: Int,
-                  mode: Bm25Engine.Mode = Bm25Engine.Or,
-                  useWand: Boolean = true,
-                  checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+  def isNewer(a: Token, b: Token): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
+
+  /** Multi-shard token order: any component strictly newer. Each
+    * component is monotonic in real time, so a later probe vector is
+    * componentwise >= an earlier one and this is a sound forward test.
+    */
+  def anyNewer(a: Seq[Token], b: Seq[Token]): Boolean =
+    a.lazyZip(b).exists((x, y) => isNewer(x, y))
+}
+
+/** Generic serving-layer cache + engine hot-reload over a monotonic
+  * version token — what the reference's long-lived index servers get
+  * for free from an IMMUTABLE mmap'd index (index/indexServer.cpp keeps
+  * one HashBlob open forever), re-expressed for a MUTABLE one: repeat
+  * queries are memoized per key; when the probed token moves FORWARD
+  * the wrapped engine is REBUILT (its cached scans are stale after a
+  * compact rewrote partitions) and the result cache drops.
+  *
+  * Thread-safe: the pthread-per-request model (indexServer.cpp:178-198)
+  * — concurrent queries share one engine; the swap is a volatile
+  * replace gated on `newer` under the lock, so a racing stale probe can
+  * never clobber a fresher generation; a query racing a swap at worst
+  * computes against the engine generation it started with (the same
+  * guarantee a reloading file server gives).
+  */
+private[graft] final class ServingCache[T, E, K, V <: AnyRef](
+    probe: () => T,
+    newer: (T, T) => Boolean,
+    mkEngine: () => E,
+    maxEntries: Int) {
+  require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
+
+  private final class Gen(val token: T) {
+    val engine: E = mkEngine()
+    val cache = new ConcurrentHashMap[K, V]()
+  }
+
+  private val hitCount = new LongAdder
+  private val missCount = new LongAdder
+  private val reloadCount = new LongAdder
+  @volatile private var gen: Gen = new Gen(probe())
+
+  /** Cached lookup; `checkVersion = false` skips the staleness probe
+    * for callers that re-validate out of band (serve-path fast mode).
+    */
+  def lookup(key: K, checkVersion: Boolean)(compute: E => V): V = {
     var g = gen
     if (checkVersion) {
-      val v = version()
+      val v = probe()
       if (v != g.token) {
         synchronized {
-          // re-check under the lock, and swap only FORWARD: a thread
-          // that probed an older version must not replace a generation
-          // another thread already advanced past it (that would drop
-          // the newer generation's warm cache and force a re-reload).
-          if (isNewer(v, gen.token)) {
+          // re-check under the lock, and swap only FORWARD
+          if (newer(v, gen.token)) {
             gen = new Gen(v)
             reloadCount.increment()
           }
@@ -81,11 +97,10 @@ class Bm25Serving(spark: SparkSession, indexDir: String,
         g = gen
       }
     }
-    val key = Key(terms.distinct.sorted, k, mode, useWand)
     val cached = g.cache.get(key)
     if (cached != null) { hitCount.increment(); return cached }
     missCount.increment()
-    val res = g.engine.searchTerms(terms, k, mode, useWand)
+    val res = compute(g.engine)
     if (g.cache.size >= maxEntries) g.cache.clear() // bounded, coarse
     g.cache.put(key, res)
     res
@@ -96,18 +111,94 @@ class Bm25Serving(spark: SparkSession, indexDir: String,
     (hitCount.sum, missCount.sum, reloadCount.sum)
 
   /** The current engine generation (tests + advanced callers). */
-  def engine: Bm25Engine = gen.engine
+  def engine: E = gen.engine
+}
+
+/** BM25 serving cache over one index — see [[ServingCache]]. */
+class Bm25Serving(spark: SparkSession, indexDir: String,
+                  maxEntries: Int = 1024) {
+
+  private final case class Key(terms: Seq[String], k: Int,
+                               mode: Bm25Engine.Mode, wand: Boolean)
+
+  private val cache =
+    new ServingCache[ServingToken.Token, Bm25Engine, Key, Seq[Bm25.Hit]](
+      () => ServingToken.version(spark, indexDir),
+      ServingToken.isNewer,
+      () => new Bm25Engine(spark, indexDir),
+      maxEntries)
+
+  def searchTerms(terms: Seq[String], k: Int,
+                  mode: Bm25Engine.Mode = Bm25Engine.Or,
+                  useWand: Boolean = true,
+                  checkVersion: Boolean = true): Seq[Bm25.Hit] =
+    cache.lookup(Key(terms.distinct.sorted, k, mode, useWand), checkVersion)(
+      _.searchTerms(terms, k, mode, useWand))
+
+  def stats: (Long, Long, Long) = cache.stats
+  def engine: Bm25Engine = cache.engine
 }
 
 object Bm25Serving {
-  /** Token ordering: lineage rows are append-only, and at a fixed
-    * lineage count tombstones only accumulate (markDeleted appends;
-    * compact clears them but appends lineage) — so (lin, tomb) is
-    * lexicographically monotonic across any maintenance sequence, and
-    * "newer" is strict lexicographic greater-than. The swap path only
-    * moves FORWARD under this order (a thread holding a stale probe
-    * must never replace a generation that already advanced past it).
+  /** Kept as the documented token-order entry point (ServingSpec pins
+    * it); the implementation lives in [[ServingToken.isNewer]].
     */
   private[graft] def isNewer(a: (Long, Long), b: (Long, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
+    ServingToken.isNewer(a, b)
+}
+
+/** Reference-score serving cache over one index: memoizes
+  * [[SearchEngine.search]] per (query, topK) with the same
+  * (lineage, tombstone) invalidation and forward-only hot reload as
+  * [[Bm25Serving]] — the RefScore family previously had no cache
+  * analog, so every repeat parity query re-ran its kernel jobs.
+  * `chunkCapacity` defaults to the persisted stats geometry.
+  */
+class RefServing(spark: SparkSession, indexDir: String,
+                 maxEntries: Int = 1024,
+                 chunkCapacity: Long = -1L) {
+
+  private val cap: Long =
+    if (chunkCapacity > 0L) chunkCapacity
+    else Federation.sharedChunkDocs(spark, Seq(indexDir))
+
+  private val cache =
+    new ServingCache[ServingToken.Token, SearchEngine, (String, Int), Seq[DocScore]](
+      () => ServingToken.version(spark, indexDir),
+      ServingToken.isNewer,
+      () => new SearchEngine(spark, indexDir, cap),
+      maxEntries)
+
+  def search(query: String, topK: Int = GraftConfig.TopK,
+             checkVersion: Boolean = true): Seq[DocScore] =
+    cache.lookup((query, topK), checkVersion)(_.search(query, topK))
+
+  def stats: (Long, Long, Long) = cache.stats
+  def engine: SearchEngine = cache.engine
+}
+
+/** Federated RefScore serving cache: the token is the VECTOR of
+  * per-shard (lineage, tombstone) tokens, and maintenance on ANY shard
+  * reloads the whole federated engine (offsets may shift when a shard's
+  * high-water moves, so per-shard reload would be unsound). Forward
+  * order = any component strictly newer ([[ServingToken.anyNewer]]).
+  */
+class FederatedRefServing(spark: SparkSession, shards: Seq[String],
+                          maxEntries: Int = 1024) {
+  require(shards.nonEmpty, "FederatedRefServing: need at least one shard")
+
+  private val cache =
+    new ServingCache[Seq[ServingToken.Token], FederatedSearch,
+                     (String, Int), Seq[DocScore]](
+      () => shards.map(d => ServingToken.version(spark, d)),
+      ServingToken.anyNewer,
+      () => new FederatedSearch(spark, shards),
+      maxEntries)
+
+  def search(query: String, topK: Int = GraftConfig.TopK,
+             checkVersion: Boolean = true): Seq[DocScore] =
+    cache.lookup((query, topK), checkVersion)(_.search(query, topK))
+
+  def stats: (Long, Long, Long) = cache.stats
+  def engine: FederatedSearch = cache.engine
 }

@@ -1328,6 +1328,9 @@ object IndexBuilder {
 
     refreshStatsAndLineage(spark, outDir, affected, cfg)
     deleteTree(spark, tombstonesDir(outDir))
+    // champion prefixes of the rewritten chunks are stale-WRONG (no
+    // high-water check can see a compact) — repair them, meta-first
+    ChampionSidecar.onCompact(spark, outDir, affectedSeq.toSet, emptied.toSet)
     affectedSeq.toSet
   }
 

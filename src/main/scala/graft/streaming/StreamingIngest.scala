@@ -97,6 +97,8 @@ object StreamingIngest {
           graft.index.BloomSidecar.refresh(spark, idxDir)
         if (graft.index.TrigramSidecar.exists(spark, idxDir))
           graft.index.TrigramSidecar.refresh(spark, idxDir)
+        if (graft.index.ChampionSidecar.exists(spark, idxDir))
+          graft.index.ChampionSidecar.refresh(spark, idxDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)

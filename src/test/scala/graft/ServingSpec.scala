@@ -84,6 +84,65 @@ class ServingSpec extends AnyFunSuite {
     ids.unpersist()
   }
 
+  test("RefServing: repeat query cached; maintenance lifecycle reloads") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 50)
+    val ids = corpus(60, seed = 194).persist() // 120 docs
+    val dir = SparkTestBase.tempDir("graft_serv_ref")
+    val half = 59L
+    IndexBuilder.build(spark, ids.filter(_.docId <= half), dir, cfg)
+
+    val serving = new graft.engine.RefServing(spark, dir)
+    val q = topTerm(dir)
+    val r1 = serving.search(q)
+    val r2 = serving.search(q)
+    assert(r1 === r2)
+    assert(serving.stats === ((1L, 1L, 0L)))
+
+    IndexBuilder.appendBuild(spark, ids.filter(_.docId > half), dir, cfg)
+    val r3 = serving.search(q)
+    assert(serving.stats._3 === 1L, "append must trigger a reload")
+    assert(r3 === new graft.engine.SearchEngine(spark, dir, 50).search(q))
+
+    IndexBuilder.markDeleted(spark, dir,
+      ids.filter(_.docId % 7 == 3).map(_.docId))
+    serving.search(q)
+    assert(serving.stats._3 === 2L, "markDeleted must trigger a reload")
+
+    IndexBuilder.compact(spark, dir)
+    val r5 = serving.search(q)
+    assert(serving.stats._3 === 3L, "compact must trigger a reload")
+    assert(r5 === new graft.engine.SearchEngine(spark, dir, 50).search(q))
+    ids.unpersist()
+  }
+
+  test("FederatedRefServing: any shard's maintenance reloads the federation") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 50)
+    val ids = corpus(60, seed = 195).persist() // 120 docs
+    val dirA = SparkTestBase.tempDir("graft_serv_fedA")
+    val dirB = SparkTestBase.tempDir("graft_serv_fedB")
+    IndexBuilder.build(spark, ids.filter(_.docId <= 49L), dirA, cfg)
+    IndexBuilder.build(spark, ids.filter(d => d.docId > 49L && d.docId <= 99L)
+      .map(d => d.copy(docId = d.docId - 50L)), dirB, cfg)
+
+    val serving = new graft.engine.FederatedRefServing(spark, Seq(dirA, dirB))
+    val q = topTerm(dirA)
+    val r1 = serving.search(q)
+    assert(serving.search(q) === r1)
+    assert(serving.stats === ((1L, 1L, 0L)))
+
+    // append to shard B only: the federated token must move
+    IndexBuilder.appendBuild(spark,
+      ids.filter(_.docId > 99L).map(d => d.copy(docId = d.docId - 50L)),
+      dirB, cfg)
+    val r2 = serving.search(q)
+    assert(serving.stats._3 === 1L, "shard-B append must reload the federation")
+    assert(r2 ===
+      new graft.engine.FederatedSearch(spark, Seq(dirA, dirB)).search(q))
+    ids.unpersist()
+  }
+
   test("version-token order is strict lexicographic: swaps only move forward") {
     val newer = Bm25Serving.isNewer _
     // lineage advance always wins, whatever the tombstone count does
