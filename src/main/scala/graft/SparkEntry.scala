@@ -1026,6 +1026,28 @@ object SparkEntry {
     })
   }
 
+  /** MIXED-geometry shard pair: shard A at chunkDocs=200, shard B at
+    * chunkDocs=150 — q_fed_mixed_topk drives FederatedBm25's
+    * per-shard-aligned offset rule (shardOffsetsMixed): B lands on the
+    * first multiple of ITS OWN 150-doc geometry past A's high-water.
+    */
+  private val fedMixedCache = scala.collection.mutable.HashMap.empty[String, (String, String)]
+  private def fedMixedDirs(s: SparkSession, sfDir: String): (String, String) = synchronized {
+    fedMixedCache.getOrElseUpdate(sfDir, {
+      import s.implicits._
+      val a = java.nio.file.Files.createTempDirectory("graft_idx_fmx_a").toString
+      val b = java.nio.file.Files.createTempDirectory("graft_idx_fmx_b").toString
+      val ids = Corpus.fromDocumentsParquet(s, sfDir)
+      val mid = ids.agg(max($"docId")).as[Long].head() / 2
+      IndexBuilder.build(s, ids.filter(_.docId <= mid), a,
+        IndexBuilder.BuildConfig(chunkDocs = 200))
+      IndexBuilder.build(s,
+        ids.filter(_.docId > mid).map(d => d.copy(docId = d.docId - mid - 1)),
+        b, IndexBuilder.BuildConfig(chunkDocs = 150))
+      (a, b)
+    })
+  }
+
   /** TWO chunk-ALIGNED RefScore shards per scale dir: docId < 200, and
     * docId >= 200 rebased to 0 (both chunkDocs = 200). The federation
     * offset rule then places shard B at exactly 200 — so the federated
@@ -1416,6 +1438,17 @@ object SparkEntry {
     "q_federated_topk" -> ((s, dir) => {
       import s.implicits._
       val (a, b) = fedDirs(s, dir)
+      val fed = new graft.engine.FederatedBm25(s, Seq(a, b))
+      fed.searchTerms(Seq("spark", "dup", "merge"), 30)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
+    // MIXED-geometry federation: shard A chunkDocs=200, shard B 150 —
+    // same global-stats BM25, offsets aligned to each shard's OWN
+    // geometry (shard B at the first 150-multiple past A's high-water)
+    "q_fed_mixed_topk" -> ((s, dir) => {
+      import s.implicits._
+      val (a, b) = fedMixedDirs(s, dir)
       val fed = new graft.engine.FederatedBm25(s, Seq(a, b))
       fed.searchTerms(Seq("spark", "dup", "merge"), 30)
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
@@ -2486,6 +2519,34 @@ object SparkEntry {
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |mk AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid FROM documents),
         |offs AS (SELECT ((CAST(max(d.doc_id) AS BIGINT) // 200) + 1) * 200 AS o
+        |         FROM documents d, mk WHERE d.doc_id <= mk.mid),
+        |scores AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |             (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |gid AS (
+        |  SELECT CASE WHEN s.doc_id <= mk.mid THEN s.doc_id
+        |              ELSE s.doc_id - mk.mid - 1 + offs.o END AS gdoc,
+        |         s.raw
+        |  FROM scores s, mk, offs)
+        |SELECT gdoc AS doc_id, round(raw, 4) AS score FROM gid
+        |ORDER BY raw DESC, gdoc LIMIT 30""".stripMargin),
+
+      // mixed-geometry federation: identical scoring, but shard B's
+      // offset aligns to ITS OWN 150-doc chunk geometry
+      "q_fed_mixed_topk" -> (duckToks + """
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'dup', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |mk AS (SELECT CAST(max(doc_id) AS BIGINT) // 2 AS mid FROM documents),
+        |offs AS (SELECT ((CAST(max(d.doc_id) AS BIGINT) // 150) + 1) * 150 AS o
         |         FROM documents d, mk WHERE d.doc_id <= mk.mid),
         |scores AS (
         |  SELECT tf.doc_id,

@@ -283,7 +283,9 @@ object Federation {
   * driver-checks a chunk-aligned split whose global view coincides with
   * the whole-corpus index, reusing the q_ref_topk replay verbatim).
   */
-class FederatedSearch(spark: SparkSession, shards: Seq[String]) {
+class FederatedSearch(spark: SparkSession, shards: Seq[String],
+                      stagedChunkThreshold: Int =
+                        graft.config.GraftConfig.StagedMergeChunks) {
   require(shards.nonEmpty, "FederatedSearch: need at least one shard index")
 
   private val chunkDocs: Long = Federation.sharedChunkDocs(spark, shards)
@@ -299,7 +301,13 @@ class FederatedSearch(spark: SparkSession, shards: Seq[String]) {
     * ([[Federation.scatter]], results in shard order); the gather
     * remaps (chunk, docId) into the global space and folds ALL shards'
     * slot lists through the reference's cross-chunk insertion merge in
-    * ascending global chunk order.
+    * ascending global chunk order. Past `stagedChunkThreshold` total
+    * qualifying chunks the gather goes STAGED: the shards' hit Datasets
+    * union (so the dup census is GLOBAL — cross-shard dup urls are
+    * exactly what a shard-local census would miss) and
+    * [[SearchEngine.stagedPrune]] cuts the driver collect to
+    * O(partitions·topK + dup families); StagedMergeSpec pins the
+    * federated staged == plain identity on an overlapping-shard fixture.
     */
   def search(query: String, topK: Int = GraftConfig.TopK)
       : Seq[graft.rank.DocScore] = {
@@ -307,11 +315,37 @@ class FederatedSearch(spark: SparkSession, shards: Seq[String]) {
     astOpt match {
       case None => Seq.empty
       case Some(ast) =>
-        val hits = Federation.scatter(engines.zip(offsets).zip(bases).map {
+        import spark.implicits._
+        // scatter WITHOUT forcing per-shard collects: each shard hands
+        // back either resolved rows or its lazy hit Dataset + qualifying
+        // count, remapped into the global (chunk, docId) space
+        val parts = Federation.scatter(engines.zip(offsets).zip(bases).map {
           case ((e, off), base) => () =>
-            e.searchChunks(ast, flat, topK)
-              .map(h => h.copy(chunk = h.chunk + base, docId = h.docId + off))
-        }).flatten
+            e.searchChunksEither(ast, flat, topK) match {
+              case Left(hs) => Left(hs.map(h =>
+                h.copy(chunk = h.chunk + base, docId = h.docId + off)))
+              case Right((ds, nq)) => Right((ds.map(h =>
+                h.copy(chunk = h.chunk + base, docId = h.docId + off)), nq))
+            }
+        })
+        val totalQualifying = parts.collect { case Right((_, n)) => n }.sum
+        val hits: Seq[ChunkHit] =
+          if (totalQualifying <= stagedChunkThreshold)
+            Federation.scatter(parts.map {
+              case Left(hs) => () => hs
+              case Right((ds, _)) => () => ds.collect().toSeq
+            }).flatten
+          else {
+            // staged gather: union ALL shards' hit sets so the census
+            // sees CROSS-SHARD dup urls / (title, score) pairs — a
+            // shard-local census would prune clean-looking rows whose
+            // dup twin lives in another shard
+            val dss = parts.map {
+              case Left(hs) => spark.createDataset(hs)
+              case Right((ds, _)) => ds
+            }
+            SearchEngine.stagedPrune(spark, dss.reduce(_ unionByName _), topK)
+          }
         val merged = graft.rank.RefRanker.mergeChunkResults(
           hits.groupBy(_.chunk).view.mapValues { hs =>
             hs.sortBy(_.slot)

@@ -182,55 +182,31 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     */
   private[graft] def searchChunksPruned(ast: QOr, flat: Vector[String],
                                         topK: Int): Seq[ChunkHit] = {
+    searchChunksEither(ast, flat, topK) match {
+      case Left(collected) => collected
+      case Right((ds, nQualifying)) if nQualifying <= stagedChunkThreshold =>
+        ds.collect().toSeq
+      case Right((ds, _)) => SearchEngine.stagedPrune(spark, ds, topK)
+    }
+  }
+
+  /** The chunk-kernel result WITHOUT forcing a collect: Left =
+    * already-resolved rows (empty query / Bloom-empty / resident-sidecar
+    * path), Right = the lazy per-chunk hit Dataset plus the
+    * qualifying-chunk count. [[FederatedSearch]] uses this to union the
+    * shards' hit sets for a GLOBAL census before the staged prune
+    * (shard-local censuses cannot see cross-shard dup urls).
+    */
+  private[graft] def searchChunksEither(ast: QOr, flat: Vector[String],
+                                        topK: Int)
+      : Either[Seq[ChunkHit], (Dataset[ChunkHit], Int)] = {
     val k = topK
     kernelDataset[ChunkHit](flat) { ctx =>
       val chunk = ctx.chunk
       RefRanker.rankChunk(ast, flat, ctx, k).iterator.zipWithIndex.map {
         case (s, i) => ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
       }
-    } match {
-      case Left(collected) => collected
-      case Right((ds, nQualifying)) if nQualifying <= stagedChunkThreshold =>
-        ds.collect().toSeq
-      case Right((ds, _)) => stagedPrune(ds, k)
     }
-  }
-
-  /** Census + executor-side prune of a distributed hit set (the staged
-    * path of [[searchChunksPruned]]). Falls back to the exact full
-    * collect when the positive-score precondition fails or a dup-value
-    * census overflows the broadcast cap — both keep rank identity, they
-    * just forgo the collect savings.
-    */
-  private def stagedPrune(ds: Dataset[ChunkHit], topK: Int): Seq[ChunkHit] = {
-    val hits = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // empty slots (score 0, url "") are provable no-ops in the fold —
-      // drop them before the census so they can't trip the score guard
-      val real = hits.filter(h => !(h.score == 0L && h.url.isEmpty))
-      val minRow = real.agg(min($"score")).head()
-      if (minRow.isNullAt(0)) return Seq.empty
-      if (minRow.getLong(0) <= 0L) return hits.collect().toSeq
-      val cap = 100000
-      val dupUrls = real.groupBy($"url").count().filter($"count" > 1)
-        .select($"url").as[String].head(cap + 1)
-      if (dupUrls.length > cap) return hits.collect().toSeq
-      val dupPairs = real.groupBy($"title", $"score").count()
-        .filter($"count" > 1)
-        .select($"title", $"score").as[(String, Long)].head(cap + 1)
-      if (dupPairs.length > cap) return hits.collect().toSeq
-      val bu = spark.sparkContext.broadcast(dupUrls.toSet)
-      val bp = spark.sparkContext.broadcast(dupPairs.toSet)
-      val k = topK
-      real.mapPartitions { it =>
-        val rows = it.map(h => (h.chunk, h.slot,
-          DocScore(h.title, h.summary, h.url, h.score, h.docId))).toVector
-        RefRanker.pruneStream(rows, bu.value, bp.value, k).iterator.map {
-          case (c, sl, d) =>
-            ChunkHit(c, sl, d.title, d.summary, d.url, d.score, d.docId)
-        }
-      }.collect().toSeq
-    } finally hits.unpersist()
   }
 
   /** Per-candidate DebugScore breakdown for a query (ranker.h:162-215;
@@ -331,5 +307,52 @@ class SearchEngine(spark: SparkSession, indexDir: String,
             else kernel(ChunkContextBuilder.build(chunk, postsSeq, docsSeq, cap))
           }, qualifying.length))
     }
+  }
+}
+
+object SearchEngine {
+  /** Census + executor-side prune of a distributed hit set — the staged
+    * cross-chunk merge's distributed half, shared by
+    * [[SearchEngine.searchChunksPruned]] (one index) and
+    * [[FederatedSearch]] (the union of all shards' hit sets, remapped
+    * into the global space first so the census sees cross-shard dups).
+    * Exactness lives in [[graft.rank.RefRanker.pruneStream]]'s argument;
+    * partitions may even split a chunk's slots (the proof only needs
+    * each partition processed in (chunk, slot) order). Falls back to the
+    * exact full collect when the positive-score precondition fails or a
+    * dup-value census overflows the broadcast cap — both keep rank
+    * identity, they just forgo the collect savings.
+    */
+  private[graft] def stagedPrune(spark: SparkSession, ds: Dataset[ChunkHit],
+                                 topK: Int): Seq[ChunkHit] = {
+    import spark.implicits._
+    val hits = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // empty slots (score 0, url "") are provable no-ops in the fold —
+      // drop them before the census so they can't trip the score guard
+      val real = hits.filter(h => !(h.score == 0L && h.url.isEmpty))
+      val minRow = real.agg(min(col("score"))).head()
+      if (minRow.isNullAt(0)) return Seq.empty
+      if (minRow.getLong(0) <= 0L) return hits.collect().toSeq
+      val cap = 100000
+      val dupUrls = real.groupBy(col("url")).count().filter(col("count") > 1)
+        .select(col("url")).as[String].head(cap + 1)
+      if (dupUrls.length > cap) return hits.collect().toSeq
+      val dupPairs = real.groupBy(col("title"), col("score")).count()
+        .filter(col("count") > 1)
+        .select(col("title"), col("score")).as[(String, Long)].head(cap + 1)
+      if (dupPairs.length > cap) return hits.collect().toSeq
+      val bu = spark.sparkContext.broadcast(dupUrls.toSet)
+      val bp = spark.sparkContext.broadcast(dupPairs.toSet)
+      val k = topK
+      real.mapPartitions { it =>
+        val rows = it.map(h => (h.chunk, h.slot,
+          DocScore(h.title, h.summary, h.url, h.score, h.docId))).toVector
+        RefRanker.pruneStream(rows, bu.value, bp.value, k).iterator.map {
+          case (c, sl, d) =>
+            ChunkHit(c, sl, d.title, d.summary, d.url, d.score, d.docId)
+        }
+      }.collect().toSeq
+    } finally hits.unpersist()
   }
 }

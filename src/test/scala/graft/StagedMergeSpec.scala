@@ -203,5 +203,38 @@ class StagedMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("federated staged gather == plain gather (cross-shard dup urls)") {
+    import spark.implicits._
+    // shards built from OVERLAPPING doc ranges: docs 40..59 exist in
+    // both shards under the SAME url — the cross-shard dup case a
+    // shard-local census cannot see, which is why FederatedSearch
+    // unions the shards' hit sets before ONE global census
+    val ids = Corpus.assignDocIds(spark,
+      Corpus.synthetic(spark, 2, 50, seed = 211)).persist() // 100 docs
+    val a = SparkTestBase.tempDir("graft-staged-fedA")
+    val b = SparkTestBase.tempDir("graft-staged-fedB")
+    IndexBuilder.build(spark, ids.filter(_.docId <= 59L), a,
+      IndexBuilder.BuildConfig(chunkDocs = 20))
+    IndexBuilder.build(spark,
+      ids.filter(_.docId >= 40L).map(d => d.copy(docId = d.docId - 40L)), b,
+      IndexBuilder.BuildConfig(chunkDocs = 20))
+    val plain = new graft.engine.FederatedSearch(spark, Seq(a, b))
+    val staged = new graft.engine.FederatedSearch(spark, Seq(a, b),
+      stagedChunkThreshold = 0)
+    assert(staged.offsets === plain.offsets)
+    val terms = graft.index.IndexStore.readPostings(spark, a).collect()
+      .filterNot(_.term.startsWith("#"))
+      .groupBy(_.term).map { case (t, rs) => (t, rs.map(_.df).sum) }
+      .toSeq.sortBy { case (t, df) => (-df, t) }.take(3).map(_._1)
+    val queries = Seq(terms.head, terms.mkString(" "),
+      s"${terms.head} OR ${terms(1)}")
+    queries.foreach { q =>
+      val got = staged.search(q)
+      assert(got === plain.search(q), s"query [$q]")
+      assert(got.nonEmpty, s"degenerate fixture: [$q] found nothing")
+    }
+    ids.unpersist()
+  }
+
   private lazy val spark = SparkTestBase.spark
 }
