@@ -1026,6 +1026,23 @@ object SparkEntry {
     })
   }
 
+  /** A dedicated index carrying the PERSISTED champion sidecar (same
+    * chunkDocs=200 geometry and corpus as the shared index, m matching
+    * q_bm25_champion's request) — kept separate so the shared index
+    * stays sidecar-free and q_bm25_champion keeps driving the inline
+    * recompute path while q_bm25_champion_sidecar drives the sidecar.
+    */
+  private val champSideCache = scala.collection.mutable.HashMap.empty[String, String]
+  private def champSideDir(s: SparkSession, sfDir: String): String = synchronized {
+    champSideCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_idx_champ").toString
+      IndexBuilder.build(s, Corpus.fromDocumentsParquet(s, sfDir), dir,
+        IndexBuilder.BuildConfig(chunkDocs = 200))
+      graft.index.ChampionSidecar.build(s, dir, m = 40, nBuckets = 16)
+      dir
+    })
+  }
+
   /** MIXED-geometry shard pair: shard A at chunkDocs=200, shard B at
     * chunkDocs=150 — q_fed_mixed_topk drives FederatedBm25's
     * per-shard-aligned offset rule (shardOffsetsMixed): B lands on the
@@ -1568,6 +1585,18 @@ object SparkEntry {
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
+    // the PERSISTED champion sidecar driven end-to-end: a dedicated
+    // index (so the shared one stays sidecar-free and q_bm25_champion
+    // keeps exercising the inline path) carries ChampionSidecar-built
+    // prefixes at the same m — the truth is q_bm25_champion's SQL
+    // verbatim (the sidecar is an acceleration, never a semantic)
+    "q_bm25_champion_sidecar" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, champSideDir(s, dir))
+      engine.searchTermsChampion(Seq("spark", "dup", "merge"), 30, m = 40)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
 
     // ---- RefScore search through the real engine, fully DuckDB-checked.
     // Three angles (ranker.h semantics re-derived in SQL from the raw
@@ -1601,6 +1630,19 @@ object SparkEntry {
     "q_ref_topk" -> ((s, dir) => {
       import s.implicits._
       val engine = new SearchEngine(s, indexDir(s, dir), chunkCapacity = 200)
+      engine.search("dup").zipWithIndex
+        .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
+        .toDF("slot", "doc_id", "score", "url")
+    }),
+    // the STAGED cross-chunk merge driven end-to-end: threshold 0 forces
+    // the census + executor-side prune on every qualifying chunk set,
+    // broadcastDocsLimit 0 forces the cogroup (big-index) plan the
+    // staging lives on — the truth is q_ref_topk's replay verbatim
+    // (rank identity is the whole contract)
+    "q_ref_staged_topk" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new SearchEngine(s, indexDir(s, dir), chunkCapacity = 200,
+        broadcastDocsLimit = 0L, stagedChunkThreshold = 0)
       engine.search("dup").zipWithIndex
         .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
         .toDF("slot", "doc_id", "score", "url")
@@ -4778,6 +4820,11 @@ object SparkEntry {
     // is q_ql_topk verbatim too
     m + ("q_fed_ref_topk" -> m("q_ref_topk")) +
       ("q_fed_ql_topk" -> m("q_ql_topk")) +
-      ("q_fed_facets" -> m("q_facets")) // additive histograms: same truth
+      ("q_fed_facets" -> m("q_facets")) + // additive histograms: same truth
+      // the staged merge and the champion sidecar are accelerations
+      // with rank-identity contracts — their truths are the original
+      // replays verbatim, so the pairs cannot desynchronize
+      ("q_ref_staged_topk" -> m("q_ref_topk")) +
+      ("q_bm25_champion_sidecar" -> m("q_bm25_champion"))
   }
 }
