@@ -759,16 +759,22 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
       (if (graft.index.ChampionSidecar.exists(spark, indexDir))
          graft.index.ChampionSidecar.candidateIds(spark, indexDir, base, mm)
        else None).getOrElse {
-        val perChunk = posts.flatMap { p =>
+        // inline recompute: per-(chunk, term) prefixes from the blobs,
+        // then the per-term GLOBAL top-m as a distributed window — the
+        // driver collects <= |terms|·m ids, never the chunk×term union
+        import org.apache.spark.sql.expressions.Window
+        posts.flatMap { p =>
           graft.codec.PostingCodec.decode(p.df, p.postingsBlob).iterator
             .map { case (docId, poss) => (p.term, docId, poss.length.toLong) }
             .toArray
             .sortBy { case (_, id, tf) => (-tf, id) }
             .take(mm).iterator
-        }.collect()
-        perChunk.groupBy(_._1).valuesIterator
-          .flatMap(_.sortBy { case (_, id, tf) => (-tf, id) }.take(mm).map(_._2))
-          .toArray.distinct.sorted
+        }.toDF("term", "doc_id", "tf")
+          .withColumn("grank", row_number().over(
+            Window.partitionBy($"term").orderBy(desc("tf"), asc("doc_id"))))
+          .filter($"grank" <= mm)
+          .select($"doc_id").distinct()
+          .as[Long].collect().sorted
       }
     if (candidates.isEmpty) return Seq.empty
 
