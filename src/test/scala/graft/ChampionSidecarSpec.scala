@@ -108,6 +108,59 @@ class ChampionSidecarSpec extends AnyFunSuite {
     assert(frame.filter(col("term") === t.head).count() > 0)
   }
 
+  test("seeded random maintenance lifecycle: sidecar stays row-identical") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260821L)
+    val ids = corpus(120, seed = 204).persist() // 240 docs
+    val plainDir = SparkTestBase.tempDir("graft_champ_life_p")
+    val sideDir = SparkTestBase.tempDir("graft_champ_life_s")
+    var high = 79L
+    Seq(plainDir, sideDir).foreach { d =>
+      IndexBuilder.build(spark, ids.filter(_.docId <= high), d, cfg)
+    }
+    ChampionSidecar.build(spark, sideDir, m = 6, nBuckets = 8)
+    val terms = topTerms(plainDir, 3)
+
+    def check(stage: String): Unit =
+      Seq((terms, 10, 6), (terms.take(2), 8, 3)).foreach { case (ts, k, m) =>
+        assert(champ(sideDir, ts, k, m) === champ(plainDir, ts, k, m),
+          s"[$stage] ts=$ts k=$k m=$m")
+      }
+
+    check("init")
+    (1 to 6).foreach { step =>
+      val op = rnd.nextInt(4)
+      val stage = op match {
+        case 0 if high < 239L => // append a random-sized strictly-newer delta
+          val take = 20L + rnd.nextInt(60)
+          val hi = math.min(high + take, 239L)
+          Seq(plainDir, sideDir).foreach { d =>
+            IndexBuilder.appendBuild(spark,
+              ids.filter(x => x.docId > high && x.docId <= hi), d, cfg)
+          }
+          high = hi
+          s"append->$hi"
+        case 1 => // tombstone a random residue class
+          val mod = 3 + rnd.nextInt(5)
+          val r = rnd.nextInt(mod)
+          Seq(plainDir, sideDir).foreach { d =>
+            IndexBuilder.markDeleted(spark, d,
+              ids.filter(x => x.docId <= high && x.docId % mod == r)
+                .map(_.docId))
+          }
+          s"delete mod=$mod r=$r"
+        case 2 => // compact (hook repairs the sidecar, meta-first)
+          Seq(plainDir, sideDir).foreach(d => IndexBuilder.compact(spark, d))
+          "compact"
+        case _ => // explicit refresh (no-op when fresh)
+          ChampionSidecar.refresh(spark, sideDir)
+          "refresh"
+      }
+      check(s"step$step:$stage")
+    }
+    ids.unpersist()
+  }
+
   test("missing meta disables the sidecar: exact inline fallback") {
     val ids = corpus(40, seed = 203)
     val plainDir = SparkTestBase.tempDir("graft_champ_nometa_p")
