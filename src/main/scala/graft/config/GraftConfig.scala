@@ -32,8 +32,15 @@ object GraftConfig {
     * collect O(partitions·topK) — SearchEngine.searchChunksPruned).
     * Below it, the plain per-chunk collect is both exact and cheaper
     * than the extra census jobs — bench/parity corpora stay on it.
+    * Calibration (tools/StagedMergeProbe, interleaved clean trials):
+    * the staged path costs a FIXED ~0.37 s of census/prune jobs at 25
+    * and at 500 chunks alike, while the plain collect grows with the
+    * chunk count (~30 rows × ~150 B each). 2048 chunks ≈ 60k rows ≈
+    * 10+ MB through the driver — the scale where fan-in and driver
+    * memory start to matter and the fixed census cost amortizes; below
+    * it plain wins outright.
     */
-  val StagedMergeChunks = 256
+  val StagedMergeChunks = 2048
 
   /** configs/config.h:20 MAX_DOCUMENT_PER_INDEX_PER_QUERY. The reference
     * loop (ranker/ranker.h:756-765) post-increments numDocsFound in the
