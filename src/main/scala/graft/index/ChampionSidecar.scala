@@ -67,10 +67,16 @@ object ChampionSidecar {
     */
   def championRows(spark: SparkSession, outDir: String,
                    chunkPred: Option[Column], m: Int,
-                   nBuckets: Int): DataFrame = {
+                   nBuckets: Int,
+                   terms: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
     val posts = IndexStore.readPostings(spark, outDir).toDF()
-    val pruned = chunkPred.fold(posts)(p => posts.filter(p))
+    val pruned = terms.fold(chunkPred.fold(posts)(p => posts.filter(p))) { ts =>
+      // probe-time tail recompute: the term filter must reach the scan
+      // (PushedFilters) so only the QUERY terms' tail blobs decode
+      chunkPred.fold(posts)(p => posts.filter(p))
+        .filter(col("term").isin(ts: _*))
+    }
       .filter(!col("term").startsWith("#"))
     val mm = m
     pruned.select(col("chunk"), col("term"), col("df"), col("postingsBlob"))
@@ -194,8 +200,8 @@ object ChampionSidecar {
     val all =
       if (!stale) side
       else side.filter(col("chunk") < covered).unionByName(
-        championRows(spark, outDir, Some(col("chunk") >= covered), m, nBuckets)
-          .filter(col("term").isin(terms: _*))
+        championRows(spark, outDir, Some(col("chunk") >= covered), m, nBuckets,
+            terms = Some(terms))
           .select(col("chunk"), col("term"), col("doc_id"), col("tf")))
     Some(all)
   }
