@@ -69,6 +69,17 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     * docs-per-chunk (persisted by buildStats so docId -> chunk is
     * derivable for partition pruning).
     */
+  /** Champion-sidecar meta, memoized per engine lifetime like the
+    * postings/stats caches (the sidecar geometry is immutable between
+    * maintenance ops, and maintenance implies a fresh engine — the
+    * serving layer's reload contract). The probe-time docId high-water
+    * STALENESS check is NOT memoized — appends stay visible.
+    */
+  private lazy val championMeta: Option[(Int, Int, Long, Long)] =
+    if (graft.index.ChampionSidecar.exists(spark, indexDir))
+      Some(graft.index.ChampionSidecar.readMeta(spark, indexDir))
+    else None
+
   private lazy val globalStats: (Long, Double, Long, Long) = {
     val row = IndexStore.readStats(spark, indexDir)
       .agg(sum($"numDocs"), sum($"totalTokens"), max($"chunkDocs")).head()
@@ -756,9 +767,9 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     // otherwise (no sidecar, or m exceeds the built prefix depth)
     val mm = m
     val candidates: Array[Long] =
-      (if (graft.index.ChampionSidecar.exists(spark, indexDir))
-         graft.index.ChampionSidecar.candidateIds(spark, indexDir, base, mm)
-       else None).getOrElse {
+      championMeta.flatMap(meta =>
+        graft.index.ChampionSidecar.candidateIdsWithMeta(
+          spark, indexDir, base, mm, meta)).getOrElse {
         // inline recompute: per-(chunk, term) prefixes from the blobs,
         // then the per-term GLOBAL top-m as a distributed window — the
         // driver collects <= |terms|·m ids, never the chunk×term union

@@ -156,15 +156,8 @@ class SearchEngine(spark: SparkSession, indexDir: String,
     * postings with the pruned docs metadata per chunk and run the ranker
     * kernel. Result is <= topK rows per qualifying chunk.
     */
-  private[graft] def searchChunks(ast: QOr, flat: Vector[String], topK: Int): Seq[ChunkHit] = {
-    val k = topK
-    runKernel(flat) { ctx =>
-      val chunk = ctx.chunk
-      RefRanker.rankChunk(ast, flat, ctx, k).iterator.zipWithIndex.map {
-        case (s, i) => ChunkHit(chunk, i, s.title, s.summary, s.url, s.score, s.docId)
-      }
-    }
-  }
+  private[graft] def searchChunks(ast: QOr, flat: Vector[String], topK: Int): Seq[ChunkHit] =
+    searchChunksEither(ast, flat, topK).fold(identity, _._1.collect().toSeq)
 
   /** [[searchChunks]] behind the STAGED cross-chunk merge: when more
     * than `stagedChunkThreshold` chunks qualify, the per-chunk slot rows
@@ -327,13 +320,21 @@ object SearchEngine {
                                  topK: Int): Seq[ChunkHit] = {
     import spark.implicits._
     val hits = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var bu: org.apache.spark.broadcast.Broadcast[Set[String]] = null
+    var bp: org.apache.spark.broadcast.Broadcast[Set[(String, Long)]] = null
     try {
       // empty slots (score 0, url "") are provable no-ops in the fold —
-      // drop them before the census so they can't trip the score guard
+      // drop them before the census so they can't trip the guards
       val real = hits.filter(h => !(h.score == 0L && h.url.isEmpty))
-      val minRow = real.agg(min(col("score"))).head()
-      if (minRow.isNullAt(0)) return Seq.empty
-      if (minRow.getLong(0) <= 0L) return hits.collect().toSeq
+      // pruneStream's exactness needs every candidate score > 0 AND
+      // every candidate url non-empty (an empty url would dup-match the
+      // fold array's empty padding slots while they last — a
+      // state-dependent decision the prune may not make); either
+      // violation ⇒ the exact full collect
+      val g = real.agg(min(col("score")),
+        sum(when(col("url") === "", 1L).otherwise(0L))).head()
+      if (g.isNullAt(0)) return Seq.empty
+      if (g.getLong(0) <= 0L || g.getLong(1) > 0L) return hits.collect().toSeq
       val cap = 100000
       val dupUrls = real.groupBy(col("url")).count().filter(col("count") > 1)
         .select(col("url")).as[String].head(cap + 1)
@@ -342,17 +343,25 @@ object SearchEngine {
         .filter(col("count") > 1)
         .select(col("title"), col("score")).as[(String, Long)].head(cap + 1)
       if (dupPairs.length > cap) return hits.collect().toSeq
-      val bu = spark.sparkContext.broadcast(dupUrls.toSet)
-      val bp = spark.sparkContext.broadcast(dupPairs.toSet)
+      bu = spark.sparkContext.broadcast(dupUrls.toSet)
+      bp = spark.sparkContext.broadcast(dupPairs.toSet)
+      val buv = bu; val bpv = bp // stable refs for the closure
       val k = topK
       real.mapPartitions { it =>
         val rows = it.map(h => (h.chunk, h.slot,
           DocScore(h.title, h.summary, h.url, h.score, h.docId))).toVector
-        RefRanker.pruneStream(rows, bu.value, bp.value, k).iterator.map {
+        RefRanker.pruneStream(rows, buv.value, bpv.value, k).iterator.map {
           case (c, sl, d) =>
             ChunkHit(c, sl, d.title, d.summary, d.url, d.score, d.docId)
         }
       }.collect().toSeq
-    } finally hits.unpersist()
+    } finally {
+      // serving processes run one stagedPrune per cache miss — without
+      // an explicit destroy the dead broadcast blocks only go away on a
+      // driver GC, which a long-lived JVM may not run for hours
+      if (bu != null) bu.destroy()
+      if (bp != null) bp.destroy()
+      hits.unpersist(); ()
+    }
   }
 }

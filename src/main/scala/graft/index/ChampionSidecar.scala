@@ -97,16 +97,26 @@ object ChampionSidecar {
           .cast("int"))
   }
 
+  /** Highest chunk in the stats table; -1 when the index was compacted
+    * down to nothing (covered = -1 makes every probe treat the whole
+    * index as uncovered tail — trivially correct on an empty index).
+    */
   private def coveredMaxChunk(spark: SparkSession, outDir: String): Long = {
-    import spark.implicits._
-    IndexStore.readStats(spark, outDir).map(_.chunk).reduce(math.max)
+    val r = IndexStore.readStats(spark, outDir)
+      .agg(org.apache.spark.sql.functions.max(col("chunk"))).head()
+    if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
   private def writeMeta(spark: SparkSession, outDir: String,
                         nBuckets: Int, m: Int): Unit =
-    spark.createDataFrame(Seq((nBuckets, m,
-        IndexBuilder.docIdHighWater(spark, outDir),
-        coveredMaxChunk(spark, outDir))))
+    writeMetaAt(spark, outDir, nBuckets, m,
+      IndexBuilder.docIdHighWater(spark, outDir),
+      coveredMaxChunk(spark, outDir))
+
+  private def writeMetaAt(spark: SparkSession, outDir: String,
+                          nBuckets: Int, m: Int,
+                          builtDocMax: Long, covered: Long): Unit =
+    spark.createDataFrame(Seq((nBuckets, m, builtDocMax, covered)))
       .toDF("nBuckets", "m", "builtDocMax", "coveredMaxChunk")
       .write.mode(SaveMode.Overwrite).parquet(champMetaDir(outDir))
 
@@ -163,7 +173,7 @@ object ChampionSidecar {
   def onCompact(spark: SparkSession, outDir: String,
                 affected: Set[Long], emptied: Set[Long]): Unit = {
     if (!exists(spark, outDir)) return
-    val (nBuckets, m, _, _) = readMeta(spark, outDir)
+    val (nBuckets, m, builtDocMax, covered) = readMeta(spark, outDir)
     IndexBuilder.deleteTree(spark, champMetaDir(outDir)) // disable
     (affected ++ emptied).foreach { c =>
       IndexBuilder.deleteTree(spark, s"${champDir(outDir)}/chunk=$c")
@@ -175,7 +185,14 @@ object ChampionSidecar {
         .repartition(col("chunk"), col("bucket"))
         .write.mode(SaveMode.Append).partitionBy("chunk", "bucket")
         .parquet(champDir(outDir))
-    writeMeta(spark, outDir, nBuckets, m) // re-enable
+    // re-enable with the OLD coverage watermarks: compact repairs only
+    // what it rewrote — if an un-refreshed appended tail existed before
+    // the compact, stamping the current high-water here would ERASE the
+    // staleness signal and serve the pre-append boundary-chunk prefixes
+    // as fresh (ChampionSidecarSpec pins the append→compact-no-refresh
+    // sequence). Rebuilt rows for chunks >= covered are simply ignored
+    // by stale probes until a refresh folds the tail in properly.
+    writeMetaAt(spark, outDir, nBuckets, m, builtDocMax, covered)
   }
 
   /** The candidate frame for a champion probe: sidecar prefixes for
@@ -188,8 +205,22 @@ object ChampionSidecar {
     * Output: (term, doc_id, tf).
     */
   def candidateFrame(spark: SparkSession, outDir: String,
-                     terms: Seq[String], m: Int): Option[DataFrame] = {
-    val (nBuckets, builtM, builtDocMax, covered) = readMeta(spark, outDir)
+                     terms: Seq[String], m: Int): Option[DataFrame] =
+    candidateFrameWithMeta(spark, outDir, terms, m, readMeta(spark, outDir))
+
+  /** [[candidateFrame]] with the meta tuple supplied by the caller —
+    * Bm25Engine memoizes it per engine lifetime (the sidecar geometry
+    * is immutable between maintenance ops, and maintenance implies a
+    * fresh engine — the serving layer's reload contract), so the hot
+    * path pays no per-query meta read. The docId high-water STALENESS
+    * probe stays per-query: appends must be visible without an engine
+    * rebuild.
+    */
+  private[graft] def candidateFrameWithMeta(spark: SparkSession, outDir: String,
+                                            terms: Seq[String], m: Int,
+                                            meta: (Int, Int, Long, Long))
+      : Option[DataFrame] = {
+    val (nBuckets, builtM, builtDocMax, covered) = meta
     if (m > builtM) return None
     val buckets = terms.map(t => bucketScalar(t, nBuckets).toInt).distinct
     val side = spark.read.parquet(champDir(outDir))
@@ -215,7 +246,16 @@ object ChampionSidecar {
     */
   def candidateIds(spark: SparkSession, outDir: String,
                    terms: Seq[String], m: Int): Option[Array[Long]] =
-    candidateFrame(spark, outDir, terms, m).map { cands =>
+    candidateIdsWithMeta(spark, outDir, terms, m, readMeta(spark, outDir))
+
+  /** [[candidateIds]] over caller-memoized meta (see
+    * [[candidateFrameWithMeta]]).
+    */
+  private[graft] def candidateIdsWithMeta(spark: SparkSession, outDir: String,
+                                          terms: Seq[String], m: Int,
+                                          meta: (Int, Int, Long, Long))
+      : Option[Array[Long]] =
+    candidateFrameWithMeta(spark, outDir, terms, m, meta).map { cands =>
       import org.apache.spark.sql.expressions.Window
       import spark.implicits._
       cands.withColumn("grank", row_number().over(

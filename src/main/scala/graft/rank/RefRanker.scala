@@ -351,8 +351,11 @@ object RefRanker {
     * of the partition's own clean items (in (chunk, slot) arrival order,
     * from empty state).
     *
-    * Why that is exact (all candidate scores must be > 0 — caller-checked;
-    * the zero-score store/no-shift quirks void the argument otherwise):
+    * Why that is exact (all candidate scores must be > 0 AND all
+    * candidate urls non-empty — caller-checked; the zero-score
+    * store/no-shift quirks void the argument otherwise, and an empty
+    * url dup-matches the array's empty padding slots while they last —
+    * a state-dependent decision this prune may not make):
     * with positive scores and the reference's strict-floor + equal-score
     * fall-through rules, the fold array is at every instant exactly the
     * top-K of the items inserted so far minus the dup-dropped ones, under

@@ -56,11 +56,12 @@ object StagedMergeProbe {
     val plain = new SearchEngine(spark, dir, chunkDocs,
       broadcastDocsLimit = 0L, stagedChunkThreshold = Int.MaxValue)
     val queries = Seq("spark", "spark merge sort", "(spark OR dup) join")
-    queries.foreach { q => // warm + identity
+    val want = queries.map { q => // warm + cross-engine identity
       val a = staged.search(q); val b = plain.search(q)
       require(a == b, s"staged != plain on [$q]")
       require(a.nonEmpty, s"degenerate probe query [$q]")
-    }
+      q -> a
+    }.toMap
 
     final case class T(wall: Double, steal: Double) {
       def clean: Boolean = steal <= math.max(0.1, 0.05 * wall)
@@ -73,7 +74,8 @@ object StagedMergeProbe {
       order.foreach { isStaged =>
         val eng = if (isStaged) staged else plain
         val (w, s, r) = timed(eng.search(q))
-        require(r == plain.search(q) || r == staged.search(q)) // warm identity
+        require(r == want(q), // identity vs the warm-up truth, every trial
+          s"${if (isStaged) "staged" else "plain"} diverged on [$q]")
         (if (isStaged) sT else pT) += T(w, s)
         println(f"trial=$t q='$q' mode=${if (isStaged) "staged" else "plain "} " +
           f"wall=$w%.3f steal=$s%.3f")

@@ -128,10 +128,19 @@ class ChampionSidecarSpec extends AnyFunSuite {
       }
 
     check("init")
-    (1 to 6).foreach { step =>
-      val op = rnd.nextInt(4)
+    // deterministic op SCHEDULE (random magnitudes): guarantees the
+    // append→delete→compact-WITHOUT-refresh sequence — the case where
+    // onCompact stamping fresh coverage watermarks would erase the
+    // staleness signal and serve pre-append boundary prefixes as fresh —
+    // plus compact-after-refresh, repeated compacts, and a second
+    // stale-tail round. A free random draw (the first version of this
+    // test) never hit compact at all with this seed.
+    val schedule = Seq("append", "delete", "compact", "delete", "compact",
+      "refresh", "append", "delete", "compact")
+    schedule.zipWithIndex.foreach { case (op, i) =>
+      val step = i + 1
       val stage = op match {
-        case 0 if high < 239L => // append a random-sized strictly-newer delta
+        case "append" if high < 239L =>
           val take = 20L + rnd.nextInt(60)
           val hi = math.min(high + take, 239L)
           Seq(plainDir, sideDir).foreach { d =>
@@ -140,7 +149,7 @@ class ChampionSidecarSpec extends AnyFunSuite {
           }
           high = hi
           s"append->$hi"
-        case 1 => // tombstone a random residue class
+        case "delete" =>
           val mod = 3 + rnd.nextInt(5)
           val r = rnd.nextInt(mod)
           Seq(plainDir, sideDir).foreach { d =>
@@ -149,7 +158,7 @@ class ChampionSidecarSpec extends AnyFunSuite {
                 .map(_.docId))
           }
           s"delete mod=$mod r=$r"
-        case 2 => // compact (hook repairs the sidecar, meta-first)
+        case "compact" => // hook repairs the sidecar, meta-first
           Seq(plainDir, sideDir).foreach(d => IndexBuilder.compact(spark, d))
           "compact"
         case _ => // explicit refresh (no-op when fresh)
