@@ -1660,6 +1660,18 @@ object SparkEntry {
         .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
         .toDF("slot", "doc_id", "score", "url")
     }),
+    // the federated STAGED gather driven end-to-end: threshold 0 forces
+    // the cross-shard hit-set union + global census + executor prune on
+    // the same shards — the truth stays q_ref_topk's replay verbatim
+    "q_fed_ref_staged_topk" -> ((s, dir) => {
+      import s.implicits._
+      val (a, b) = fedRefDirs(s, dir)
+      val fed = new graft.engine.FederatedSearch(s, Seq(a, b),
+        stagedChunkThreshold = 0)
+      fed.search("dup").zipWithIndex
+        .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
+        .toDF("slot", "doc_id", "score", "url")
+    }),
 
     // federated Dirichlet QL over the same chunk-aligned shards: the
     // cf-exchange folds the collection model globally, so the ranking
@@ -4825,6 +4837,7 @@ object SparkEntry {
       // with rank-identity contracts — their truths are the original
       // replays verbatim, so the pairs cannot desynchronize
       ("q_ref_staged_topk" -> m("q_ref_topk")) +
+      ("q_fed_ref_staged_topk" -> m("q_ref_topk")) +
       ("q_bm25_champion_sidecar" -> m("q_bm25_champion"))
   }
 }
