@@ -139,6 +139,30 @@ object PlanAudit {
       AnnStore.topK(store, qv, k = 10, nBits = 5, multiProbe = true)
     }
 
+    section("champion sidecar probe: bucket PartitionFilters + term pushdown") {
+      // the prefix read must prune on the query terms' bucket partition
+      // dirs (PartitionFilters) and push the term/rank filters; no
+      // posting blob column in ReadSchema
+      graft.index.ChampionSidecar.build(spark, out, m = 8, nBuckets = 8)
+      graft.index.ChampionSidecar.candidateFrame(spark, out,
+        Seq("spark", "dup"), 8).get
+    }
+
+    section("staged merge census: bounded aggs over the persisted hit set") {
+      // the staged path's census jobs are partial-agg groupBys over the
+      // <= 30-rows-per-chunk hit set — never corpus-shaped; the prune
+      // itself is a mapPartitions with no extra Exchange (the hit rows
+      // stay where the cogroup left them)
+      val eng = new graft.engine.SearchEngine(spark, out, 200,
+        broadcastDocsLimit = 0L)
+      val (astOpt, flat) = graft.query.QueryParser.parseQuery("spark dup")
+      eng.searchChunksEither(astOpt.get, flat, 30) match {
+        case Right((ds, _)) =>
+          ds.toDF().groupBy($"url").count().filter($"count" > 1).select($"url")
+        case Left(_) => spark.emptyDataFrame
+      }
+    }
+
     val docsTbl = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     section("decontamination hits: probe grams BROADCAST, corpus side never wide-shuffled") {
       // must show BroadcastHashJoin (probes side) and no Exchange below
