@@ -177,6 +177,39 @@ class RefServing(spark: SparkSession, indexDir: String,
   def engine: SearchEngine = cache.engine
 }
 
+/** Federated BM25/QL serving cache — completes the serving matrix
+  * (single/federated × BM25/RefScore): the token is the VECTOR of
+  * per-shard (lineage, tombstone) tokens, and maintenance on ANY shard
+  * reloads the whole federated engine (offsets may shift when a shard's
+  * high-water moves, and the global df/cf exchanges are memoized per
+  * engine, so per-shard reload would be unsound).
+  */
+class FederatedBm25Serving(spark: SparkSession, shards: Seq[String],
+                           maxEntries: Int = 1024) {
+  require(shards.nonEmpty, "FederatedBm25Serving: need at least one shard")
+
+  private final case class Key(terms: Seq[String], k: Int,
+                               mode: Bm25Engine.Mode, wand: Boolean)
+
+  private val cache =
+    new ServingCache[Seq[ServingToken.Token], FederatedBm25,
+                     Key, Seq[Bm25.Hit]](
+      () => shards.map(d => ServingToken.version(spark, d)),
+      ServingToken.anyNewer,
+      () => new FederatedBm25(spark, shards),
+      maxEntries)
+
+  def searchTerms(terms: Seq[String], k: Int,
+                  mode: Bm25Engine.Mode = Bm25Engine.Or,
+                  useWand: Boolean = true,
+                  checkVersion: Boolean = true): Seq[Bm25.Hit] =
+    cache.lookup(Key(terms.distinct.sorted, k, mode, useWand), checkVersion)(
+      _.searchTerms(terms, k, mode, useWand))
+
+  def stats: (Long, Long, Long) = cache.stats
+  def engine: FederatedBm25 = cache.engine
+}
+
 /** Federated RefScore serving cache: the token is the VECTOR of
   * per-shard (lineage, tombstone) tokens, and maintenance on ANY shard
   * reloads the whole federated engine (offsets may shift when a shard's

@@ -116,6 +116,34 @@ class ServingSpec extends AnyFunSuite {
     ids.unpersist()
   }
 
+  test("FederatedBm25Serving: cache + any-shard reload, results match fresh") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 50)
+    val ids = corpus(60, seed = 196).persist() // 120 docs
+    val dirA = SparkTestBase.tempDir("graft_serv_fbA")
+    val dirB = SparkTestBase.tempDir("graft_serv_fbB")
+    IndexBuilder.build(spark, ids.filter(_.docId <= 49L), dirA, cfg)
+    IndexBuilder.build(spark, ids.filter(d => d.docId > 49L && d.docId <= 99L)
+      .map(d => d.copy(docId = d.docId - 50L)), dirB, cfg)
+
+    val serving = new graft.engine.FederatedBm25Serving(spark, Seq(dirA, dirB))
+    val t = topTerm(dirA)
+    val r1 = serving.searchTerms(Seq(t), 10)
+    assert(serving.searchTerms(Seq(t), 10) === r1)
+    assert(serving.stats === ((1L, 1L, 0L)))
+    assert(r1 === new graft.engine.FederatedBm25(spark, Seq(dirA, dirB))
+      .searchTerms(Seq(t), 10))
+
+    IndexBuilder.appendBuild(spark,
+      ids.filter(_.docId > 99L).map(d => d.copy(docId = d.docId - 50L)),
+      dirB, cfg)
+    val r2 = serving.searchTerms(Seq(t), 10)
+    assert(serving.stats._3 === 1L, "shard-B append must reload the federation")
+    assert(r2 === new graft.engine.FederatedBm25(spark, Seq(dirA, dirB))
+      .searchTerms(Seq(t), 10))
+    ids.unpersist()
+  }
+
   test("FederatedRefServing: any shard's maintenance reloads the federation") {
     import spark.implicits._
     val cfg = BuildConfig(chunkDocs = 50)
