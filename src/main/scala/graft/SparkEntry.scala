@@ -1660,15 +1660,22 @@ object SparkEntry {
         .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
         .toDF("slot", "doc_id", "score", "url")
     }),
-    // the federated STAGED gather driven end-to-end: threshold 0 forces
-    // the cross-shard hit-set union + global census + executor prune on
-    // the same shards — the truth stays q_ref_topk's replay verbatim
+    // the federated STAGED gather driven end-to-end: broadcastDocsLimit
+    // 0 forces every shard onto the cogroup plan (resident-sidecar
+    // shards return already-resolved rows whose qualifying count is 0 —
+    // threshold 0 alone would select the plain gather vacuously), and
+    // threshold 0 then forces the cross-shard union + global census +
+    // executor prune — the truth stays q_ref_topk's replay verbatim,
+    // and the query FAILS LOUDLY if the staged path did not engage
     "q_fed_ref_staged_topk" -> ((s, dir) => {
       import s.implicits._
       val (a, b) = fedRefDirs(s, dir)
       val fed = new graft.engine.FederatedSearch(s, Seq(a, b),
-        stagedChunkThreshold = 0)
-      fed.search("dup").zipWithIndex
+        stagedChunkThreshold = 0, broadcastDocsLimit = 0L)
+      val hits = fed.search("dup")
+      require(fed.lastGatherStaged,
+        "q_fed_ref_staged_topk: staged gather did not engage")
+      hits.zipWithIndex
         .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
         .toDF("slot", "doc_id", "score", "url")
     }),

@@ -69,16 +69,32 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     * docs-per-chunk (persisted by buildStats so docId -> chunk is
     * derivable for partition pruning).
     */
-  /** Champion-sidecar meta, memoized per engine lifetime like the
-    * postings/stats caches (the sidecar geometry is immutable between
-    * maintenance ops, and maintenance implies a fresh engine — the
-    * serving layer's reload contract). The probe-time docId high-water
-    * STALENESS check is NOT memoized — appends stay visible.
+  /** Champion-sidecar meta, cached against the meta table's
+    * modification time: the hot path pays one driver-side FS stat
+    * (no Spark job) per query instead of a parquet head read, but a
+    * re-tuned sidecar (ChampionSidecar.build with different m/nBuckets
+    * moves NO serving token — the serving layer cannot reload for it)
+    * or an in-flight onCompact repair (meta transiently deleted) is
+    * seen immediately: mtime moved ⇒ re-read; meta missing or
+    * unreadable ⇒ None ⇒ the exact inline path. The probe-time docId
+    * high-water STALENESS check is separate and never cached.
     */
-  private lazy val championMeta: Option[(Int, Int, Long, Long)] =
-    if (graft.index.ChampionSidecar.exists(spark, indexDir))
-      Some(graft.index.ChampionSidecar.readMeta(spark, indexDir))
-    else None
+  private val championMetaCache =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Option[(Int, Int, Long, Long)])]()
+  private def championMeta: Option[(Int, Int, Long, Long)] = {
+    val metaDir = graft.index.ChampionSidecar.champMetaDir(indexDir)
+    val mt = graft.index.IndexBuilder.pathMTime(spark, metaDir)
+    if (mt < 0L) { championMetaCache.set(null); return None }
+    val cached = championMetaCache.get()
+    if (cached != null && cached._1 == mt) cached._2
+    else {
+      val m =
+        try Some(graft.index.ChampionSidecar.readMeta(spark, indexDir))
+        catch { case _: Exception => None } // deleted between stat & read
+      championMetaCache.set((mt, m))
+      m
+    }
+  }
 
   private lazy val globalStats: (Long, Double, Long, Long) = {
     val row = IndexStore.readStats(spark, indexDir)

@@ -285,12 +285,22 @@ object Federation {
   */
 class FederatedSearch(spark: SparkSession, shards: Seq[String],
                       stagedChunkThreshold: Int =
-                        graft.config.GraftConfig.StagedMergeChunks) {
+                        graft.config.GraftConfig.StagedMergeChunks,
+                      broadcastDocsLimit: Long = 2000000L) {
   require(shards.nonEmpty, "FederatedSearch: need at least one shard index")
 
   private val chunkDocs: Long = Federation.sharedChunkDocs(spark, shards)
   private val engines: Seq[SearchEngine] =
-    shards.map(d => new SearchEngine(spark, d, chunkCapacity = chunkDocs))
+    shards.map(d => new SearchEngine(spark, d, chunkCapacity = chunkDocs,
+      broadcastDocsLimit = broadcastDocsLimit))
+
+  /** Whether the LAST search's gather took the staged path — a test
+    * probe (StagedMergeSpec asserts engagement: shards on the resident-
+    * sidecar plan return resolved rows, whose qualifying count is 0, so
+    * threshold 0 alone cannot force staging — the spec must also force
+    * the cogroup plan via broadcastDocsLimit = 0).
+    */
+  @volatile private[graft] var lastGatherStaged: Boolean = false
 
   /** mergeIndexes fold-rule offsets; chunk bases are offsets/chunkDocs. */
   val offsets: Seq[Long] = Federation.shardOffsets(spark, shards, chunkDocs)
@@ -329,6 +339,7 @@ class FederatedSearch(spark: SparkSession, shards: Seq[String],
             }
         })
         val totalQualifying = parts.collect { case Right((_, n)) => n }.sum
+        lastGatherStaged = totalQualifying > stagedChunkThreshold
         val hits: Seq[ChunkHit] =
           if (totalQualifying <= stagedChunkThreshold)
             Federation.scatter(parts.map {

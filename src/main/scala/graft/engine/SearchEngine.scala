@@ -149,17 +149,13 @@ class SearchEngine(spark: SparkSession, indexDir: String,
   def searchPage(query: String, page: Int, perPage: Int = 10): Seq[DocScore] =
     search(query).slice(page * perPage, (page + 1) * perPage)
 
-  /** The distributed part: filter postings to the query's terms (parquet
-    * predicate pushdown), keep only chunks containing every flattened
-    * word (the term-absent abort, ranker.h:718-720 — also a major scale
-    * win: rare terms prune almost all chunks), then cogroup the pruned
-    * postings with the pruned docs metadata per chunk and run the ranker
-    * kernel. Result is <= topK rows per qualifying chunk.
-    */
-  private[graft] def searchChunks(ast: QOr, flat: Vector[String], topK: Int): Seq[ChunkHit] =
-    searchChunksEither(ast, flat, topK).fold(identity, _._1.collect().toSeq)
-
-  /** [[searchChunks]] behind the STAGED cross-chunk merge: when more
+  /** The distributed chunk kernel behind the STAGED cross-chunk merge
+    * (the plan shape: filter postings to the query's terms via parquet
+    * predicate pushdown, keep only chunks containing every flattened
+    * word — the term-absent abort, ranker.h:718-720, also a major scale
+    * win since rare terms prune almost all chunks — then cogroup the
+    * pruned postings with the pruned docs metadata per chunk and run
+    * the ranker kernel; ≤ topK rows per qualifying chunk): when more
     * than `stagedChunkThreshold` chunks qualify, the per-chunk slot rows
     * stay distributed; a census job finds the globally-duplicated urls /
     * (title, score) pairs (the only values the insertion fold's

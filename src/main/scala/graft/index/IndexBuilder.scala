@@ -617,6 +617,22 @@ object IndexBuilder {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Newest modification time under `dir` (the dir itself and its
+    * direct children — enough to see a rewritten parquet table), or -1
+    * when the path is missing. A driver-side FS stat, no Spark job:
+    * the cheap freshness signal for caches over small meta tables.
+    */
+  private[graft] def pathMTime(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val self = fs.getFileStatus(p).getModificationTime
+      val kids = fs.listStatus(p).map(_.getModificationTime)
+      if (kids.isEmpty) self else math.max(self, kids.max)
+    }
+  }
+
   /** Recursive delete through the path's own FileSystem (see
     * [[pathExists]] for why java.io/java.nio must not be used here).
     */

@@ -159,7 +159,9 @@ object PlanAudit {
       eng.searchChunksEither(astOpt.get, flat, 30) match {
         case Right((ds, _)) =>
           ds.toDF().groupBy($"url").count().filter($"count" > 1).select($"url")
-        case Left(_) => spark.emptyDataFrame
+        case Left(_) => sys.error(
+          "staged census section resolved Left — the audit query no " +
+            "longer qualifies and the census plan was NOT audited")
       }
     }
 

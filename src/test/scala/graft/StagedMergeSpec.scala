@@ -218,9 +218,14 @@ class StagedMergeSpec extends AnyFunSuite {
     IndexBuilder.build(spark,
       ids.filter(_.docId >= 40L).map(d => d.copy(docId = d.docId - 40L)), b,
       IndexBuilder.BuildConfig(chunkDocs = 20))
-    val plain = new graft.engine.FederatedSearch(spark, Seq(a, b))
+    // broadcastDocsLimit = 0 forces the cogroup plan on every shard:
+    // resident-sidecar shards hand back already-resolved rows whose
+    // qualifying count is 0, so threshold 0 alone would select the
+    // plain gather and this test would pass vacuously
+    val plain = new graft.engine.FederatedSearch(spark, Seq(a, b),
+      broadcastDocsLimit = 0L)
     val staged = new graft.engine.FederatedSearch(spark, Seq(a, b),
-      stagedChunkThreshold = 0)
+      stagedChunkThreshold = 0, broadcastDocsLimit = 0L)
     assert(staged.offsets === plain.offsets)
     val terms = graft.index.IndexStore.readPostings(spark, a).collect()
       .filterNot(_.term.startsWith("#"))
@@ -230,7 +235,9 @@ class StagedMergeSpec extends AnyFunSuite {
       s"${terms.head} OR ${terms(1)}")
     queries.foreach { q =>
       val got = staged.search(q)
+      assert(staged.lastGatherStaged, s"staged gather did not engage on [$q]")
       assert(got === plain.search(q), s"query [$q]")
+      assert(!plain.lastGatherStaged, s"plain gather went staged on [$q]")
       assert(got.nonEmpty, s"degenerate fixture: [$q] found nothing")
     }
     ids.unpersist()
