@@ -368,6 +368,67 @@ object SparkEntry {
       |  FROM doclen GROUP BY 1
       |)""".stripMargin
 
+  /** [[duckRefBase]] re-derived for the MIXED-geometry federated view
+    * (fedMixedDirs: shard A = docs with doc_id <= mid at capacity 200,
+    * shard B = the rest rebased to 0 at capacity 150, mid = max id / 2):
+    * every doc carries its shard's chunk CAPACITY (the avgdl divisor,
+    * ranker.h:802-804 — each shard's own config.h value), its GLOBAL
+    * chunk id (shard A keeps doc_id // 200; shard B starts at A's chunk
+    * extent, cumulative — Federation.shardLayoutMixed's rule), and its
+    * GLOBAL doc id (shard B shifted to the first 150-boundary past mid).
+    * first_doc / the candidate walk stay on RAW ids — global ids are
+    * monotone within a shard and chunks never straddle shards, so every
+    * per-chunk order is unchanged.
+    */
+  private val duckRefBaseMixed =
+    """WITH RECURSIVE mid AS (SELECT max(doc_id) // 2 AS mid FROM documents),
+      |toks AS (
+      |  SELECT doc_id, lower(tok) AS term,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS pos
+      |  FROM (
+      |    SELECT doc_id,
+      |           unnest(string_split_regex(text, '\s+')) AS tok,
+      |           generate_subscripts(string_split_regex(text, '\s+'), 1) AS idx
+      |    FROM documents
+      |  )
+      |  WHERE regexp_matches(tok, '^[A-Za-z]+$') AND length(tok) < 20
+      |),
+      |docmeta AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id <= mi.mid THEN doc_id // 200
+      |              ELSE (mi.mid // 200 + 1) + (doc_id - mi.mid - 1) // 150
+      |         END AS chunk,
+      |         CASE WHEN doc_id <= mi.mid THEN 200.0 ELSE 150.0 END AS cap,
+      |         CASE WHEN doc_id <= mi.mid THEN doc_id
+      |              ELSE (mi.mid // 150 + 1) * 150 + (doc_id - mi.mid - 1)
+      |         END AS gdoc_id,
+      |         url, title_raw, title_kept,
+      |         CAST(len(title_raw) AS BIGINT) AS num_title_words,
+      |         CAST(len(title_kept) AS BIGINT) AS title_kept_n
+      |  FROM (
+      |    SELECT doc_id,
+      |           'org' || (doc_id % 50) || '/proj' || (doc_id % 50) || '/' ||
+      |             source || '/doc' || doc_id || '.txt@' ||
+      |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS url,
+      |           list_transform(regexp_extract_all(source || '/doc' || doc_id || '.txt',
+      |                                             '[A-Za-z]+'), w -> lower(w)) AS title_raw,
+      |           list_filter(list_transform(regexp_extract_all(source || '/doc' || doc_id || '.txt',
+      |                                                         '[A-Za-z]+'), w -> lower(w)),
+      |                       w -> length(w) <= 18) AS title_kept
+      |    FROM documents) CROSS JOIN mid mi
+      |),
+      |doclen AS (
+      |  SELECT m.doc_id, m.chunk, m.cap,
+      |         m.title_kept_n + coalesce(t.n, 0) AS doc_length
+      |  FROM docmeta m
+      |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+      |),
+      |chunkstat AS (
+      |  SELECT chunk, sum(doc_length) + count(*) AS total_posts,
+      |         min(doc_id) AS first_doc, max(cap) AS cap
+      |  FROM doclen GROUP BY 1
+      |)""".stripMargin
+
   /** SimplifyUrl + GetDomainName + IsHomePage + title-hit count as a
     * LATERAL over `m`/`d`/`cs` (ranker.h:285-356): u2 = blind 8-char strip
     * + www. strip; dom = between 1st and 2nd dots, else before 1st dot,
@@ -375,13 +436,14 @@ object SparkEntry {
     * with the ISR docLength (+1 on the chunk's first doc, isr.h:131) over
     * avgdl = totalPosts / 200 (the CONFIGURED capacity, ranker.h:802-804).
     */
-  private def duckRefLateral(words: Seq[String]): String = {
+  private def duckRefLateral(words: Seq[String],
+                             capExpr: String = "200.0"): String = {
     val tcnt = words.map(w =>
       s"(CASE WHEN list_contains(m.title_kept, '$w') THEN 1 ELSE 0 END)")
       .mkString(" +\n         ")
     s"""CROSS JOIN LATERAL (
        |  SELECT (d.doc_length + CASE WHEN d.doc_id = cs.first_doc THEN 1 ELSE 0 END)
-       |           / (cs.total_posts / 200.0) / 10.0 AS norm_factor,
+       |           / (cs.total_posts / ($capExpr)) / 10.0 AS norm_factor,
        |         CASE WHEN strpos(u2, '.') = 0 THEN u2
        |              WHEN strpos(substr(u2, strpos(u2, '.') + 1), '.') > 0
        |              THEN substr(u2, strpos(u2, '.') + 1,
@@ -456,6 +518,96 @@ object SparkEntry {
 
   private val duckSlotType =
     "STRUCT(title VARCHAR, url VARCHAR, score BIGINT, doc_id BIGINT)[]"
+
+  /** The q_ref_topk replay over a duckRefBase-SHAPED base (CTE names
+    * toks/docmeta/doclen/chunkstat): per-chunk scoring of the query word
+    * 'dup', the 999-candidate walk, the two-stage InsertionSort replay
+    * (per-chunk top-30 in candidate order, then the cross-chunk merge
+    * re-inserting slots in (chunk, slot) order — both recursive CTEs
+    * stepping duckRefIns). Parameterized so the MIXED-geometry federated
+    * twin reuses the fold verbatim: `capExpr` is the chunk-capacity
+    * expression visible from the lateral (the mixed base carries a
+    * per-chunk `cap` in chunkstat), `docIdExpr` the id the slots carry
+    * (the mixed base emits GLOBAL ids; within a chunk they order
+    * identically to raw ids, so the walk is unchanged).
+    */
+  private def duckRefTopkSql(base: String, capExpr: String = "200.0",
+                             docIdExpr: String = "d.doc_id"): String =
+    base + s""",
+        |twords AS (
+        |  SELECT doc_id, w, i,
+        |         coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM (SELECT doc_id, unnest(title_kept) AS w,
+        |               generate_subscripts(title_kept, 1) AS i FROM docmeta)
+        |),
+        |titles AS (
+        |  SELECT m.doc_id, coalesce(string_agg(tw.w, ' ' ORDER BY tw.i), '') AS title
+        |  FROM docmeta m
+        |  LEFT JOIN twords tw ON tw.doc_id = m.doc_id
+        |   AND tw.i < coalesce((SELECT min(i) FROM twords b
+        |                        WHERE b.doc_id = m.doc_id AND b.cum + length(b.w) >= 50),
+        |                       2147483647)
+        |  GROUP BY m.doc_id
+        |),
+        |${duckRefOcc},
+        |scored AS (
+        |  SELECT d.chunk, $docIdExpr AS doc_id, m.url, ti.title,
+        |         CAST(10 * ($duckRefStatic)
+        |              + (CASE WHEN cs.total_posts // tfc.tf > 100000 THEN 15 ELSE 10 END) *
+        |                (CASE WHEN x.norm_factor > 1
+        |                      THEN trunc(($duckRefBodyRaw) / x.norm_factor)
+        |                      ELSE $duckRefBodyRaw END
+        |                 + $duckRefTitle
+        |                 + CASE WHEN x.dom = 'dup' THEN
+        |                     CASE WHEN x.homepage THEN 250 ELSE 70 END * 2 ELSE 0 END)
+        |              AS BIGINT) AS score
+        |  FROM occ o
+        |  JOIN doclen d ON d.doc_id = o.doc_id
+        |  JOIN docmeta m ON m.doc_id = o.doc_id
+        |  JOIN titles ti ON ti.doc_id = o.doc_id
+        |  JOIN chunkstat cs ON cs.chunk = d.chunk
+        |  JOIN tfc ON tfc.chunk = d.chunk
+        |  ${duckRefLateral(Seq("dup"), capExpr)}
+        |),
+        |cand0 AS (
+        |  -- the 999 cap counts ALL walked candidates (the engine
+        |  -- increments numDocsFound before the url filter)
+        |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id) AS rn0
+        |  FROM scored QUALIFY rn0 <= 999
+        |),
+        |cands AS (
+        |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY chunk) AS cnt
+        |  FROM cand0 WHERE length(url) >= 10
+        |),
+        |rec1 AS (
+        |  SELECT chunk, 0 AS n, cnt,
+        |         CAST([] AS $duckSlotType) AS slots
+        |  FROM (SELECT DISTINCT chunk, cnt FROM cands)
+        |  UNION ALL
+        |  SELECT r.chunk, r.n + 1, r.cnt,
+        |         ${duckRefIns("r.slots",
+                    "struct_pack(title := c.title, url := c.url, " +
+                    "score := c.score, doc_id := c.doc_id)")} AS slots
+        |  FROM rec1 r JOIN cands c ON c.chunk = r.chunk AND c.rn = r.n + 1
+        |),
+        |chunktop AS (SELECT chunk, slots FROM rec1 WHERE n = cnt),
+        |gseq AS (
+        |  SELECT s, row_number() OVER (ORDER BY chunk, slot) AS rn
+        |  FROM (SELECT chunk, unnest(slots) AS s,
+        |               generate_subscripts(slots, 1) AS slot FROM chunktop)
+        |),
+        |rec2 AS (
+        |  SELECT 0 AS n, CAST([] AS $duckSlotType) AS slots
+        |  UNION ALL
+        |  SELECT r.n + 1, ${duckRefIns("r.slots", "g.s")} AS slots
+        |  FROM rec2 r JOIN gseq g ON g.rn = r.n + 1
+        |)
+        |SELECT CAST(i - 1 AS BIGINT) AS slot, f.s.doc_id AS doc_id,
+        |       f.s.score AS score, f.s.url AS url
+        |FROM (SELECT unnest(slots) AS s, generate_subscripts(slots, 1) AS i
+        |      FROM rec2 WHERE n = (SELECT count(*) FROM gseq)) f""".stripMargin
 
   private val duckEmbParts =
     """WITH parts AS (
@@ -1676,6 +1828,21 @@ object SparkEntry {
       require(fed.lastGatherStaged,
         "q_fed_ref_staged_topk: staged gather did not engage")
       hits.zipWithIndex
+        .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
+        .toDF("slot", "doc_id", "score", "url")
+    }),
+
+    // MIXED-geometry federated RefScore: shard A at chunkDocs=200,
+    // shard B at 150 — each shard ranks chunk-locally with its OWN
+    // capacity (the reference's per-machine config.h), the gather folds
+    // in ascending GLOBAL chunk order (cumulative chunk bases), and the
+    // DuckDB twin replays the same fold over per-doc (chunk, cap,
+    // global id) derived from the same mid = max(doc_id)/2 split
+    "q_fed_ref_mixed_topk" -> ((s, dir) => {
+      import s.implicits._
+      val (a, b) = fedMixedDirs(s, dir)
+      val fed = new graft.engine.FederatedSearch(s, Seq(a, b))
+      fed.search("dup").zipWithIndex
         .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
         .toDF("slot", "doc_id", "score", "url")
     }),
@@ -3004,81 +3171,12 @@ object SparkEntry {
       // (docId) order, then the cross-chunk merge re-inserting each
       // chunk's slots in (chunk, slot) order — both as recursive CTEs
       // stepping duckRefIns over the slot list.
-      "q_ref_topk" -> (duckRefBase + s""",
-        |twords AS (
-        |  SELECT doc_id, w, i,
-        |         coalesce(sum(length(w) + 1) OVER (PARTITION BY doc_id ORDER BY i
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
-        |  FROM (SELECT doc_id, unnest(title_kept) AS w,
-        |               generate_subscripts(title_kept, 1) AS i FROM docmeta)
-        |),
-        |titles AS (
-        |  SELECT m.doc_id, coalesce(string_agg(tw.w, ' ' ORDER BY tw.i), '') AS title
-        |  FROM docmeta m
-        |  LEFT JOIN twords tw ON tw.doc_id = m.doc_id
-        |   AND tw.i < coalesce((SELECT min(i) FROM twords b
-        |                        WHERE b.doc_id = m.doc_id AND b.cum + length(b.w) >= 50),
-        |                       2147483647)
-        |  GROUP BY m.doc_id
-        |),
-        |${duckRefOcc},
-        |scored AS (
-        |  SELECT d.chunk, d.doc_id, m.url, ti.title,
-        |         CAST(10 * ($duckRefStatic)
-        |              + (CASE WHEN cs.total_posts // tfc.tf > 100000 THEN 15 ELSE 10 END) *
-        |                (CASE WHEN x.norm_factor > 1
-        |                      THEN trunc(($duckRefBodyRaw) / x.norm_factor)
-        |                      ELSE $duckRefBodyRaw END
-        |                 + $duckRefTitle
-        |                 + CASE WHEN x.dom = 'dup' THEN
-        |                     CASE WHEN x.homepage THEN 250 ELSE 70 END * 2 ELSE 0 END)
-        |              AS BIGINT) AS score
-        |  FROM occ o
-        |  JOIN doclen d ON d.doc_id = o.doc_id
-        |  JOIN docmeta m ON m.doc_id = o.doc_id
-        |  JOIN titles ti ON ti.doc_id = o.doc_id
-        |  JOIN chunkstat cs ON cs.chunk = d.chunk
-        |  JOIN tfc ON tfc.chunk = d.chunk
-        |  ${duckRefLateral(Seq("dup"))}
-        |),
-        |cand0 AS (
-        |  -- the 999 cap counts ALL walked candidates (the engine
-        |  -- increments numDocsFound before the url filter)
-        |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id) AS rn0
-        |  FROM scored QUALIFY rn0 <= 999
-        |),
-        |cands AS (
-        |  SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id) AS rn,
-        |         count(*) OVER (PARTITION BY chunk) AS cnt
-        |  FROM cand0 WHERE length(url) >= 10
-        |),
-        |rec1 AS (
-        |  SELECT chunk, 0 AS n, cnt,
-        |         CAST([] AS $duckSlotType) AS slots
-        |  FROM (SELECT DISTINCT chunk, cnt FROM cands)
-        |  UNION ALL
-        |  SELECT r.chunk, r.n + 1, r.cnt,
-        |         ${duckRefIns("r.slots",
-                    "struct_pack(title := c.title, url := c.url, " +
-                    "score := c.score, doc_id := c.doc_id)")} AS slots
-        |  FROM rec1 r JOIN cands c ON c.chunk = r.chunk AND c.rn = r.n + 1
-        |),
-        |chunktop AS (SELECT chunk, slots FROM rec1 WHERE n = cnt),
-        |gseq AS (
-        |  SELECT s, row_number() OVER (ORDER BY chunk, slot) AS rn
-        |  FROM (SELECT chunk, unnest(slots) AS s,
-        |               generate_subscripts(slots, 1) AS slot FROM chunktop)
-        |),
-        |rec2 AS (
-        |  SELECT 0 AS n, CAST([] AS $duckSlotType) AS slots
-        |  UNION ALL
-        |  SELECT r.n + 1, ${duckRefIns("r.slots", "g.s")} AS slots
-        |  FROM rec2 r JOIN gseq g ON g.rn = r.n + 1
-        |)
-        |SELECT CAST(i - 1 AS BIGINT) AS slot, f.s.doc_id AS doc_id,
-        |       f.s.score AS score, f.s.url AS url
-        |FROM (SELECT unnest(slots) AS s, generate_subscripts(slots, 1) AS i
-        |      FROM rec2 WHERE n = (SELECT count(*) FROM gseq)) f""".stripMargin),
+      "q_ref_topk" -> duckRefTopkSql(duckRefBase),
+
+      // the mixed-geometry federated RefScore replay: same tail, the
+      // mixed base (per-doc global chunk / global id / per-chunk cap)
+      "q_fed_ref_mixed_topk" -> duckRefTopkSql(duckRefBaseMixed,
+        capExpr = "cs.cap", docIdExpr = "m.gdoc_id"),
 
       "q_dedup_exact" -> """
         |SELECT sha256(text) AS content_sha, count(*) AS n_docs,

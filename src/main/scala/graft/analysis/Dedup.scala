@@ -157,7 +157,10 @@ object Dedup {
     * persisted rows (createDataFrame over the cached RDD) so neither
     * lineage depth nor optimizer time grows with iterations — the
     * standard iterative-DataFrame hygiene. Convergence = edge set
-    * unchanged (a count compare plus one edge-sized except); hitting
+    * unchanged, detected two-tier: a (count, sum(src), sum(dst))
+    * aggregate per round (the job that materializes the round anyway)
+    * and the exact edge-sized `except` certificate only when the
+    * aggregates match — at most the final round in practice; hitting
     * `maxIter` FAILS LOUDLY (IllegalStateException) rather than
     * returning silently-wrong components: an unconverged edge set is
     * not yet a star set, so dedupClusters would keep several
@@ -175,7 +178,25 @@ object Dedup {
     * whose diameter would blow past `maxIter` under label propagation.
     */
   def connectedComponentsWithRounds(pairs: DataFrame,
-                                    maxIter: Int = 50): (DataFrame, Int) = {
+                                    maxIter: Int = 50): (DataFrame, Int) =
+    connectedComponentsWithDiag(pairs, maxIter) match {
+      case (df, iters, _) => (df, iters)
+    }
+
+  /** [[connectedComponentsWithRounds]] also exposing how many rounds ran
+    * the exact set-equality `except` job — the convergence check is
+    * two-tier: a per-round aggregate (count, sum(src), sum(dst)) over
+    * the freshly materialized edge set decides "changed" for free (the
+    * count() job the loop already paid becomes one agg job), and the
+    * exact `except` CERTIFICATE runs only when all three aggregates
+    * match — i.e. at most on the true fixpoint round plus aggregate
+    * collisions, not every round near convergence (DedupScaleSpec pins
+    * exceptRounds == 1 on the 200-node path). The certificate stays:
+    * aggregate equality alone is necessary, not sufficient, and the
+    * contract is fail-loudly over silently-wrong components.
+    */
+  def connectedComponentsWithDiag(pairs: DataFrame,
+                                  maxIter: Int = 50): (DataFrame, Int, Int) = {
     val spark = pairs.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("src",
@@ -187,12 +208,19 @@ object Dedup {
     // canonical directed form: src > dst (small-star's precondition;
     // large-star re-symmetrizes internally); self-pairs carry no
     // connectivity and are re-added as singletons at the end
+    def agg3(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("src")), sum(col("dst"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     var edges = raw.filter(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst")).distinct().persist()
-    var edgeCount = edges.count()
-    var changed = edgeCount > 0
+    var edgeAgg = agg3(edges)
+    var changed = edgeAgg._1 > 0
     var iter = 0
+    var exceptRounds = 0
     while (changed && iter < maxIter) {
       // LARGE-STAR: for each node u over the symmetric neighborhood,
       // m = min(N(u) ∪ {u}); emit (v, m) for every neighbor v > u.
@@ -215,11 +243,16 @@ object Dedup {
         .unionByName(ssMin.select(col("src"), col("m").as("dst")))
         .distinct()
       val next = spark.createDataFrame(ssStep.rdd, schema).persist()
-      val nextCount = next.count()
-      changed = nextCount != edgeCount || next.except(edges).count() > 0
+      val nextAgg = agg3(next) // materializes `next`; one job per round
+      changed =
+        if (nextAgg != edgeAgg) true
+        else { // aggregates agree — run the exact certificate
+          exceptRounds += 1
+          next.except(edges).count() > 0
+        }
       edges.unpersist()
       edges = next
-      edgeCount = nextCount
+      edgeAgg = nextAgg
       iter += 1
     }
     if (changed)
@@ -242,7 +275,7 @@ object Dedup {
     val labels = starLabels.unionByName(selfOnly).persist()
     labels.count()
     edges.unpersist()
-    (labels, iter)
+    (labels, iter, exceptRounds)
   }
 
   /** Near-duplicate clusters with a deterministic keep-list: LSH

@@ -69,21 +69,24 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     * docs-per-chunk (persisted by buildStats so docId -> chunk is
     * derivable for partition pruning).
     */
-  /** Champion-sidecar meta, cached against the meta table's
-    * modification time: the hot path pays one driver-side FS stat
-    * (no Spark job) per query instead of a parquet head read, but a
-    * re-tuned sidecar (ChampionSidecar.build with different m/nBuckets
-    * moves NO serving token — the serving layer cannot reload for it)
-    * or an in-flight onCompact repair (meta transiently deleted) is
-    * seen immediately: mtime moved ⇒ re-read; meta missing or
-    * unreadable ⇒ None ⇒ the exact inline path. The probe-time docId
-    * high-water STALENESS check is separate and never cached.
+  /** Champion-sidecar meta, cached against the meta table's CONTENT
+    * FINGERPRINT (child file names + lengths + mtimes — not mtime
+    * alone: two rebuilds inside one mtime tick still differ because a
+    * fresh parquet write's part names carry a new UUID): the hot path
+    * pays one driver-side FS listing (no Spark job) per query instead
+    * of a parquet head read, but a re-tuned sidecar
+    * (ChampionSidecar.build with different m/nBuckets moves NO serving
+    * token — the serving layer cannot reload for it) or an in-flight
+    * onCompact repair (meta transiently deleted) is seen immediately:
+    * fingerprint moved ⇒ re-read; meta missing or unreadable ⇒ None ⇒
+    * the exact inline path. The probe-time docId high-water STALENESS
+    * check is separate and never cached.
     */
   private val championMetaCache =
     new java.util.concurrent.atomic.AtomicReference[(Long, Option[(Int, Int, Long, Long)])]()
   private def championMeta: Option[(Int, Int, Long, Long)] = {
     val metaDir = graft.index.ChampionSidecar.champMetaDir(indexDir)
-    val mt = graft.index.IndexBuilder.pathMTime(spark, metaDir)
+    val mt = graft.index.IndexBuilder.pathFingerprint(spark, metaDir)
     if (mt < 0L) { championMetaCache.set(null); return None }
     val cached = championMetaCache.get()
     if (cached != null && cached._1 == mt) cached._2

@@ -173,6 +173,30 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
 }
 
 object Federation {
+  /** Scatter pool size: sized to the host (min(cores, 32), floor 8 —
+    * the reference's own shard fan-out width, configs/config.h:5's 8
+    * index servers) so a wide-K fleet on a big driver is not throttled
+    * to 8 lanes; overridable via -Dgraft.fed.scatter.threads for
+    * serving deployments that know their K.
+    */
+  private[graft] val scatterThreads: Int =
+    sys.props.get("graft.fed.scatter.threads").map(_.toInt).getOrElse(
+      math.max(8, math.min(Runtime.getRuntime.availableProcessors(), 32)))
+
+  /** Per-scatter await bound in seconds (-Dgraft.fed.scatter.timeout.sec;
+    * <= 0 = unbounded, the default): a hung shard job then fails the
+    * federated call loudly instead of parking the serving thread forever.
+    */
+  private def scatterTimeout: scala.concurrent.duration.Duration = {
+    import scala.concurrent.duration._
+    sys.props.get("graft.fed.scatter.timeout.sec").map(_.toLong) match {
+      case Some(s) if s > 0L => s.seconds
+      case _ => Duration.Inf
+    }
+  }
+
+  private val ScatterThreadName = "graft-fed-scatter"
+
   /** Bounded daemon pool for the federated scatter: per-shard Spark jobs
     * submit CONCURRENTLY (SparkContext schedules jobs from multiple
     * threads fine) instead of serializing on the driver loop — at the
@@ -185,35 +209,56 @@ object Federation {
   private lazy val scatterPool: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newFixedThreadPool(
-        8,
+        scatterThreads,
         (r: Runnable) => {
-          val t = new Thread(r, "graft-fed-scatter")
+          val t = new Thread(r, ScatterThreadName)
           t.setDaemon(true)
           t
         }))
 
-  /** Run the per-shard thunks concurrently, results in input order. */
+  /** Run the per-shard thunks concurrently, results in input order.
+    * RE-ENTRANCY GUARD: a thunk that transitively calls a federated API
+    * (e.g. a scatter task resolving through another federation) would
+    * block a pool thread awaiting work that needs pool threads — with a
+    * fixed pool that deadlocks every federated caller once K nested
+    * calls are in flight. A scatter issued FROM a scatter thread
+    * therefore runs its tasks inline (sequential, the pre-concurrency
+    * semantics — identical results, no pool dependency).
+    */
   private[graft] def scatter[A](tasks: Seq[() => A]): Seq[A] = {
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
+    if (Thread.currentThread().getName == ScatterThreadName)
+      return tasks.map(_())
     implicit val ec: scala.concurrent.ExecutionContext = scatterPool
-    Await.result(Future.sequence(tasks.map(t => Future(t()))), Duration.Inf)
+    Await.result(Future.sequence(tasks.map(t => Future(t()))), scatterTimeout)
   }
 
-  /** Shared chunk geometry across shards, from the persisted stats
-    * (the offset rule is chunk-aligned, so mixed geometries would let a
-    * shifted shard straddle global chunk boundaries — the mergeIndexes
-    * precondition applied shard-wise).
+  /** Each shard's persisted chunk geometry (chunkDocs from its stats
+    * table), validated positive — NOT required to agree: BM25/QL
+    * federation scores with global statistics, and RefScore federation
+    * ranks each shard chunk-locally with its own capacity (r5), so
+    * mixed fleets are first-class for both.
     */
-  private[engine] def sharedChunkDocs(spark: SparkSession,
-                                      shards: Seq[String]): Long = {
+  private[engine] def perShardChunkDocs(spark: SparkSession,
+                                        shards: Seq[String]): Seq[Long] = {
     import org.apache.spark.sql.functions.{col, max}
-    validateChunkDocs(shards.map { d =>
+    val gs = shards.map { d =>
       val r = graft.index.IndexStore.readStats(spark, d)
         .agg(max(col("chunkDocs"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
-    })
+    }
+    require(gs.forall(_ > 0),
+      s"federation: every shard needs persisted chunkDocs stats (got $gs)")
+    gs
   }
+
+  /** Shared chunk geometry across shards, from the persisted stats —
+    * for callers that genuinely need ONE capacity (single-index serving
+    * wrappers defaulting their engine geometry).
+    */
+  private[engine] def sharedChunkDocs(spark: SparkSession,
+                                      shards: Seq[String]): Long =
+    validateChunkDocs(perShardChunkDocs(spark, shards))
 
   /** The geometry contract in ONE place (FederatedBm25 feeds its
     * engines' memoized geometries, sharedChunkDocs the stats reads):
@@ -252,18 +297,41 @@ object Federation {
     */
   private[engine] def shardOffsetsMixed(spark: SparkSession,
                                         shards: Seq[String],
-                                        chunkDocs: Seq[Long]): Seq[Long] = {
+                                        chunkDocs: Seq[Long]): Seq[Long] =
+    shardLayoutMixed(spark, shards, chunkDocs)._1
+
+  /** (docId offsets, GLOBAL chunk bases) under the mixed fold rule, from
+    * one lineage high-water read per shard. The chunk base of shard i is
+    * the CUMULATIVE chunk extent of shards 0..i-1 (extent = high/cd + 1
+    * in each shard's OWN geometry): strictly ascending past each shard's
+    * last local chunk, so global chunk ids are collision-free and
+    * ordering by global chunk == lexicographic (shard asc, local chunk
+    * asc) — the order the RefScore insertion fold must walk. For a
+    * HOMOGENEOUS fleet this equals offsets/chunkDocs exactly (induction:
+    * off_{i+1} = (off_i + high_i rounded to the next cd boundary), and
+    * off_i is a cd multiple, so off_{i+1}/cd = off_i/cd + high_i/cd + 1),
+    * i.e. the consolidated merged index's own docId/chunkDocs chunk ids —
+    * the FederationSpec identity is unchanged by this generalization.
+    */
+  private[engine] def shardLayoutMixed(spark: SparkSession,
+                                       shards: Seq[String],
+                                       chunkDocs: Seq[Long])
+      : (Seq[Long], Seq[Long]) = {
     require(shards.size == chunkDocs.size,
       s"federation: ${shards.size} shards vs ${chunkDocs.size} geometries")
     val highs = shards.map(d => IndexBuilder.docIdHighWater(spark, d))
     val offs = Seq.newBuilder[Long]
+    val bases = Seq.newBuilder[Long]
     var cursor = -1L // federated high-water of the shards placed so far
+    var chunkBase = 0L // cumulative chunk extents of the shards placed
     highs.zip(chunkDocs).foreach { case (h, cd) =>
       val off = if (cursor < 0) 0L else (cursor / cd + 1L) * cd
       offs += off
+      bases += chunkBase
+      chunkBase += h / cd + 1L
       cursor = math.max(cursor, off + h)
     }
-    offs.result()
+    (offs.result(), bases.result())
   }
 }
 
@@ -289,10 +357,27 @@ class FederatedSearch(spark: SparkSession, shards: Seq[String],
                       broadcastDocsLimit: Long = 2000000L) {
   require(shards.nonEmpty, "FederatedSearch: need at least one shard index")
 
-  private val chunkDocs: Long = Federation.sharedChunkDocs(spark, shards)
+  /** Per-shard chunk geometries — MIXED fleets are allowed (r5): every
+    * RefScore quantity is chunk-local (per-chunk expected tf, length
+    * norm over the shard's OWN capacity, ranker.h:802-804), which is
+    * exactly how the reference's per-machine servers behave when their
+    * config.h values differ — so each shard ranks with its own
+    * geometry and only the FOLD ORDER is shared: ascending GLOBAL
+    * chunk ids from cumulative per-shard extents
+    * ([[Federation.shardLayoutMixed]]). For a homogeneous fleet the
+    * ids coincide with offsets/chunkDocs and the consolidated-index
+    * identity holds verbatim; for a mixed fleet no consolidated twin
+    * exists (one index has one capacity) and the contract is the
+    * sequential per-shard fold, pinned against the single-threaded
+    * RefOracle in FederationSpec and driver-DuckDB-checked end-to-end
+    * by q_fed_ref_mixed_topk.
+    */
+  private val geometries: Seq[Long] = Federation.perShardChunkDocs(spark, shards)
   private val engines: Seq[SearchEngine] =
-    shards.map(d => new SearchEngine(spark, d, chunkCapacity = chunkDocs,
-      broadcastDocsLimit = broadcastDocsLimit))
+    shards.zip(geometries).map { case (d, cd) =>
+      new SearchEngine(spark, d, chunkCapacity = cd,
+        broadcastDocsLimit = broadcastDocsLimit)
+    }
 
   /** Whether the LAST search's gather took the staged path — a test
     * probe (StagedMergeSpec asserts engagement: shards on the resident-
@@ -302,9 +387,12 @@ class FederatedSearch(spark: SparkSession, shards: Seq[String],
     */
   @volatile private[graft] var lastGatherStaged: Boolean = false
 
-  /** mergeIndexes fold-rule offsets; chunk bases are offsets/chunkDocs. */
-  val offsets: Seq[Long] = Federation.shardOffsets(spark, shards, chunkDocs)
-  private val bases: Seq[Long] = offsets.map(_ / chunkDocs)
+  /** mergeIndexes fold-rule docId offsets + global chunk bases (one
+    * lineage read per shard — see [[Federation.shardLayoutMixed]]).
+    */
+  private val layout = Federation.shardLayoutMixed(spark, shards, geometries)
+  val offsets: Seq[Long] = layout._1
+  private val bases: Seq[Long] = layout._2
 
   /** Rank-identical federated reference scoring: the scatter submits
     * each shard's chunk-pruned kernel job concurrently

@@ -1,6 +1,5 @@
 package graft.engine
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.LongAdder
 
 import org.apache.spark.sql.SparkSession
@@ -9,24 +8,34 @@ import graft.index.IndexBuilder
 import graft.rank.{Bm25, DocScore}
 
 /** The shared index-version token for serving caches: the pair
-  * (lineage row count, pending-tombstone row count). Every build /
-  * append / merge / compact APPENDS lineage rows, and markDeleted
-  * changes the tombstone count; compact clears tombstones but always
-  * appends lineage, so no maintenance sequence can restore an earlier
-  * token (no ABA), and the pair is lexicographically MONOTONIC — which
-  * is what lets a cache swap generations forward-only.
+  * (lineage file count, tombstone dir bytes+files) from a DRIVER-SIDE
+  * FileSystem listing — ZERO Spark jobs per probe. The reference's
+  * long-lived servers answer with zero freshness cost because their
+  * index is an immutable mmap (index/indexServer.cpp:70-91); a mutable
+  * index gets the same property because every maintenance op moves
+  * file-level state monotonically under the append-only invariants the
+  * old row-count token already relied on:
+  *  - build / append / merge / compact all APPEND lineage rows via
+  *    parquet Append writes, which only ever ADD visible part files
+  *    (existing files are never rewritten) — lineage file count is
+  *    strictly increasing per op;
+  *  - at a FIXED lineage count only markDeleted runs, appending
+  *    tombstone part files — tombstone files+bytes strictly increase;
+  *  - compact clears the tombstone dir but always appends lineage, so
+  *    the pair is still lexicographically MONOTONIC and no maintenance
+  *    sequence can restore an earlier token (no ABA) — which is what
+  *    lets a cache swap generations forward-only.
   */
 object ServingToken {
   type Token = (Long, Long)
 
-  /** Probe the current token — two footer-light counts. */
+  /** Probe the current token — two driver-side FS listings, no job. */
   def version(spark: SparkSession, indexDir: String): Token = {
-    val lin =
-      if (IndexBuilder.pathExists(spark, IndexBuilder.lineageDir(indexDir)))
-        spark.read.parquet(IndexBuilder.lineageDir(indexDir)).count()
-      else 0L
-    val tomb = graft.index.IndexStore.readTombstones(spark, indexDir).count()
-    (lin, tomb)
+    val (linFiles, _) =
+      IndexBuilder.dirFileSummary(spark, IndexBuilder.lineageDir(indexDir))
+    val (tombFiles, tombBytes) =
+      IndexBuilder.dirFileSummary(spark, IndexBuilder.tombstonesDir(indexDir))
+    (linFiles, tombFiles + tombBytes)
   }
 
   /** Strict lexicographic "a is newer than b": lineage rows are
@@ -69,9 +78,22 @@ private[graft] final class ServingCache[T, E, K, V <: AnyRef](
     maxEntries: Int) {
   require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
 
+  /** Per-generation result cache: an ACCESS-ORDERED LinkedHashMap with
+    * eldest-entry eviction — a hot key touched between fills survives
+    * the bound (the clear-all scheme dumped the whole working set the
+    * moment entry maxEntries+1 arrived). Guarded by its own lock; the
+    * compute itself runs OUTSIDE the lock (a Spark job must never hold
+    * it), so concurrent misses on one key may compute twice — same as
+    * the ConcurrentHashMap scheme, and harmless (idempotent queries).
+    */
   private final class Gen(val token: T) {
     val engine: E = mkEngine()
-    val cache = new ConcurrentHashMap[K, V]()
+    private val map = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > maxEntries
+    }
+    def get(key: K): V = map.synchronized(map.get(key))
+    def put(key: K, value: V): Unit = map.synchronized { map.put(key, value); () }
   }
 
   private val hitCount = new LongAdder
@@ -97,12 +119,11 @@ private[graft] final class ServingCache[T, E, K, V <: AnyRef](
         g = gen
       }
     }
-    val cached = g.cache.get(key)
+    val cached = g.get(key)
     if (cached != null) { hitCount.increment(); return cached }
     missCount.increment()
     val res = compute(g.engine)
-    if (g.cache.size >= maxEntries) g.cache.clear() // bounded, coarse
-    g.cache.put(key, res)
+    g.put(key, res)
     res
   }
 

@@ -128,10 +128,20 @@ object ChampionSidecar {
       r.getAs[Long]("builtDocMax"), r.getAs[Long]("coveredMaxChunk"))
   }
 
-  /** Build the sidecar over the whole index. */
+  /** Build the sidecar over the whole index. Rebuilding over an EXISTING
+    * sidecar (the re-tune case: different m / nBuckets) follows the same
+    * META-FIRST discipline as [[onCompact]]: the old meta is deleted
+    * before the data overwrite starts, so at no point can old meta (old
+    * m / nBuckets / watermarks) pair with partial or differently-
+    * bucketed data — probes fall back to the exact inline path for the
+    * duration, and a crash mid-rebuild leaves the sidecar disabled, not
+    * lying (the file's failure-mode contract).
+    */
   def build(spark: SparkSession, outDir: String, m: Int = 64,
             nBuckets: Int = 32): Unit = {
     require(m > 0 && nBuckets > 0, s"need positive m/nBuckets: $m/$nBuckets")
+    if (exists(spark, outDir))
+      IndexBuilder.deleteTree(spark, champMetaDir(outDir)) // disable first
     championRows(spark, outDir, None, m, nBuckets)
       .repartition(col("chunk"), col("bucket"))
       .write.mode(SaveMode.Overwrite).partitionBy("chunk", "bucket")
@@ -223,10 +233,19 @@ object ChampionSidecar {
     val (nBuckets, builtM, builtDocMax, covered) = meta
     if (m > builtM) return None
     val buckets = terms.map(t => bucketScalar(t, nBuckets).toInt).distinct
-    val side = spark.read.parquet(champDir(outDir))
-      .filter(col("bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*) && col("rank") <= m)
-      .select(col("chunk"), col("term"), col("doc_id"), col("tf"))
+    // a sidecar built over an EMPTY index (or compacted down to nothing)
+    // has meta but no parquet data files under champDir — the read
+    // throws (no path / cannot infer schema) rather than yielding an
+    // empty frame, so treat it as "cannot answer" and fall back inline,
+    // consistent with the missing-meta behavior
+    val side =
+      try spark.read.parquet(champDir(outDir))
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("term").isin(terms: _*) && col("rank") <= m)
+        .select(col("chunk"), col("term"), col("doc_id"), col("tf"))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => return None
+      }
     val stale = IndexBuilder.docIdHighWater(spark, outDir) > builtDocMax
     val all =
       if (!stale) side

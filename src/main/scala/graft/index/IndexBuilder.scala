@@ -617,19 +617,55 @@ object IndexBuilder {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Newest modification time under `dir` (the dir itself and its
-    * direct children — enough to see a rewritten parquet table), or -1
-    * when the path is missing. A driver-side FS stat, no Spark job:
-    * the cheap freshness signal for caches over small meta tables.
+  /** Content fingerprint of a small meta table's directory: a fold of
+    * every direct child's (name, length, mtime) plus the dir's own
+    * mtime, or -1 when the path is missing. Strictly stronger than a
+    * bare mtime as a cache key: two rewrites landing inside one
+    * mtime tick (ms on ext4, coarser elsewhere) still differ because a
+    * fresh parquet write's part-file names carry a new random UUID.
+    * A driver-side FS listing, no Spark job.
     */
-  private[graft] def pathMTime(spark: SparkSession, dir: String): Long = {
+  private[graft] def pathFingerprint(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) -1L
     else {
-      val self = fs.getFileStatus(p).getModificationTime
-      val kids = fs.listStatus(p).map(_.getModificationTime)
-      if (kids.isEmpty) self else math.max(self, kids.max)
+      var h = fs.getFileStatus(p).getModificationTime
+      fs.listStatus(p).foreach { st =>
+        h = h * 1000003L + st.getPath.getName.hashCode.toLong
+        h = h * 1000003L + st.getLen
+        h = h * 1000003L + st.getModificationTime
+      }
+      if (h == -1L) 0L else h // reserve -1 for "missing"
+    }
+  }
+
+  /** (visible file count, total visible bytes) under `dir`, RECURSIVE
+    * (partitioned tables nest chunk dirs) and skipping hidden entries
+    * (`_SUCCESS`, committer temporaries). (0, 0) when the path is
+    * missing. A driver-side FS walk, no Spark job — the cheap monotone
+    * signal serving tokens are built from: parquet appends only ever
+    * ADD visible files (existing part files are never rewritten), so
+    * both components are non-decreasing until a deleteTree resets them.
+    */
+  private[graft] def dirFileSummary(spark: SparkSession,
+                                    dir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0L, 0L)
+    else {
+      var n = 0L
+      var bytes = 0L
+      def walk(d: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(d).foreach { st =>
+          val name = st.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) {
+            if (st.isDirectory) walk(st.getPath)
+            else { n += 1L; bytes += st.getLen }
+          }
+        }
+      walk(p)
+      (n, bytes)
     }
   }
 

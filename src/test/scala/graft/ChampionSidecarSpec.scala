@@ -170,6 +170,60 @@ class ChampionSidecarSpec extends AnyFunSuite {
     ids.unpersist()
   }
 
+  test("re-tune rebuild over an existing sidecar: one engine sees the new geometry") {
+    val ids = corpus(60, seed = 205)
+    val plainDir = SparkTestBase.tempDir("graft_champ_retune_p")
+    val sideDir = SparkTestBase.tempDir("graft_champ_retune_s")
+    Seq(plainDir, sideDir).foreach(d => IndexBuilder.build(spark, ids, d, cfg))
+    ChampionSidecar.build(spark, sideDir, m = 4, nBuckets = 8)
+    val terms = topTerms(plainDir, 3)
+    // ONE long-lived engine across the rebuild: its meta cache keys on
+    // the meta dir's CONTENT fingerprint, so the re-tune (different m
+    // AND a different bucket routing) must be picked up without an
+    // engine rebuild — a stale cached (m=4, nBuckets=8) here would
+    // probe the wrong bucket partitions and silently miss candidates
+    val engine = new Bm25Engine(spark, sideDir)
+    assert(engine.searchTermsChampion(terms, 10, 4) ===
+      champ(plainDir, terms, 10, 4), "pre-rebuild")
+    ChampionSidecar.build(spark, sideDir, m = 8, nBuckets = 2)
+    val (nb, m, _, _) = ChampionSidecar.readMeta(spark, sideDir)
+    assert((nb, m) === ((2, 8)), "rebuild must stamp the new geometry")
+    Seq(4, 8).foreach { mm =>
+      assert(engine.searchTermsChampion(terms, 10, mm) ===
+        champ(plainDir, terms, 10, mm), s"post-rebuild m=$mm")
+    }
+  }
+
+  test("champion store emptied by compact: inline fallback, never a throw") {
+    import spark.implicits._
+    val ids = corpus(40, seed = 206).persist() // 80 docs, 2 chunks at cd=40
+    val plainDir = SparkTestBase.tempDir("graft_champ_empty_p")
+    val sideDir = SparkTestBase.tempDir("graft_champ_empty_s")
+    // build over chunk 0 only, sidecar covers exactly that chunk
+    Seq(plainDir, sideDir).foreach { d =>
+      IndexBuilder.build(spark, ids.filter(_.docId <= 39L), d, cfg)
+    }
+    ChampionSidecar.build(spark, sideDir, m = 4, nBuckets = 4)
+    val terms = topTerms(plainDir, 2)
+    // append chunk 1 (sidecar left stale), then tombstone ALL of chunk 0
+    // and compact: every COVERED chunk empties, so onCompact removes
+    // every chunk dir and the store keeps meta but zero parquet data
+    // files — the probe must treat that as "cannot answer" (inline
+    // fallback), not die on schema inference
+    Seq(plainDir, sideDir).foreach { d =>
+      IndexBuilder.appendBuild(spark, ids.filter(_.docId > 39L), d, cfg)
+      IndexBuilder.markDeleted(spark, d,
+        ids.filter(_.docId <= 39L).map(_.docId))
+      IndexBuilder.compact(spark, d)
+    }
+    assert(ChampionSidecar.exists(spark, sideDir),
+      "meta survives (old watermarks) — the data store is what emptied")
+    assert(ChampionSidecar.candidateFrame(spark, sideDir, terms, 4).isEmpty,
+      "an empty champion store must report 'cannot answer', not throw")
+    assert(champ(sideDir, terms, 10, 4) === champ(plainDir, terms, 10, 4))
+    ids.unpersist()
+  }
+
   test("missing meta disables the sidecar: exact inline fallback") {
     val ids = corpus(40, seed = 203)
     val plainDir = SparkTestBase.tempDir("graft_champ_nometa_p")

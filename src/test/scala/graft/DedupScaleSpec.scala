@@ -140,13 +140,19 @@ class DedupScaleSpec extends AnyFunSuite {
     val n = 200L
     val pairs = (1000L until 1000L + n - 1).map(i => (i, i + 1))
       .toDF("doc_a", "doc_b")
-    val (labels, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val (labels, rounds, exceptRounds) =
+      Dedup.connectedComponentsWithDiag(pairs)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size === n)
     assert((1000L until 1000L + n).forall(got(_) == 1000L),
       s"path labels wrong: ${got.filter(_._2 != 1000L).take(5)}")
     assert(rounds <= 12, s"star contraction took $rounds rounds on a " +
       s"$n-node path — expected O(log n), got diameter-like behavior")
+    // the exact set-equality certificate must fire ONLY on the fixpoint
+    // round — every contracting round is decided by the free
+    // (count, sum, sum) aggregate, one job per round instead of two
+    assert(exceptRounds === 1, s"expected the except certificate on the " +
+      s"final round only, saw it on $exceptRounds of $rounds rounds")
     labels.unpersist()
   }
 

@@ -169,7 +169,7 @@ class FederationSpec extends AnyFunSuite {
     assert(fed.searchPage(ts.head, 1) === one.searchPage(ts.head, 1))
   }
 
-  test("global df is the per-shard sum; mixed chunk geometry is rejected") {
+  test("global df is the per-shard sum; mixed geometry aligns per shard") {
     val idsA = corpus(20, seed = 161)
     val idsB = corpus(15, seed = 162)
     val a = SparkTestBase.tempDir("graft_fed_df_a")
@@ -220,12 +220,115 @@ class FederationSpec extends AnyFunSuite {
     }
     assert(fed.searchTermsQl(ts, 30) === one.searchTermsQl(ts, 30))
 
-    // RefScore federation still requires ONE geometry (its fan-in runs
-    // in global chunk order of a single docId/chunkDocs map)
-    val ex = intercept[IllegalArgumentException] {
-      new graft.engine.FederatedSearch(spark, Seq(a, b))
+    idsA.unpersist(); idsB.unpersist()
+  }
+
+  test("scatter is re-entrant: nested scatters run inline, never deadlock the pool") {
+    import graft.engine.Federation
+    // more outer tasks than pool threads, each issuing a NESTED scatter:
+    // without the inline-on-scatter-thread guard every pool thread parks
+    // awaiting nested futures that can never be scheduled — a deadlock.
+    // The sys-prop timeout turns a regression into a loud failure
+    // instead of a hung suite.
+    val prev = sys.props.get("graft.fed.scatter.timeout.sec")
+    sys.props("graft.fed.scatter.timeout.sec") = "120"
+    try {
+      val k = Federation.scatterThreads + 4
+      val outer = Federation.scatter((1 to k).map(i => () =>
+        Federation.scatter(Seq(() => i * 2, () => i * 2 + 1)).sum))
+      assert(outer === (1 to k).map(i => 4 * i + 1))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.fed.scatter.timeout.sec") = v
+        case None => sys.props.remove("graft.fed.scatter.timeout.sec")
+      }
     }
-    assert(ex.getMessage.contains("chunk geometry"))
+  }
+
+  /** The oracle twin of mixed-geometry RefScore federation: each shard's
+    * chunks ranked single-threaded with that shard's OWN capacity
+    * (RefOracle.chunkContexts + the frozen RefRanker kernel), remapped
+    * into the global (chunk, docId) space with the SAME fold rule
+    * (replicated arithmetic, not the engine's), and ONE insertion merge
+    * in ascending global chunk order.
+    */
+  private def oracleFedMixed(shardDocs: Seq[(Seq[graft.index.IdDoc], Long)],
+                             query: String, topK: Int = 30)
+      : Seq[graft.rank.DocScore] = {
+    val (astOpt, flat) = graft.query.QueryParser.parseQuery(query)
+    astOpt match {
+      case None => Seq.empty
+      case Some(ast) =>
+        // fold rule, replicated: offsets on each shard's own chunk
+        // boundary past the running high-water; chunk bases cumulative
+        var cursor = -1L
+        var chunkBase = 0L
+        val perChunk = shardDocs.flatMap { case (docs, cd) =>
+          val high = docs.map(_.docId).max
+          val off = if (cursor < 0) 0L else (cursor / cd + 1L) * cd
+          val base = chunkBase
+          cursor = math.max(cursor, off + high)
+          chunkBase += high / cd + 1L
+          graft.oracle.RefOracle.chunkContexts(docs, cd, flat.distinct)
+            .map { ctx =>
+              (base + ctx.chunk,
+                graft.rank.RefRanker.rankChunk(ast, flat, ctx, topK)
+                  .map(ds => ds.copy(docId = ds.docId + off)))
+            }
+        }.sortBy(_._1)
+        graft.rank.RefRanker.mergeChunkResults(perChunk, topK)
+          .filter(_.url.nonEmpty).toSeq
+    }
+  }
+
+  test("mixed-geometry RefScore federation == oracle per-shard fold") {
+    import spark.implicits._
+    val idsA = corpus(60, seed = 181).persist() // 120 docs, cd 50
+    val idsB = corpus(40, seed = 182).persist() // 80 docs, cd 30
+    val a = SparkTestBase.tempDir("graft_fedrm_a")
+    val b = SparkTestBase.tempDir("graft_fedrm_b")
+    IndexBuilder.build(spark, idsA, a, BuildConfig(chunkDocs = 50))
+    IndexBuilder.build(spark, idsB, b, BuildConfig(chunkDocs = 30))
+
+    val fed = new FederatedSearch(spark, Seq(a, b))
+    // B aligns to its OWN 30-doc geometry past A's high-water 119
+    assert(fed.offsets === Seq(0L, 120L))
+    val docsA = idsA.collect().toSeq
+    val docsB = idsB.collect().toSeq
+    val shardDocs = Seq((docsA, 50L), (docsB, 30L))
+
+    val ts = topTerms(a, 3)
+    val queries = Seq(
+      ts.head,
+      s"${ts(0)} ${ts(1)}",
+      s"${ts(0)} OR ${ts(1)}",
+      s"(${ts(0)} OR ${ts(1)}) ${ts(2)}")
+    queries.foreach { q =>
+      assert(fed.search(q) === oracleFedMixed(shardDocs, q),
+        s"mixed-geometry RefScore divergence for query <$q>")
+    }
+
+    // the STAGED gather must agree on a mixed fleet too: the global
+    // chunk remap feeds the census + executor prune (broadcastDocsLimit
+    // 0 forces the cogroup plan so staging can engage at threshold 0)
+    val staged = new FederatedSearch(spark, Seq(a, b),
+      stagedChunkThreshold = 0, broadcastDocsLimit = 0L)
+    val plainTop = fed.search(ts.head)
+    assert(staged.search(ts.head) === plainTop)
+    assert(staged.lastGatherStaged, "staged gather must engage on the mixed fleet")
+
+    // CROSS-SHARD DUP dedup order: shard B' = shard A's corpus verbatim
+    // (identical urls), so the insertion fold must drop every shard-B'
+    // twin in (shard asc, chunk asc) arrival order — exactly what the
+    // oracle fold replays
+    val b2 = SparkTestBase.tempDir("graft_fedrm_b2")
+    IndexBuilder.build(spark, idsA, b2, BuildConfig(chunkDocs = 30))
+    val fedDup = new FederatedSearch(spark, Seq(a, b2))
+    queries.foreach { q =>
+      assert(fedDup.search(q) ===
+        oracleFedMixed(Seq((docsA, 50L), (docsA, 30L)), q),
+        s"cross-shard-dup mixed federation divergence for query <$q>")
+    }
     idsA.unpersist(); idsB.unpersist()
   }
 }

@@ -183,6 +183,78 @@ class ServingSpec extends AnyFunSuite {
     assert(!newer((3L, 4L), (3L, 4L)))
   }
 
+  /** Spark jobs started while `f` runs (listener-bus events are async,
+    * so poll until the count is stable). The positive control below
+    * proves delivery on this bus before any zero-assertion is trusted.
+    */
+  private def jobsDuring(f: => Unit): Long = {
+    val counter = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        counter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 5 && waited < 100) { // stable for 0.5 s, cap 10 s
+        Thread.sleep(100)
+        waited += 1
+        if (counter.get() == last) stable += 1 else { stable = 0; last = counter.get() }
+      }
+      counter.get()
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("checked cache hit runs ZERO Spark jobs (FS-listing version probe)") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 50)
+    val ids = corpus(30, seed = 197)
+    val dir = SparkTestBase.tempDir("graft_serv_nojob")
+    IndexBuilder.build(spark, ids, dir, cfg)
+    val serving = new Bm25Serving(spark, dir)
+    val t = topTerm(dir)
+    // positive control: the miss computes through Spark — the listener
+    // must see its jobs, or a zero below would be vacuous
+    assert(jobsDuring { serving.searchTerms(Seq(t), 10) } > 0L,
+      "listener failed to observe the cache-miss jobs")
+    // the reference's servers answer repeat queries with zero freshness
+    // cost (immutable mmap, index/indexServer.cpp:70-91); the FS-listing
+    // token gives the mutable index the same property: a CHECKED hit is
+    // two driver-side listings, no job
+    assert(jobsDuring { serving.searchTerms(Seq(t), 10) } === 0L,
+      "a checked cache hit must not launch Spark jobs")
+    assert(serving.stats._3 === 0L)
+  }
+
+  test("LRU result cache: a hot key touched between fills survives the bound") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 50)
+    val ids = corpus(30, seed = 198)
+    val dir = SparkTestBase.tempDir("graft_serv_lru")
+    IndexBuilder.build(spark, ids, dir, cfg)
+    val serving = new Bm25Serving(spark, dir, maxEntries = 3)
+    val ts = IndexStore.readPostings(spark, dir).collect()
+      .filterNot(_.term.startsWith("#"))
+      .groupBy(_.term).map { case (t, rs) => (t, rs.map(_.df).sum) }
+      .toSeq.sortBy { case (t, df) => (-df, t) }.take(5).map(_._1)
+    val hot = ts.head
+    serving.searchTerms(Seq(hot), 10) // miss: hot enters
+    // fill past the bound, touching the hot key between fills — under
+    // access-ordered eviction the cold fills evict each other, never hot
+    ts.drop(1).foreach { cold =>
+      serving.searchTerms(Seq(cold), 10) // miss
+      serving.searchTerms(Seq(hot), 10)  // hit, refreshes hot's recency
+    }
+    val (hits, misses, _) = serving.stats
+    assert(misses === 5L, "each distinct key computes exactly once")
+    assert(hits === 4L, "the hot key must hit on every revisit " +
+      "(clear-all would have dumped it with the working set)")
+  }
+
   test("concurrent identical queries: one engine generation, identical results") {
     val cfg = BuildConfig(chunkDocs = 50)
     val ids = corpus(30, seed = 193)
