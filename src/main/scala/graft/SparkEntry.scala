@@ -519,6 +519,93 @@ object SparkEntry {
   private val duckSlotType =
     "STRUCT(title VARCHAR, url VARCHAR, score BIGINT, doc_id BIGINT)[]"
 
+  /** The q_bm25_prox replay, parameterized for the champion-restricted
+    * twin: `candCtes` appends the candidate CTEs after idf, `candJoin`
+    * restricts the final base/prox combination to them.
+    */
+  private def duckBm25ProxSql(candCtes: String = "",
+                              candJoin: String = ""): String =
+    duckToks + s"""
+        |, dl AS (
+        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
+        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'merge', 'dup') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT term, ln((stats.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |        FROM df CROSS JOIN stats)$candCtes,
+        |base AS (
+        |  SELECT tf.doc_id,
+        |         sum(i.idf * (tf.tf * 2.2) /
+        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
+        |  FROM tf JOIN idf i USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY 1),
+        |pos AS (SELECT doc_id, term, pos FROM toks
+        |        WHERE term IN ('spark', 'merge', 'dup')),
+        |pairacc AS (
+        |  SELECT a.doc_id, a.term AS ta, b.term AS tb,
+        |         sum(CAST(round(1000000.0 /
+        |             ((a.pos - b.pos) * (a.pos - b.pos))) AS BIGINT)) AS accm
+        |  FROM pos a JOIN pos b
+        |    ON a.doc_id = b.doc_id AND a.term < b.term
+        |   AND abs(a.pos - b.pos) <= 5
+        |  GROUP BY 1, 2, 3),
+        |prox AS (
+        |  SELECT p.doc_id,
+        |         sum(least(ia.idf, ib.idf) * (p.accm / 1000000.0)
+        |             / (p.accm / 1000000.0 + 1.2)) AS prox
+        |  FROM pairacc p JOIN idf ia ON ia.term = p.ta JOIN idf ib ON ib.term = p.tb
+        |  GROUP BY 1)
+        |SELECT b.doc_id, round(b.raw + coalesce(px.prox, 0.0), 4) AS score
+        |FROM base b ${candJoin}LEFT JOIN prox px ON px.doc_id = b.doc_id
+        |ORDER BY b.raw + coalesce(px.prox, 0.0) DESC, b.doc_id LIMIT 30""".stripMargin
+
+  /** The q_bm25f_topk replay, parameterized for the champion-restricted
+    * twin: `candCtes` appends the candidate CTEs after dfu, `candJoin`
+    * restricts the scores aggregation to them.
+    */
+  private def duckBm25fSql(candCtes: String = "",
+                           candJoin: String = ""): String =
+    duckToks + s"""
+        |, traw AS (
+        |  SELECT doc_id, lower(unnest(regexp_extract_all(
+        |    source || '/doc' || doc_id || '.txt', '[A-Za-z]+'))) AS term
+        |  FROM documents),
+        |tkept AS (SELECT doc_id, term FROM traw WHERE length(term) < 19),
+        |dl AS (
+        |  SELECT d.doc_id,
+        |         greatest(coalesce(b.n, 0) + coalesce(tk.n, 0)
+        |                  - coalesce(tr.n, 0), 0) AS dlb,
+        |         coalesce(tr.n, 0) AS dlt
+        |  FROM documents d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) b USING (doc_id)
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM tkept GROUP BY 1) tk USING (doc_id)
+        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM traw GROUP BY 1) tr USING (doc_id)),
+        |stats AS (SELECT count(*) AS n, avg(dlb * 1.0) AS avgb,
+        |                 avg(dlt * 1.0) AS avgt FROM dl),
+        |tfb AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |        WHERE term IN ('spark', 'doc', 'merge') GROUP BY 1, 2),
+        |tft AS (SELECT doc_id, term, count(*) AS tf FROM tkept
+        |        WHERE term IN ('spark', 'doc', 'merge') GROUP BY 1, 2),
+        |dfu AS (SELECT term, count(DISTINCT doc_id) AS df FROM
+        |        (SELECT doc_id, term FROM tfb
+        |         UNION SELECT doc_id, term FROM tft) GROUP BY 1)$candCtes,
+        |wtf AS (
+        |  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+        |         coalesce(b.term, t.term) AS term,
+        |         1.0 * coalesce(b.tf, 0) / (1.0 + 0.75 * (dl.dlb / stats.avgb - 1.0))
+        |       + 2.5 * coalesce(t.tf, 0) / (1.0 + 0.75 * (dl.dlt / stats.avgt - 1.0)) AS w
+        |  FROM tfb b FULL JOIN tft t ON b.doc_id = t.doc_id AND b.term = t.term
+        |  JOIN dl ON dl.doc_id = coalesce(b.doc_id, t.doc_id) CROSS JOIN stats),
+        |scores AS (
+        |  SELECT w.doc_id,
+        |         sum(ln((stats.n - dfu.df + 0.5) / (dfu.df + 0.5) + 1.0)
+        |             * w.w / (1.2 + w.w)) AS raw
+        |  FROM wtf w ${candJoin}JOIN dfu USING (term) CROSS JOIN stats GROUP BY 1)
+        |SELECT doc_id, round(raw, 4) AS score FROM scores
+        |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin
+
   /** The q_ref_topk replay over a duckRefBase-SHAPED base (CTE names
     * toks/docmeta/doclen/chunkstat): per-chunk scoring of the query word
     * 'dup', the 999-candidate walk, the two-stage InsertionSort replay
@@ -1749,6 +1836,31 @@ object SparkEntry {
         .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
         .toDF("doc_id", "score")
     }),
+    // champion-accelerated BM25F: body-routed stage-1 candidates (served
+    // from the PERSISTED sidecar here — the fielded ranker rides the
+    // same store), then the full field-weighted model over candidates
+    // only; truth = the q_bm25f_topk scoring restricted to the champion
+    // candidate set (per-doc scores are restriction-invariant)
+    "q_bm25f_champion" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, champSideDir(s, dir))
+      engine.searchTermsFieldedChampion(Seq("spark", "doc", "merge"), 30,
+          m = 40, wBody = 1.0, wTitle = 2.5)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
+    // champion-accelerated proximity BM25 (inline stage 1 — the shared
+    // index carries no sidecar): candidates' positions collected by
+    // cursor seeks, identical pair walk; truth = q_bm25_prox restricted
+    // to the candidate set
+    "q_bm25_prox_champion" -> ((s, dir) => {
+      import s.implicits._
+      val engine = new Bm25Engine(s, indexDir(s, dir))
+      engine.searchTermsProximityChampion(Seq("spark", "merge", "dup"), 30,
+          m = 40, window = 5)
+        .map(h => (h.docId, math.floor(h.score * 10000 + 0.5) / 10000))
+        .toDF("doc_id", "score")
+    }),
 
     // ---- RefScore search through the real engine, fully DuckDB-checked.
     // Three angles (ranker.h semantics re-derived in SQL from the raw
@@ -2911,44 +3023,21 @@ object SparkEntry {
       // kept = length(term) < 19 after the '#'); per-field lengths
       // dlb = kept_total - raw_title (clamped), dlt = raw_title; idf over
       // the per-doc body∪title union
-      "q_bm25f_topk" -> (duckToks + """
-        |, traw AS (
-        |  SELECT doc_id, lower(unnest(regexp_extract_all(
-        |    source || '/doc' || doc_id || '.txt', '[A-Za-z]+'))) AS term
-        |  FROM documents),
-        |tkept AS (SELECT doc_id, term FROM traw WHERE length(term) < 19),
-        |dl AS (
-        |  SELECT d.doc_id,
-        |         greatest(coalesce(b.n, 0) + coalesce(tk.n, 0)
-        |                  - coalesce(tr.n, 0), 0) AS dlb,
-        |         coalesce(tr.n, 0) AS dlt
-        |  FROM documents d
-        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) b USING (doc_id)
-        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM tkept GROUP BY 1) tk USING (doc_id)
-        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM traw GROUP BY 1) tr USING (doc_id)),
-        |stats AS (SELECT count(*) AS n, avg(dlb * 1.0) AS avgb,
-        |                 avg(dlt * 1.0) AS avgt FROM dl),
-        |tfb AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        |        WHERE term IN ('spark', 'doc', 'merge') GROUP BY 1, 2),
-        |tft AS (SELECT doc_id, term, count(*) AS tf FROM tkept
-        |        WHERE term IN ('spark', 'doc', 'merge') GROUP BY 1, 2),
-        |dfu AS (SELECT term, count(DISTINCT doc_id) AS df FROM
-        |        (SELECT doc_id, term FROM tfb
-        |         UNION SELECT doc_id, term FROM tft) GROUP BY 1),
-        |wtf AS (
-        |  SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
-        |         coalesce(b.term, t.term) AS term,
-        |         1.0 * coalesce(b.tf, 0) / (1.0 + 0.75 * (dl.dlb / stats.avgb - 1.0))
-        |       + 2.5 * coalesce(t.tf, 0) / (1.0 + 0.75 * (dl.dlt / stats.avgt - 1.0)) AS w
-        |  FROM tfb b FULL JOIN tft t ON b.doc_id = t.doc_id AND b.term = t.term
-        |  JOIN dl ON dl.doc_id = coalesce(b.doc_id, t.doc_id) CROSS JOIN stats),
-        |scores AS (
-        |  SELECT w.doc_id,
-        |         sum(ln((stats.n - dfu.df + 0.5) / (dfu.df + 0.5) + 1.0)
-        |             * w.w / (1.2 + w.w)) AS raw
-        |  FROM wtf w JOIN dfu USING (term) CROSS JOIN stats GROUP BY 1)
-        |SELECT doc_id, round(raw, 4) AS score FROM scores
-        |ORDER BY raw DESC, doc_id LIMIT 30""".stripMargin),
+      "q_bm25f_topk" -> duckBm25fSql(),
+
+      // champion-accelerated BM25F: candidates = per-term body top-40 by
+      // (tf desc, doc_id) — the champ/cand CTEs — and the identical
+      // fielded scoring restricted to them (per-doc independence makes
+      // the restriction exact)
+      "q_bm25f_champion" -> duckBm25fSql(
+        candCtes = """,
+          |champ AS (
+          |  SELECT term, doc_id FROM (
+          |    SELECT term, doc_id,
+          |           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+          |    FROM tfb) WHERE rn <= 40),
+          |cand AS (SELECT DISTINCT doc_id FROM champ)""".stripMargin,
+        candJoin = "JOIN cand ON cand.doc_id = w.doc_id "),
 
       "q_prf_expansion" -> (duckToks + duckPrf + """
         |SELECT CAST(slot AS BIGINT) AS slot, term FROM exp""".stripMargin),
@@ -3022,41 +3111,20 @@ object SparkEntry {
       // proximity BM25: base = the q_bm25_topk scoring; pair accumulators
       // sum round(1e6/dist²) as BIGINT (exactly the engine's micro-units;
       // positions differ by the constant title offset, which cancels)
-      "q_bm25_prox" -> (duckToks + """
-        |, dl AS (
-        |  SELECT d.doc_id, coalesce(t.n, 0) + 3 AS dl FROM documents d
-        |  LEFT JOIN (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) t USING (doc_id)
-        |), stats AS (SELECT count(*) AS n, avg(dl * 1.0) AS avgdl FROM dl),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
-        |       WHERE term IN ('spark', 'merge', 'dup') GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |idf AS (SELECT term, ln((stats.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
-        |        FROM df CROSS JOIN stats),
-        |base AS (
-        |  SELECT tf.doc_id,
-        |         sum(i.idf * (tf.tf * 2.2) /
-        |             (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))) AS raw
-        |  FROM tf JOIN idf i USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-        |  GROUP BY 1),
-        |pos AS (SELECT doc_id, term, pos FROM toks
-        |        WHERE term IN ('spark', 'merge', 'dup')),
-        |pairacc AS (
-        |  SELECT a.doc_id, a.term AS ta, b.term AS tb,
-        |         sum(CAST(round(1000000.0 /
-        |             ((a.pos - b.pos) * (a.pos - b.pos))) AS BIGINT)) AS accm
-        |  FROM pos a JOIN pos b
-        |    ON a.doc_id = b.doc_id AND a.term < b.term
-        |   AND abs(a.pos - b.pos) <= 5
-        |  GROUP BY 1, 2, 3),
-        |prox AS (
-        |  SELECT p.doc_id,
-        |         sum(least(ia.idf, ib.idf) * (p.accm / 1000000.0)
-        |             / (p.accm / 1000000.0 + 1.2)) AS prox
-        |  FROM pairacc p JOIN idf ia ON ia.term = p.ta JOIN idf ib ON ib.term = p.tb
-        |  GROUP BY 1)
-        |SELECT b.doc_id, round(b.raw + coalesce(px.prox, 0.0), 4) AS score
-        |FROM base b LEFT JOIN prox px USING (doc_id)
-        |ORDER BY b.raw + coalesce(px.prox, 0.0) DESC, b.doc_id LIMIT 30""".stripMargin),
+      "q_bm25_prox" -> duckBm25ProxSql(),
+
+      // champion-accelerated proximity: candidates = per-term body
+      // top-40 by (tf desc, doc_id), identical base + pair scoring
+      // restricted to them (per-doc independence makes it exact)
+      "q_bm25_prox_champion" -> duckBm25ProxSql(
+        candCtes = """,
+          |champ AS (
+          |  SELECT term, doc_id FROM (
+          |    SELECT term, doc_id,
+          |           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+          |    FROM tf) WHERE rn <= 40),
+          |cand AS (SELECT DISTINCT doc_id FROM champ)""".stripMargin,
+        candJoin = "JOIN cand ON cand.doc_id = b.doc_id "),
 
       // champion lists: candidates = per-term top-40 by (tf desc, docId),
       // then the exact q_bm25_topk scoring restricted to candidates

@@ -774,38 +774,45 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
     * of a high-df term's postings is the cost driver. Deterministic
     * (score desc, docId asc).
     */
+  /** Champion stage 1, shared by the plain/fielded/proximity champion
+    * rankers: the per-term global top-`m` docIds by BODY (tf desc,
+    * docId asc) — from the persisted sidecar when one covers the
+    * request (prefix reads + a distributed per-term window, driver
+    * collect <= |terms|·m ids), inline per-blob decode otherwise (no
+    * sidecar, or m exceeds the built prefix depth). `posts` must be the
+    * body-term-pushed posting scan for `base`.
+    */
+  private def championCandidates(posts: org.apache.spark.sql.Dataset[graft.index.PostingRow],
+                                 base: Seq[String], m: Int): Array[Long] = {
+    val mm = m
+    championMeta.flatMap(meta =>
+      graft.index.ChampionSidecar.candidateIdsWithMeta(
+        spark, indexDir, base, mm, meta)).getOrElse {
+      // inline recompute: per-(chunk, term) prefixes from the blobs,
+      // then the per-term GLOBAL top-m as a distributed window — the
+      // driver collects <= |terms|·m ids, never the chunk×term union
+      import org.apache.spark.sql.expressions.Window
+      posts.flatMap { p =>
+        graft.codec.PostingCodec.decode(p.df, p.postingsBlob).iterator
+          .map { case (docId, poss) => (p.term, docId, poss.length.toLong) }
+          .toArray
+          .sortBy { case (_, id, tf) => (-tf, id) }
+          .take(mm).iterator
+      }.toDF("term", "doc_id", "tf")
+        .withColumn("grank", row_number().over(
+          Window.partitionBy($"term").orderBy(desc("tf"), asc("doc_id"))))
+        .filter($"grank" <= mm)
+        .select($"doc_id").distinct()
+        .as[Long].collect().sorted
+    }
+  }
+
   def searchTermsChampion(terms: Seq[String], k: Int, m: Int = 64): Seq[Bm25.Hit] = {
     val (n, avgdl) = corpusStats
     val base = terms.distinct
     if (base.isEmpty || n == 0L || m <= 0) return Seq.empty
     val posts = postings.filter($"term".isin(base: _*))
-
-    // stage 1: champion candidates — from the persisted sidecar when
-    // one covers the request (prefix reads + a distributed per-term
-    // window, driver collect <= |terms|·m ids), inline per-blob decode
-    // otherwise (no sidecar, or m exceeds the built prefix depth)
-    val mm = m
-    val candidates: Array[Long] =
-      championMeta.flatMap(meta =>
-        graft.index.ChampionSidecar.candidateIdsWithMeta(
-          spark, indexDir, base, mm, meta)).getOrElse {
-        // inline recompute: per-(chunk, term) prefixes from the blobs,
-        // then the per-term GLOBAL top-m as a distributed window — the
-        // driver collects <= |terms|·m ids, never the chunk×term union
-        import org.apache.spark.sql.expressions.Window
-        posts.flatMap { p =>
-          graft.codec.PostingCodec.decode(p.df, p.postingsBlob).iterator
-            .map { case (docId, poss) => (p.term, docId, poss.length.toLong) }
-            .toArray
-            .sortBy { case (_, id, tf) => (-tf, id) }
-            .take(mm).iterator
-        }.toDF("term", "doc_id", "tf")
-          .withColumn("grank", row_number().over(
-            Window.partitionBy($"term").orderBy(desc("tf"), asc("doc_id"))))
-          .filter($"grank" <= mm)
-          .select($"doc_id").distinct()
-          .as[Long].collect().sorted
-      }
+    val candidates = championCandidates(posts, base, m)
     if (candidates.isEmpty) return Seq.empty
 
     // stage 2: full BM25 over the candidate set only
@@ -834,6 +841,191 @@ class Bm25Engine(spark: SparkSession, indexDir: String, cache: Boolean = true,
         Bm25.TermList(p.term, idfB.value(p.term),
           p.blocks.map(_.maxTf).max, p.df, p.blocks, p.postingsBlob)
       }.toSeq
+
+    val hits = lensBroadcast match {
+      case Some(bc) =>
+        postsQ.groupByKey(_.chunk).flatMapGroups { (chunk, ps) =>
+          bc.value.get(chunk) match {
+            case None => Iterator.empty
+            case Some(lens) => score(chunk, toLists(ps), id => lens.get(id))
+          }
+        }.collect()
+      case None =>
+        val qualifying = postsQ.select($"chunk").distinct().as[Long].collect()
+        if (qualifying.isEmpty) return Seq.empty
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+          .select($"chunk", $"docId", $"docLength")
+          .as[(Long, Long, Long)]
+        postsQ.filter($"chunk".isin(qualifying: _*)).groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_._1)) { (chunk, ps, ds) =>
+            val lens = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+            ds.foreach { case (_, id, len) => lens.put(id, len.toDouble) }
+            if (lens.isEmpty) Iterator.empty
+            else score(chunk, toLists(ps), id => lens.get(id))
+          }.collect()
+    }
+    hits.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
+  /** Champion-accelerated BM25F ([[searchTermsFielded]]'s stage-2 twin
+    * of [[searchTermsChampion]]): stage 1 selects the per-term global
+    * top-`m` candidates by BODY tf — shared [[championCandidates]], so
+    * the persisted sidecar serves this ranker too — and stage 2 scores
+    * ONLY the candidates with the full field-weighted model (idf from
+    * the un-restricted body∪title union df, now counted by block-skip
+    * leapfrog instead of a full decode; both field cursors seek the
+    * candidate list). Approximate by construction like every champion
+    * ranker — candidates are BODY-routed, so a doc matching only in its
+    * TITLE cannot surface — and float-identical to the exhaustive
+    * fielded ranker restricted to the candidate set (q_bm25f_champion
+    * pins it against that exact SQL).
+    */
+  def searchTermsFieldedChampion(terms: Seq[String], k: Int, m: Int = 64,
+                                 wBody: Double = 1.0,
+                                 wTitle: Double = 2.5): Seq[Bm25.Hit] = {
+    val (n, _) = corpusStats
+    val base = terms.distinct
+    if (base.isEmpty || n == 0L || m <= 0) return Seq.empty
+    val candidates =
+      championCandidates(postings.filter($"term".isin(base: _*)), base, m)
+    if (candidates.isEmpty) return Seq.empty
+
+    val all = base ++ base.map("#" + _)
+    val posts = postings.filter($"term".isin(all: _*))
+
+    type FieldEntry = (Long, Array[graft.codec.PostingBlock], Array[Byte])
+    def splitCursors(ps: Iterator[graft.index.PostingRow])
+        : Map[String, (Option[FieldEntry], Option[FieldEntry])] =
+      ps.foldLeft(Map.empty[String, (Option[FieldEntry], Option[FieldEntry])]) {
+        (acc, p) =>
+          val (t, isTitle) =
+            if (p.term.startsWith("#")) (p.term.substring(1), true)
+            else (p.term, false)
+          val (b, ti) = acc.getOrElse(t, (None, None))
+          val entry = Some((p.df, p.blocks, p.postingsBlob))
+          acc.updated(t, if (isTitle) (b, entry) else (entry, ti))
+      }
+
+    // idf from the SAME un-restricted union df as the exhaustive fielded
+    // ranker (global statistics never candidate-restrict) — per-chunk
+    // leapfrog counts summed driver-side, no full decode
+    val dfU: Map[String, Long] = posts
+      .groupByKey(_.chunk)
+      .flatMapGroups { (_, ps) =>
+        splitCursors(ps).iterator.map { case (t, (b, ti)) =>
+          (t, Bm25.unionDfSkip(b, ti))
+        }
+      }.collect().groupBy(_._1).map { case (t, arr) => t -> arr.map(_._2).sum }
+      .filter(_._2 > 0L)
+    if (dfU.isEmpty) return Seq.empty
+    val idfMap = dfU.map { case (t, df) => t -> Bm25.idf(n, df) }
+    val idfB = spark.sparkContext.broadcast(idfMap)
+    val (avgB, avgT) = fieldStats
+    val kk = k
+    val (wb, wt) = (wBody, wTitle)
+
+    val candByChunk: Map[Long, Array[Long]] =
+      if (chunkDocsConf > 0) candidates.groupBy(_ / chunkDocsConf)
+      else Map(-1L -> candidates)
+    val candB = spark.sparkContext.broadcast(candByChunk)
+    val postsQ =
+      if (chunkDocsConf > 0)
+        posts.filter($"chunk".isin(candByChunk.keys.toSeq: _*))
+      else posts
+
+    def score(chunk: Long,
+              fields: Map[String, (Option[FieldEntry], Option[FieldEntry])],
+              dlB: Bm25.DocLen, dlT: Bm25.DocLen): Iterator[Bm25.Hit] = {
+      val cands = candB.value.getOrElse(
+        if (candB.value.contains(chunk)) chunk else -1L, Array.empty[Long])
+      val lists = fields.iterator.collect {
+        case (t, (b, ti)) if idfB.value.contains(t) =>
+          Bm25.FieldCursorLists(t, idfB.value(t), b, ti)
+      }.toSeq
+      if (lists.isEmpty || cands.isEmpty) Iterator.empty
+      else Bm25.scoreBm25FCandidates(lists, dlB, dlT, avgB, avgT,
+        wb, wt, cands, kk).iterator
+    }
+
+    val hits = fieldedLensBroadcast match {
+      case Some(bc) =>
+        postsQ.groupByKey(_.chunk).flatMapGroups { (chunk, ps) =>
+          bc.value.get(chunk) match {
+            case None => Iterator.empty
+            case Some(lens) =>
+              score(chunk, splitCursors(ps),
+                id => lens.get(id)(0), id => lens.get(id)(1))
+          }
+        }.collect()
+      case None =>
+        val qualifying = postsQ.select($"chunk").distinct().as[Long].collect()
+        if (qualifying.isEmpty) return Seq.empty
+        val docsQ = docs.filter($"chunk".isin(qualifying: _*))
+          .select($"chunk", $"docId", $"docLength", $"numTitleWords")
+          .as[(Long, Long, Long, Long)]
+        postsQ.filter($"chunk".isin(qualifying: _*)).groupByKey(_.chunk)
+          .cogroup(docsQ.groupByKey(_._1)) { (chunk, ps, ds) =>
+            val lens = new java.util.HashMap[java.lang.Long, Array[Double]]()
+            ds.foreach { case (_, id, dl, tw) =>
+              lens.put(id, Array(math.max(dl - tw, 0L).toDouble, tw.toDouble))
+            }
+            if (lens.isEmpty) Iterator.empty
+            else score(chunk, splitCursors(ps),
+              id => lens.get(id)(0), id => lens.get(id)(1))
+          }.collect()
+    }
+    hits.sorted(Bm25.better.reverse).take(k).toSeq
+  }
+
+  /** Champion-accelerated proximity BM25 ([[searchTermsProximity]]'s
+    * stage-2 twin of [[searchTermsChampion]]): stage 1 = the shared
+    * BODY-champion candidates (sidecar-served when present); stage 2
+    * runs the proximity kernel with per-list cursor seeks collecting
+    * only the candidates' position arrays — the windowed pair walk then
+    * sees exactly the exhaustive kernel's per-doc inputs, and per-doc
+    * independence + exact integer micro-accumulation make the result
+    * equal to [[searchTermsProximity]] restricted to the candidates
+    * (q_bm25_prox_champion pins it against that exact SQL).
+    */
+  def searchTermsProximityChampion(terms: Seq[String], k: Int, m: Int = 64,
+                                   window: Int = 5): Seq[Bm25.Hit] = {
+    val (n, avgdl) = corpusStats
+    val base = terms.distinct
+    if (base.isEmpty || n == 0L || m <= 0) return Seq.empty
+    val posts = postings.filter($"term".isin(base: _*))
+    val candidates = championCandidates(posts, base, m)
+    if (candidates.isEmpty) return Seq.empty
+    val dfMap = globalDf(base)
+    if (dfMap.isEmpty) return Seq.empty
+    val idfMap = dfMap.map { case (t, df) => t -> Bm25.idf(n, df) }
+    val idfB = spark.sparkContext.broadcast(idfMap)
+    val orderB = spark.sparkContext.broadcast(base.zipWithIndex.toMap)
+    val w = window
+    val kk = k
+
+    val candByChunk: Map[Long, Array[Long]] =
+      if (chunkDocsConf > 0) candidates.groupBy(_ / chunkDocsConf)
+      else Map(-1L -> candidates)
+    val candB = spark.sparkContext.broadcast(candByChunk)
+    val postsQ =
+      if (chunkDocsConf > 0)
+        posts.filter($"chunk".isin(candByChunk.keys.toSeq: _*))
+      else posts
+
+    def toLists(ps: Iterator[graft.index.PostingRow]): Seq[Bm25.TermList] =
+      ps.filter(p => idfB.value.contains(p.term)).map { p =>
+        Bm25.TermList(p.term, idfB.value(p.term),
+          p.blocks.map(_.maxTf).max, p.df, p.blocks, p.postingsBlob)
+      }.toSeq.sortBy(p => orderB.value(p.term))
+
+    def score(chunk: Long, lists: Seq[Bm25.TermList],
+              docLen: Bm25.DocLen): Iterator[Bm25.Hit] = {
+      val cands = candB.value.getOrElse(
+        if (candB.value.contains(chunk)) chunk else -1L, Array.empty[Long])
+      if (lists.isEmpty || cands.isEmpty) Iterator.empty
+      else Bm25.scoreProximityCandidates(lists, docLen, avgdl, cands, kk, w)
+        .iterator
+    }
 
     val hits = lensBroadcast match {
       case Some(bc) =>

@@ -249,6 +249,93 @@ object Bm25 {
     top.result()
   }
 
+  /** |body ∪ title| via block-skipping leapfrog: df_b + df_t − |∩|,
+    * with the intersection counted by alternating cursor seeks —
+    * O(min df · log) probes instead of [[unionDf]]'s full decode. Same
+    * integer result (set cardinality); the champion fielded ranker's
+    * idf source.
+    */
+  def unionDfSkip(body: Option[(Long, Array[PostingBlock], Array[Byte])],
+                  title: Option[(Long, Array[PostingBlock], Array[Byte])]): Long =
+    (body, title) match {
+      case (None, None) => 0L
+      case (Some((df, _, _)), None) => df
+      case (None, Some((df, _, _))) => df
+      case (Some((dfb, bb, blb)), Some((dft, tb, tlb))) =>
+        val a = new PostingCodec.Cursor(dfb, bb, blb)
+        val b = new PostingCodec.Cursor(dft, tb, tlb)
+        var inter = 0L
+        var liveA = a.next()
+        var liveB = b.next()
+        while (liveA && liveB) {
+          if (a.docId == b.docId) {
+            inter += 1L; liveA = a.next(); liveB = b.next()
+          } else if (a.docId < b.docId) liveA = a.seek(b.docId)
+          else liveB = b.seek(a.docId)
+        }
+        dfb + dft - inter
+    }
+
+  /** One query term's per-field lists WITH skip metadata — the champion
+    * stage-2 fielded kernel seeks candidates instead of decoding whole
+    * lists, so it needs each field's blocks alongside the blob.
+    */
+  case class FieldCursorLists(term: String, idf: Double,
+      body: Option[(Long, Array[PostingBlock], Array[Byte])],
+      title: Option[(Long, Array[PostingBlock], Array[Byte])])
+
+  /** BM25F of an explicit candidate set (champion stage 2 for the
+    * fielded ranker): per term, one block-skipping cursor PER FIELD
+    * walks the ascending candidate list — O(|cand| log) probes per
+    * field, never a full decode of a stopword-sized list — and the
+    * weighted field tfs fold into the shared soft-OR saturation in the
+    * same body-then-title, term-by-term order as [[scoreBm25F]], so the
+    * result is float-identical to the exhaustive kernel restricted to
+    * the candidates.
+    */
+  def scoreBm25FCandidates(terms: Seq[FieldCursorLists],
+                           dlBody: DocLen, dlTitle: DocLen,
+                           avgdlBody: Double, avgdlTitle: Double,
+                           wBody: Double, wTitle: Double,
+                           candSorted: Array[Long], k: Int): Array[Hit] = {
+    val wtf = new Array[Double](candSorted.length)
+    val scores = new Array[Double](candSorted.length)
+    terms.foreach { t =>
+      java.util.Arrays.fill(wtf, 0.0)
+      def walk(field: Option[(Long, Array[PostingBlock], Array[Byte])],
+               w: Double, dl: DocLen, avgdl: Double): Unit =
+        if (avgdl > 0) field.foreach { case (df, blocks, blob) =>
+          val c = new PostingCodec.Cursor(df, blocks, blob)
+          if (c.next()) {
+            var i = 0
+            var live = true
+            while (i < candSorted.length && live) {
+              if (!c.seek(candSorted(i))) live = false
+              else if (c.docId == candSorted(i)) {
+                val norm = 1.0 + B * (dl(candSorted(i)) / avgdl - 1.0)
+                wtf(i) += w * c.tf.toDouble / norm
+              }
+              i += 1
+            }
+          }
+        }
+      walk(t.body, wBody, dlBody, avgdlBody)
+      walk(t.title, wTitle, dlTitle, avgdlTitle)
+      var i = 0
+      while (i < candSorted.length) {
+        if (wtf(i) > 0.0) scores(i) += t.idf * wtf(i) / (K1 + wtf(i))
+        i += 1
+      }
+    }
+    val top = new TopK(k)
+    var i = 0
+    while (i < candSorted.length) {
+      if (scores(i) > 0.0) top.offer(Hit(candSorted(i), scores(i)))
+      i += 1
+    }
+    top.result()
+  }
+
   /** One query term for the Dirichlet query-likelihood ranker: `pc` is
     * the collection model p(t|C) = cf_t / |C| (collection frequency over
     * total kept tokens).
@@ -338,12 +425,42 @@ object Bm25 {
     * O(occ_i + occ_j + matches), never the full cross product.
     */
   def scoreProximity(terms: Seq[TermList], docLen: DocLen, avgdl: Double,
-                     k: Int, window: Int = 5): Array[Hit] = {
-    val decoded = terms.map { t =>
+                     k: Int, window: Int = 5): Array[Hit] =
+    proximityFromDecoded(terms.map { t =>
       val m = new java.util.LinkedHashMap[Long, Array[Long]]()
       PostingCodec.decode(t.df, t.blob).foreach { case (id, ps) => m.put(id, ps) }
       (t, m)
-    }
+    }, docLen, avgdl, k, window)
+
+  /** Proximity of an explicit candidate set (champion stage 2 for the
+    * proximity ranker): per term, one block-skipping cursor collects the
+    * CANDIDATES' position arrays — O(|cand| log) probes per list — then
+    * the identical pair-walk runs on the filtered maps. Per-doc scoring
+    * is independent across docs and the pair micro-accumulator is exact
+    * integer arithmetic, so the result equals [[scoreProximity]]
+    * restricted to the candidates.
+    */
+  def scoreProximityCandidates(terms: Seq[TermList], docLen: DocLen,
+                               avgdl: Double, candSorted: Array[Long],
+                               k: Int, window: Int = 5): Array[Hit] =
+    proximityFromDecoded(terms.map { t =>
+      val m = new java.util.LinkedHashMap[Long, Array[Long]]()
+      val c = new PostingCodec.Cursor(t.df, t.blocks, t.blob)
+      if (c.next()) {
+        var i = 0
+        var live = true
+        while (i < candSorted.length && live) {
+          if (!c.seek(candSorted(i))) live = false
+          else if (c.docId == candSorted(i)) m.put(c.docId, c.positions)
+          i += 1
+        }
+      }
+      (t, m)
+    }, docLen, avgdl, k, window)
+
+  private def proximityFromDecoded(
+      decoded: Seq[(TermList, java.util.LinkedHashMap[Long, Array[Long]])],
+      docLen: DocLen, avgdl: Double, k: Int, window: Int): Array[Hit] = {
     val acc = new java.util.HashMap[Long, Array[Double]]()
     decoded.foreach { case (t, m) =>
       m.forEach { (id, ps) =>

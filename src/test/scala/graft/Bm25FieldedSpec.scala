@@ -182,6 +182,17 @@ class Bm25FieldedSpec extends AnyFunSuite {
       round9(engine.searchTermsChampion(Seq("spark", "dup"), 10, 3)))
   }
 
+  /** The champion stage-1 candidate set, re-derived from tokenization
+    * truth: per term, the global top-m docIds by BODY (tf desc, id asc).
+    */
+  def champCandTwin(docs: Seq[IdDoc], terms: Seq[String], m: Int): Set[Long] = {
+    val body = docs.map(d => d.docId -> Tokenizer.bodyTokens(d.content)).toMap
+    terms.flatMap { t =>
+      docs.map(d => d.docId -> body(d.docId).count(_ == t).toLong)
+        .filter(_._2 > 0).sortBy { case (id, f) => (-f, id) }.take(m).map(_._1)
+    }.toSet
+  }
+
   /** plain-Scala proximity-BM25 twin: exhaustive BM25 + per-pair windowed
     * 1/dist² micro-unit boosts (body positions; the engine's title offset
     * cancels in every distance).
@@ -225,6 +236,49 @@ class Bm25FieldedSpec extends AnyFunSuite {
       if (any) Some((d.docId, math.rint(s * 1e9) / 1e9)) else None
     }
     scored.sortBy { case (id, sc) => (-sc, id) }.take(k)
+  }
+
+  test("fielded/proximity champion == exhaustive restricted to the candidate set") {
+    val docs = fixtureDocs
+    val idx = buildIndex(docs, "champfp")
+    val engine = new Bm25Engine(spark, idx)
+    val terms = Seq("spark", "dup", "merge")
+    // per-doc scores are restriction-invariant (both models score each
+    // doc independently), so the champion variant must equal the
+    // exhaustive twin filtered to the stage-1 candidate set — at every m
+    for (m <- Seq(2, 5, 24)) {
+      val cands = champCandTwin(docs, terms, m)
+      val wantF = bm25fTwin(docs, terms, 1.0, 2.5, docs.size * 2)
+        .filter(c => cands(c._1)).take(10)
+      assert(round9(engine.searchTermsFieldedChampion(terms, 10, m, 1.0, 2.5))
+        === wantF, s"fielded m=$m")
+      val wantP = proximityTwin(docs, terms, docs.size * 2, 5)
+        .filter(c => cands(c._1)).take(10)
+      assert(round9(engine.searchTermsProximityChampion(terms, 10, m, 5))
+        === wantP, s"prox m=$m")
+    }
+    // m >= corpus: the proximity candidate set IS the exhaustive
+    // evaluation set (prox only scores body matches), so the champion
+    // variant recovers the full ranking exactly; the fielded variant
+    // recovers everything except TITLE-ONLY matches (candidates are
+    // body-routed — the documented approximation)
+    assert(round9(engine.searchTermsProximityChampion(terms, 10, 24, 5)) ===
+      round9(engine.searchTermsProximity(terms, 10, 5)))
+    // fallback (cogroup) path identical
+    val engineNb = new Bm25Engine(spark, idx, broadcastDocsLimit = 0)
+    assert(round9(engineNb.searchTermsFieldedChampion(terms, 10, 5)) ===
+      round9(engine.searchTermsFieldedChampion(terms, 10, 5)))
+    assert(round9(engineNb.searchTermsProximityChampion(terms, 10, 5)) ===
+      round9(engine.searchTermsProximityChampion(terms, 10, 5)))
+    // sidecar-served stage 1 (built prefix depth 8 covers m = 5):
+    // both variants must be unchanged when candidates come from the
+    // persisted store instead of the inline window
+    val inlineF = round9(engine.searchTermsFieldedChampion(terms, 10, 5))
+    val inlineP = round9(engine.searchTermsProximityChampion(terms, 10, 5))
+    graft.index.ChampionSidecar.build(spark, idx, m = 8, nBuckets = 4)
+    val engineSc = new Bm25Engine(spark, idx)
+    assert(round9(engineSc.searchTermsFieldedChampion(terms, 10, 5)) === inlineF)
+    assert(round9(engineSc.searchTermsProximityChampion(terms, 10, 5)) === inlineP)
   }
 
   test("proximity BM25 == plain-Scala twin; window=0 recovers plain BM25; boost is additive") {
@@ -413,6 +467,14 @@ class Bm25FieldedSpec extends AnyFunSuite {
       championTwin(docs, Seq("spark", "dup", "merge"), 30, 40))
     assert(round9(engine.searchTermsProximity(Seq("spark", "merge", "dup"), 30, 5)) ===
       proximityTwin(docs, Seq("spark", "merge", "dup"), 30, 5))
+    val cands40 = champCandTwin(docs, Seq("spark", "doc", "merge"), 40)
+    assert(round9(engine.searchTermsFieldedChampion(Seq("spark", "doc", "merge"), 30, 40, 1.0, 2.5)) ===
+      bm25fTwin(docs, Seq("spark", "doc", "merge"), 1.0, 2.5, docs.size * 2)
+        .filter(c => cands40(c._1)).take(30))
+    val candsP40 = champCandTwin(docs, Seq("spark", "merge", "dup"), 40)
+    assert(round9(engine.searchTermsProximityChampion(Seq("spark", "merge", "dup"), 30, 40, 5)) ===
+      proximityTwin(docs, Seq("spark", "merge", "dup"), docs.size * 2, 5)
+        .filter(c => candsP40(c._1)).take(30))
     assert(round9(engine.searchTermsQl(Seq("spark", "dup", "merge"), 30, 300.0)) ===
       qlTwin(docs, Seq("spark", "dup", "merge"), 30, 300.0))
     assert(round9(engine.searchPhrase(Seq("sort", "merge"), 30)) ===
