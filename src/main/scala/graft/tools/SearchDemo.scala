@@ -158,9 +158,13 @@ object SearchDemo {
       }
     } else if (query.startsWith("bm25f:") || query.startsWith("champ:") ||
                query.startsWith("prox:") || query.startsWith("ql:") ||
-               query.startsWith("phrase:")) {
+               query.startsWith("phrase:") || query.startsWith("bm25fchamp:") ||
+               query.startsWith("proxchamp:")) {
       // "bm25f:" = field-weighted BM25F (title lists weighted 2.5x);
       // "champ:" = champion-list static pruning (per-term top-64);
+      // "bm25fchamp:" / "proxchamp:" = the champion-accelerated fielded /
+      //   proximity rankers (body-routed top-64 candidates, full model
+      //   over candidates only — sidecar-served when one is present);
       // "prox:" = proximity-weighted BM25 (window 5);
       // "ql:" = Dirichlet query likelihood (mu 300);
       // "phrase:" = positional phrase BM25 (terms in the given order)
@@ -171,12 +175,18 @@ object SearchDemo {
       val t0 = System.nanoTime()
       val hits =
         if (query.startsWith("bm25f:")) engine.searchTermsFielded(terms, 10)
+        else if (query.startsWith("bm25fchamp:"))
+          engine.searchTermsFieldedChampion(terms, 10)
+        else if (query.startsWith("proxchamp:"))
+          engine.searchTermsProximityChampion(terms, 10)
         else if (query.startsWith("prox:")) engine.searchTermsProximity(terms, 10)
         else if (query.startsWith("ql:")) engine.searchTermsQl(terms, 10)
         else if (query.startsWith("phrase:")) engine.searchPhrase(ordered, 10)
         else engine.searchTermsChampion(terms, 10)
       val dt = (System.nanoTime() - t0) / 1e9
       val label = if (query.startsWith("bm25f:")) "BM25F"
+        else if (query.startsWith("bm25fchamp:")) "BM25F-Champion"
+        else if (query.startsWith("proxchamp:")) "Proximity-Champion"
         else if (query.startsWith("prox:")) "Proximity"
         else if (query.startsWith("ql:")) "QL"
         else if (query.startsWith("phrase:")) "Phrase-BM25"
