@@ -1958,6 +1958,24 @@ object SparkEntry {
         .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
         .toDF("slot", "doc_id", "score", "url")
     }),
+    // the STAGED gather on the MIXED fleet driven end-to-end: the
+    // cumulative-extent chunk remap feeds the cross-shard union census
+    // + executor prune (broadcastDocsLimit 0 forces the cogroup plan so
+    // threshold 0 can engage — see q_fed_ref_staged_topk), and the
+    // truth stays the mixed replay verbatim; FAILS LOUDLY if the staged
+    // path did not engage
+    "q_fed_ref_mixed_staged_topk" -> ((s, dir) => {
+      import s.implicits._
+      val (a, b) = fedMixedDirs(s, dir)
+      val fed = new graft.engine.FederatedSearch(s, Seq(a, b),
+        stagedChunkThreshold = 0, broadcastDocsLimit = 0L)
+      val hits = fed.search("dup")
+      require(fed.lastGatherStaged,
+        "q_fed_ref_mixed_staged_topk: staged gather did not engage")
+      hits.zipWithIndex
+        .map { case (h, i) => (i.toLong, h.docId, h.score, h.url) }
+        .toDF("slot", "doc_id", "score", "url")
+    }),
 
     // federated Dirichlet QL over the same chunk-aligned shards: the
     // cf-exchange folds the collection model globally, so the ranking
@@ -3244,6 +3262,11 @@ object SparkEntry {
       // the mixed-geometry federated RefScore replay: same tail, the
       // mixed base (per-doc global chunk / global id / per-chunk cap)
       "q_fed_ref_mixed_topk" -> duckRefTopkSql(duckRefBaseMixed,
+        capExpr = "cs.cap", docIdExpr = "m.gdoc_id"),
+
+      // staged mixed gather: rank identity is the whole contract — the
+      // truth is the mixed replay verbatim
+      "q_fed_ref_mixed_staged_topk" -> duckRefTopkSql(duckRefBaseMixed,
         capExpr = "cs.cap", docIdExpr = "m.gdoc_id"),
 
       "q_dedup_exact" -> """
