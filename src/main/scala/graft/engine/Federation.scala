@@ -53,8 +53,8 @@ class FederatedBm25(spark: SparkSession, shards: Seq[String]) {
     * chunks in its own geometry, so the only shared contract is a
     * disjoint global docId space — which [[Federation.shardOffsetsMixed]]
     * provides by aligning every shard's offset to its OWN chunk size.
-    * (RefScore federation still requires one geometry: its fan-in runs
-    * in global chunk order derived from a single docId/chunkDocs map.)
+    * (RefScore federation accepts mixed fleets too — see
+    * [[FederatedSearch]]'s geometry notes.)
     */
   private val geometries: Seq[Long] = {
     val gs = engines.map(_.chunkGeometry)
