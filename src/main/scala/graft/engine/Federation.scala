@@ -319,7 +319,20 @@ object Federation {
       : (Seq[Long], Seq[Long]) = {
     require(shards.size == chunkDocs.size,
       s"federation: ${shards.size} shards vs ${chunkDocs.size} geometries")
-    val highs = shards.map(d => IndexBuilder.docIdHighWater(spark, d))
+    layoutFromHighs(shards.map(d => IndexBuilder.docIdHighWater(spark, d)),
+      chunkDocs)
+  }
+
+  /** The fold-rule arithmetic itself, pure (FederationSpec's property
+    * sweep pins its invariants: offsets chunk-aligned per shard and
+    * strictly past every prior extent ⇒ disjoint global docId spaces;
+    * chunk bases strictly past every prior shard's last global chunk ⇒
+    * collision-free (shard asc, local chunk asc) order; homogeneous ⇒
+    * bases == offsets / chunkDocs exactly).
+    */
+  private[graft] def layoutFromHighs(highs: Seq[Long],
+                                     chunkDocs: Seq[Long])
+      : (Seq[Long], Seq[Long]) = {
     val offs = Seq.newBuilder[Long]
     val bases = Seq.newBuilder[Long]
     var cursor = -1L // federated high-water of the shards placed so far

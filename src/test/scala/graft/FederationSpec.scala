@@ -223,6 +223,39 @@ class FederationSpec extends AnyFunSuite {
     idsA.unpersist(); idsB.unpersist()
   }
 
+  test("mixed layout fold rule: 500-trial property sweep of the invariants") {
+    import graft.engine.Federation
+    val rnd = new scala.util.Random(20260821L)
+    (1 to 500).foreach { trial =>
+      val k = 1 + rnd.nextInt(6)
+      val highs = Seq.fill(k)(rnd.nextInt(5000).toLong)       // shard max docIds
+      val cds = Seq.fill(k)(1L + rnd.nextInt(400))             // geometries
+      val (offs, bases) = Federation.layoutFromHighs(highs, cds)
+      assert(offs.head === 0L && bases.head === 0L, s"t$trial")
+      var prevEnd = -1L      // global docId extent of shards placed so far
+      var prevChunkEnd = -1L // last global chunk id placed so far
+      offs.lazyZip(bases).lazyZip(highs).lazyZip(cds).foreach {
+        case (off, base, h, cd) =>
+          // offset on the shard's OWN chunk boundary, strictly past every
+          // prior shard's extent => global docId spaces disjoint
+          assert(off % cd === 0L, s"t$trial: off=$off not aligned to cd=$cd")
+          assert(off > prevEnd, s"t$trial: off=$off overlaps extent $prevEnd")
+          // chunk base strictly past every prior shard's last global
+          // chunk => (shard asc, local chunk asc) == global chunk asc,
+          // collision-free
+          assert(base > prevChunkEnd,
+            s"t$trial: base=$base collides with chunk $prevChunkEnd")
+          prevEnd = off + h
+          prevChunkEnd = base + h / cd // the shard's last global chunk
+      }
+      // homogeneous fleet: bases must equal offsets/chunkDocs EXACTLY
+      // (the consolidated merged index's own docId -> chunk map)
+      val cd0 = cds.head
+      val (offsH, basesH) = Federation.layoutFromHighs(highs, Seq.fill(k)(cd0))
+      assert(basesH === offsH.map(_ / cd0), s"t$trial homogeneous")
+    }
+  }
+
   test("scatter is re-entrant: nested scatters run inline, never deadlock the pool") {
     import graft.engine.Federation
     // more outer tasks than pool threads, each issuing a NESTED scatter:
