@@ -135,12 +135,36 @@ private[graft] final class ServingCache[T, E, K, V <: AnyRef](
   def engine: E = gen.engine
 }
 
-/** BM25 serving cache over one index — see [[ServingCache]]. */
+/** BM25 serving cache over one index — see [[ServingCache]]. Memoizes
+  * the WHOLE ranked-retrieval family a server actually exposes (plain /
+  * fielded / proximity / QL / champion / champion-fielded /
+  * champion-proximity), keyed by (method, normalized terms, every
+  * scoring parameter) so two rankers — or one ranker at two parameter
+  * settings — can never alias; all share the one engine generation and
+  * the one (lineage, tombstone) invalidation.
+  */
 class Bm25Serving(spark: SparkSession, indexDir: String,
                   maxEntries: Int = 1024) {
 
-  private final case class Key(terms: Seq[String], k: Int,
-                               mode: Bm25Engine.Mode, wand: Boolean)
+  /** `method` discriminates the ranker; parameters a method does not
+    * use stay at fixed sentinels so they cannot split its key space.
+    * Terms are CANONICALIZED (distinct + sorted) in the key AND in the
+    * computation, so two orderings of one term set share one cache row
+    * and one deterministic answer — sound because every served ranker
+    * is term-SET semantics (proximity's pair boosts are symmetric in
+    * value; only last-ulp float summation order could differ, and the
+    * canonical order fixes even that).
+    */
+  private final case class Key(method: String, terms: Seq[String], k: Int,
+                               mode: Bm25Engine.Mode, wand: Boolean,
+                               m: Int, wBody: Double, wTitle: Double,
+                               window: Int, mu: Double)
+  private def key(method: String, terms: Seq[String], k: Int,
+                  mode: Bm25Engine.Mode = Bm25Engine.Or,
+                  wand: Boolean = false, m: Int = 0, wBody: Double = 0.0,
+                  wTitle: Double = 0.0, window: Int = 0,
+                  mu: Double = 0.0): Key =
+    Key(method, terms, k, mode, wand, m, wBody, wTitle, window, mu)
 
   private val cache =
     new ServingCache[ServingToken.Token, Bm25Engine, Key, Seq[Bm25.Hit]](
@@ -152,9 +176,57 @@ class Bm25Serving(spark: SparkSession, indexDir: String,
   def searchTerms(terms: Seq[String], k: Int,
                   mode: Bm25Engine.Mode = Bm25Engine.Or,
                   useWand: Boolean = true,
-                  checkVersion: Boolean = true): Seq[Bm25.Hit] =
-    cache.lookup(Key(terms.distinct.sorted, k, mode, useWand), checkVersion)(
-      _.searchTerms(terms, k, mode, useWand))
+                  checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+    val ts = terms.distinct.sorted
+    cache.lookup(key("bm25", ts, k, mode, useWand), checkVersion)(
+      _.searchTerms(ts, k, mode, useWand))
+  }
+
+  def searchTermsFielded(terms: Seq[String], k: Int, wBody: Double = 1.0,
+                         wTitle: Double = 2.5,
+                         checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+    val ts = terms.distinct.sorted
+    cache.lookup(key("bm25f", ts, k, wBody = wBody, wTitle = wTitle),
+      checkVersion)(_.searchTermsFielded(ts, k, wBody, wTitle))
+  }
+
+  def searchTermsProximity(terms: Seq[String], k: Int, window: Int = 5,
+                           checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+    val ts = terms.distinct.sorted
+    cache.lookup(key("prox", ts, k, window = window), checkVersion)(
+      _.searchTermsProximity(ts, k, window))
+  }
+
+  def searchTermsQl(terms: Seq[String], k: Int, mu: Double = 300.0,
+                    checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+    val ts = terms.distinct.sorted
+    cache.lookup(key("ql", ts, k, mu = mu), checkVersion)(
+      _.searchTermsQl(ts, k, mu))
+  }
+
+  def searchTermsChampion(terms: Seq[String], k: Int, m: Int = 64,
+                          checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+    val ts = terms.distinct.sorted
+    cache.lookup(key("champ", ts, k, m = m), checkVersion)(
+      _.searchTermsChampion(ts, k, m))
+  }
+
+  def searchTermsFieldedChampion(terms: Seq[String], k: Int, m: Int = 64,
+                                 wBody: Double = 1.0, wTitle: Double = 2.5,
+                                 checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+    val ts = terms.distinct.sorted
+    cache.lookup(key("bm25fchamp", ts, k, m = m, wBody = wBody,
+        wTitle = wTitle), checkVersion)(
+      _.searchTermsFieldedChampion(ts, k, m, wBody, wTitle))
+  }
+
+  def searchTermsProximityChampion(terms: Seq[String], k: Int, m: Int = 64,
+                                   window: Int = 5,
+                                   checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+    val ts = terms.distinct.sorted
+    cache.lookup(key("proxchamp", ts, k, m = m, window = window),
+      checkVersion)(_.searchTermsProximityChampion(ts, k, m, window))
+  }
 
   def stats: (Long, Long, Long) = cache.stats
   def engine: Bm25Engine = cache.engine

@@ -63,6 +63,52 @@ class ServingSpec extends AnyFunSuite {
     ids.unpersist()
   }
 
+  test("serving memoizes the whole ranked-retrieval family; keys never alias") {
+    import spark.implicits._
+    val cfg = BuildConfig(chunkDocs = 50)
+    val ids = corpus(40, seed = 199).persist() // 80 docs
+    val dir = SparkTestBase.tempDir("graft_serv_family")
+    IndexBuilder.build(spark, ids.filter(_.docId <= 39L), dir, cfg)
+    val serving = new Bm25Serving(spark, dir)
+    val ts = IndexStore.readPostings(spark, dir).collect()
+      .filterNot(_.term.startsWith("#"))
+      .groupBy(_.term).map { case (t, rs) => (t, rs.map(_.df).sum) }
+      .toSeq.sortBy { case (t, df) => (-df, t) }.take(2).map(_._1)
+
+    val f1 = serving.searchTermsFielded(ts, 10)
+    assert(serving.searchTermsFielded(ts, 10) === f1, "fielded repeat must hit")
+    val c1 = serving.searchTermsChampion(ts, 10, m = 8)
+    val p1 = serving.searchTermsProximity(ts, 10)
+    val q1 = serving.searchTermsQl(ts, 10)
+    val fc1 = serving.searchTermsFieldedChampion(ts, 10, m = 8)
+    val pc1 = serving.searchTermsProximityChampion(ts, 10, m = 8)
+    // six distinct methods over ONE term set = six distinct keys (plus
+    // the one fielded hit); a method tag collision would read a wrong
+    // ranker's hits here
+    assert(serving.stats === ((1L, 6L, 0L)))
+    // a changed scoring parameter splits the key
+    serving.searchTermsChampion(ts, 10, m = 4)
+    assert(serving.stats._2 === 7L, "m=4 must not alias the m=8 row")
+    // term order canonicalizes: reversed query is a HIT on the same row
+    assert(serving.searchTermsProximity(ts.reverse, 10) === p1)
+    assert(serving.stats._1 === 2L, "reversed term order must hit")
+    // every cached family matches a fresh engine at the canonical order
+    val e = new Bm25Engine(spark, dir)
+    val canon = ts.distinct.sorted
+    assert(f1 === e.searchTermsFielded(canon, 10))
+    assert(c1 === e.searchTermsChampion(canon, 10, 8))
+    assert(p1 === e.searchTermsProximity(canon, 10))
+    assert(q1 === e.searchTermsQl(canon, 10))
+    assert(fc1 === e.searchTermsFieldedChampion(canon, 10, 8))
+    assert(pc1 === e.searchTermsProximityChampion(canon, 10, 8))
+    // maintenance reloads ONE generation for the whole family
+    IndexBuilder.appendBuild(spark, ids.filter(_.docId > 39L), dir, cfg)
+    val f2 = serving.searchTermsFielded(ts, 10)
+    assert(serving.stats._3 === 1L, "append must reload")
+    assert(f2 === new Bm25Engine(spark, dir).searchTermsFielded(canon, 10))
+    ids.unpersist()
+  }
+
   test("checkVersion = false serves the cached generation unchanged") {
     import spark.implicits._
     val cfg = BuildConfig(chunkDocs = 50)
