@@ -281,8 +281,13 @@ class FederatedBm25Serving(spark: SparkSession, shards: Seq[String],
                            maxEntries: Int = 1024) {
   require(shards.nonEmpty, "FederatedBm25Serving: need at least one shard")
 
-  private final case class Key(terms: Seq[String], k: Int,
-                               mode: Bm25Engine.Mode, wand: Boolean)
+  /** method tag + canonicalized terms + parameters, like the
+    * single-index family cache — "ql" rows carry mu, "bm25" rows the
+    * mode/wand pair, each at fixed sentinels for the other.
+    */
+  private final case class Key(method: String, terms: Seq[String], k: Int,
+                               mode: Bm25Engine.Mode, wand: Boolean,
+                               mu: Double)
 
   private val cache =
     new ServingCache[Seq[ServingToken.Token], FederatedBm25,
@@ -295,9 +300,23 @@ class FederatedBm25Serving(spark: SparkSession, shards: Seq[String],
   def searchTerms(terms: Seq[String], k: Int,
                   mode: Bm25Engine.Mode = Bm25Engine.Or,
                   useWand: Boolean = true,
-                  checkVersion: Boolean = true): Seq[Bm25.Hit] =
-    cache.lookup(Key(terms.distinct.sorted, k, mode, useWand), checkVersion)(
-      _.searchTerms(terms, k, mode, useWand))
+                  checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+    val ts = terms.distinct.sorted
+    cache.lookup(Key("bm25", ts, k, mode, useWand, 0.0), checkVersion)(
+      _.searchTerms(ts, k, mode, useWand))
+  }
+
+  /** Federated Dirichlet QL through the same cache + reload — the
+    * cf-exchange is memoized per engine generation, so repeat QL
+    * queries pay nothing and any shard's maintenance rebuilds the
+    * exchange along with the engine.
+    */
+  def searchTermsQl(terms: Seq[String], k: Int, mu: Double = 300.0,
+                    checkVersion: Boolean = true): Seq[Bm25.Hit] = {
+    val ts = terms.distinct.sorted
+    cache.lookup(Key("ql", ts, k, Bm25Engine.Or, false, mu), checkVersion)(
+      _.searchTermsQl(ts, k, mu))
+  }
 
   def stats: (Long, Long, Long) = cache.stats
   def engine: FederatedBm25 = cache.engine

@@ -180,6 +180,13 @@ class ServingSpec extends AnyFunSuite {
     assert(r1 === new graft.engine.FederatedBm25(spark, Seq(dirA, dirB))
       .searchTerms(Seq(t), 10))
 
+    // QL rides the same cache + token: distinct key, cached repeat,
+    // fresh-engine truth
+    val ql1 = serving.searchTermsQl(Seq(t), 10)
+    assert(serving.searchTermsQl(Seq(t), 10) === ql1)
+    assert(ql1 === new graft.engine.FederatedBm25(spark, Seq(dirA, dirB))
+      .searchTermsQl(Seq(t), 10))
+
     IndexBuilder.appendBuild(spark,
       ids.filter(_.docId > 99L).map(d => d.copy(docId = d.docId - 50L)),
       dirB, cfg)
@@ -187,6 +194,9 @@ class ServingSpec extends AnyFunSuite {
     assert(serving.stats._3 === 1L, "shard-B append must reload the federation")
     assert(r2 === new graft.engine.FederatedBm25(spark, Seq(dirA, dirB))
       .searchTerms(Seq(t), 10))
+    assert(serving.searchTermsQl(Seq(t), 10) ===
+      new graft.engine.FederatedBm25(spark, Seq(dirA, dirB))
+        .searchTermsQl(Seq(t), 10), "post-reload QL must see the new shard")
     ids.unpersist()
   }
 
